@@ -1,0 +1,391 @@
+"""Transform registry T1–T11 (SURVEY.md §2.5).
+
+Re-expresses ``alphai_feature_generation/feature/transform.py`` (registry
+``FEATURE_TRANSFORMATIONS_MAPPING``, transform.py:235-246) as Spark
+Column expressions over per-conversation trailing windows. Exact
+semantics preserved:
+
+* log-return clip bound ``MAX_LOG_RETURN = 0.1`` (transform.py:7);
+* ±inf → null before clipping (transform.py:44) — Spark's ``log`` of a
+  non-positive argument already yields null, matching
+  pandas' ``replace([inf,-inf], nan)`` on ``log(pct_change+1)``;
+* volatility = rolling **sample** std (ddof=1) with ``min_periods=3``
+  (transform.py:108-110);
+* stochastic %K ``100·(last−min)/(max−min)`` (transform.py:124-127);
+* Kaufman ER: |Δ_lag| / rolling_lag_sum(|Δ_1|) (transform.py:151-158);
+* EWMA ``ewm(halflife=h, adjust=True).mean()`` (transform.py:139-140) —
+  the only sequential-state transform; implemented exactly via a scaled
+  weighted-cumsum (see :func:`ewma`), with a distributed chunk-scan
+  variant for skewed mega-conversations (:func:`ewma` with
+  ``chunk_size``).
+
+Everything except EWMA/GASF/GADF/MTF stays in whole-stage codegen.
+Floats default to float64 in the plan; pass ``dtype='float'`` for the
+reference's float32 hot path (transformation/financial.py:149-150).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from sparkfeat.windows import ORDER_COLS, trailing, w_entity
+
+#: transform.py:7
+MAX_LOG_RETURN = 0.1
+
+
+def _clip(c: Column, lo: float, hi: float) -> Column:
+    """Null-preserving clip. NB ``F.least``/``F.greatest`` skip nulls —
+    a bare least/greatest would resurrect nulls as the bound."""
+    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(
+        F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
+    )
+
+
+def value(v: str | Column) -> Column:
+    """T1 identity (transform.py:226-232)."""
+    return F.col(v) if isinstance(v, str) else v
+
+
+def log_return(
+    v: str | Column,
+    clip: float | None = MAX_LOG_RETURN,
+    entity_col: str = "conv_id",
+) -> Column:
+    """T2/T3 log-return: ``log(pct_change+1)``, ±inf→null, clip ±0.1.
+
+    transform.py:32-52 and clip variant transform.py:65-82 (same math).
+    ``log(v/lag(v))``: first row per conversation → null (lag null);
+    prev==0 → null (nullif); ratio ≤ 0 → null (Spark log domain), which
+    is exactly pandas' inf/nan → NaN replacement.
+    """
+    col = value(v)
+    prev = F.lag(col).over(w_entity(entity_col))
+    r = F.log(col / F.nullif(prev, F.lit(0.0)))
+    return _clip(r, -clip, clip) if clip is not None else r
+
+
+def log_return_y(
+    y: str | Column, ref: str | Column, clip: float | None = MAX_LOG_RETURN
+) -> Column:
+    """Target-path log-return ``log(y/ref)`` clipped (transform.py:55-62,
+    :84-94): future value vs value at prediction time."""
+    r = F.log(value(y) / F.nullif(value(ref), F.lit(0.0)))
+    return _clip(r, -clip, clip) if clip is not None else r
+
+
+def volatility(
+    v: str | Column,
+    window: int,
+    min_periods: int = 3,
+    clip: float | None = MAX_LOG_RETURN,
+    entity_col: str = "conv_id",
+) -> Column:
+    """T4 rolling sample std of the log-return (transform.py:97-114).
+
+    pandas ``rolling(window, min_periods=3).std()`` counts non-NaN values
+    in the frame; ``stddev_samp`` ignores nulls, so gating on
+    ``count(lr) >= min_periods`` reproduces it exactly.
+    """
+    lr = log_return(v, clip=clip, entity_col=entity_col)
+    fr = trailing(window, entity_col)
+    return F.when(
+        F.count(lr).over(fr) >= min_periods, F.stddev_samp(lr).over(fr)
+    )
+
+
+def stochastic_k(v: str | Column, length: int, entity_col: str = "conv_id") -> Column:
+    """T5 stochastic %K over the trailing ``length`` rows
+    (transform.py:117-128): ``100·(cur−min)/(max−min)``; flat window →
+    null (pandas emits ±inf/NaN there)."""
+    col = value(v)
+    fr = trailing(length, entity_col)
+    mn, mx = F.min(col).over(fr), F.max(col).over(fr)
+    return F.lit(100.0) * (col - mn) / F.nullif(mx - mn, F.lit(0.0))
+
+
+def ker(v: str | Column, lag: int, entity_col: str = "conv_id") -> Column:
+    """T7 Kaufman efficiency ratio (transform.py:144-166).
+
+    ``direction=|v−v.shift(lag)|``; ``volatility=rolling(lag).sum(|Δ1|)``
+    (min_periods=lag ⇒ require ``lag`` non-null single-step diffs in the
+    frame); ratio, with 0-denominator → null.
+    """
+    col = value(v)
+    w = w_entity(entity_col)
+    direction = F.abs(col - F.lag(col, lag).over(w))
+    d1 = F.abs(col - F.lag(col, 1).over(w))
+    fr = trailing(lag, entity_col)
+    vol = F.when(F.count(d1).over(fr) >= lag, F.sum(d1).over(fr))
+    return direction / F.nullif(vol, F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# T6 EWMA — exact pandas ewm(halflife, adjust=True).mean() semantics.
+# ---------------------------------------------------------------------------
+
+
+def _ewma_sw(x: np.ndarray, a: float) -> tuple[np.ndarray, np.ndarray]:
+    """Weighted-cumsum EWMA state: S_t = Σ_{i≤t, valid} a^(t−i)·x_i and
+    W_t = Σ_{i≤t, valid} a^(t−i)·1.
+
+    ``ewm(adjust=True, ignore_na=False)`` weights by absolute position,
+    NaNs contributing zero weight — exactly this pair; mean = S/W.
+    Vectorized as a scaled cumsum, evaluated in blocks so the a^(−i)
+    scale factor never overflows (block length capped by halflife).
+    """
+    n = len(x)
+    valid = np.isfinite(x)
+    xv = np.where(valid, x, 0.0)
+    wv = valid.astype(np.float64)
+    S = np.empty(n)
+    W = np.empty(n)
+    # a = 2^(-1/h)  ⇒  a^(-i) = 2^(i/h): keep i/h ≤ 900 per block.
+    h = -1.0 / math.log2(a)
+    block = max(1, min(n, int(900 * h)))
+    s_carry = 0.0
+    w_carry = 0.0
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        i = np.arange(hi - lo, dtype=np.float64)
+        up = a ** (-i)  # bounded by 2^900
+        down = a**i
+        S[lo:hi] = np.cumsum(xv[lo:hi] * up) * down + (a ** (i + 1)) * s_carry
+        W[lo:hi] = np.cumsum(wv[lo:hi] * up) * down + (a ** (i + 1)) * w_carry
+        s_carry = S[hi - 1]
+        w_carry = W[hi - 1]
+    return S, W
+
+
+def ewma(
+    df: DataFrame,
+    v: str,
+    halflife: float,
+    out_col: str = "ewma",
+    entity_col: str = "conv_id",
+    chunk_size: int | None = None,
+) -> DataFrame:
+    """T6 EWMA, pandas ``ewm(halflife=h, adjust=True).mean()`` exact
+    (transform.py:131-141).
+
+    Two physical strategies:
+
+    * ``chunk_size=None`` — one Arrow ``applyInPandas`` group per
+      conversation. Right answer when conversations are bounded.
+    * ``chunk_size=k`` — **distributed chunk scan** for skewed
+      mega-conversations (SURVEY.md §4 "skew handling"): conversations
+      are split into k-row chunks processed in parallel; each chunk
+      emits local (S, W) plus its decay a^len; a tiny per-conversation
+      sequential scan over chunk summaries (thousands of rows, not
+      turns) produces each chunk's inbound carry, broadcast-joined back:
+      ``S_global = S_local + a^(pos+1)·S_carry``. Bit-compatible with
+      the unchunked path up to float addition order (verified ~1e-12 in
+      tests); no single task ever holds a whole mega-conversation.
+    """
+    a = 0.5 ** (1.0 / halflife)
+    order = list(ORDER_COLS)
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, DoubleType(), True)]
+    )
+
+    if chunk_size is None:
+
+        def _per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(order, kind="mergesort")
+            S, W = _ewma_sw(pdf[v].to_numpy(dtype=np.float64), a)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                m = S / W
+            pdf[out_col] = np.where(W > 0, m, np.nan)
+            return pdf
+
+        return df.groupBy(entity_col).applyInPandas(_per_conv, schema=out_schema)
+
+    # --- distributed chunk scan -------------------------------------------
+    w = w_entity(entity_col)
+    chunked = df.withColumn("_pos", F.row_number().over(w) - 1).withColumn(
+        "_chunk", (F.col("_pos") / chunk_size).cast("int")
+    )
+
+    local_schema = StructType(
+        chunked.schema.fields
+        + [StructField("_S", DoubleType(), True), StructField("_W", DoubleType(), True)]
+    )
+
+    def _local(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        S, W = _ewma_sw(pdf[v].to_numpy(dtype=np.float64), a)
+        pdf["_S"] = S
+        pdf["_W"] = W
+        return pdf
+
+    local = chunked.groupBy(entity_col, "_chunk").applyInPandas(_local, local_schema)
+
+    # Chunk summaries: last row of each chunk → sequential scan per conv.
+    summaries = (
+        local.groupBy(entity_col, "_chunk")
+        .agg(
+            F.max_by("_S", "_pos").alias("_S_end"),
+            F.max_by("_W", "_pos").alias("_W_end"),
+            F.count(F.lit(1)).alias("_len"),
+        )
+    )
+    carry_schema = StructType(
+        [
+            summaries.schema[entity_col],
+            summaries.schema["_chunk"],
+            StructField("_S_carry", DoubleType(), True),
+            StructField("_W_carry", DoubleType(), True),
+        ]
+    )
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_chunk")
+        s_c, w_c = 0.0, 0.0
+        s_out, w_out = [], []
+        for s_end, w_end, ln in zip(pdf["_S_end"], pdf["_W_end"], pdf["_len"]):
+            s_out.append(s_c)
+            w_out.append(w_c)
+            decay = a ** float(ln)
+            s_c = s_end + decay * s_c
+            w_c = w_end + decay * w_c
+        return pd.DataFrame(
+            {
+                pdf.columns[0]: pdf[pdf.columns[0]],
+                "_chunk": pdf["_chunk"],
+                "_S_carry": s_out,
+                "_W_carry": w_out,
+            }
+        )
+
+    carries = summaries.groupBy(entity_col).applyInPandas(_scan, carry_schema)
+
+    joined = local.join(F.broadcast(carries), [entity_col, "_chunk"], "left")
+    pos_in_chunk = F.col("_pos") - F.col("_chunk") * chunk_size
+    decay_col = F.pow(F.lit(a), pos_in_chunk + 1)
+    S_g = F.col("_S") + decay_col * F.coalesce(F.col("_S_carry"), F.lit(0.0))
+    W_g = F.col("_W") + decay_col * F.coalesce(F.col("_W_carry"), F.lit(0.0))
+    result = joined.withColumn(
+        out_col, F.when(W_g > 0, S_g / W_g)
+    )
+    return result.drop("_pos", "_chunk", "_S", "_W", "_S_carry", "_W_carry")
+
+
+# ---------------------------------------------------------------------------
+# T8–T10 image transforms (GASF / GADF / MTF) — vectorized pandas UDF math.
+# ---------------------------------------------------------------------------
+
+
+def _paa(x: np.ndarray, image_size: int) -> np.ndarray:
+    """Piecewise aggregate approximation: mean over image_size segments
+    (the resize step pyts applies before the polar encoding)."""
+    segments = np.array_split(np.arange(len(x)), image_size)
+    return np.array([x[s].mean() for s in segments])
+
+
+def gasf_image(x: np.ndarray, image_size: int) -> np.ndarray:
+    """T8 Gramian Angular Summation Field (transform.py:169-185 semantics:
+    pyts GASF with scale='-1'): PAA-resize → min-max to [-1,1] →
+    φ=arccos → cos(φ_i+φ_j), flattened row-major to image_size²."""
+    p = _paa(np.asarray(x, dtype=np.float64), image_size)
+    rng = p.max() - p.min()
+    scaled = np.zeros_like(p) if rng == 0 else (2.0 * (p - p.min()) / rng - 1.0)
+    scaled = np.clip(scaled, -1.0, 1.0)
+    cos = scaled
+    sin = np.sqrt(np.clip(1.0 - scaled**2, 0.0, 1.0))
+    return (np.outer(cos, cos) - np.outer(sin, sin)).ravel()
+
+
+def gadf_image(x: np.ndarray, image_size: int) -> np.ndarray:
+    """T9 Gramian Angular Difference Field (transform.py:188-204):
+    sin(φ_i−φ_j) = sin_i·cos_j − cos_i·sin_j."""
+    p = _paa(np.asarray(x, dtype=np.float64), image_size)
+    rng = p.max() - p.min()
+    scaled = np.zeros_like(p) if rng == 0 else (2.0 * (p - p.min()) / rng - 1.0)
+    scaled = np.clip(scaled, -1.0, 1.0)
+    cos = scaled
+    sin = np.sqrt(np.clip(1.0 - scaled**2, 0.0, 1.0))
+    return (np.outer(sin, cos) - np.outer(cos, sin)).ravel()
+
+
+def mtf_image(x: np.ndarray, image_size: int, n_bins: int = 7) -> np.ndarray:
+    """T10 Markov Transition Field (transform.py:207-223): empirical
+    quantile bins (n_bins=7), first-order transition matrix normalized
+    per row, field M_ij = W[q_i, q_j], PAA-averaged to image_size²."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    qs = np.quantile(x, np.linspace(0, 1, n_bins + 1)[1:-1])
+    q = np.searchsorted(qs, x, side="right")
+    W = np.zeros((n_bins, n_bins))
+    np.add.at(W, (q[:-1], q[1:]), 1.0)
+    row = W.sum(axis=1, keepdims=True)
+    with np.errstate(invalid="ignore"):
+        W = np.where(row > 0, W / row, 0.0)
+    field = W[np.ix_(q, q)]
+    segments = np.array_split(np.arange(n), image_size)
+    out = np.empty((image_size, image_size))
+    for i, si in enumerate(segments):
+        for j, sj in enumerate(segments):
+            out[i, j] = field[np.ix_(si, sj)].mean()
+    return out.ravel()
+
+
+_IMAGE_FUNCS = {"gasf": gasf_image, "gadf": gadf_image, "mtf": mtf_image}
+
+
+def window_image_feature(
+    df: DataFrame,
+    v: str,
+    length: int,
+    image_size: int,
+    kind: str = "gasf",
+    out_col: str | None = None,
+    entity_col: str = "conv_id",
+) -> DataFrame:
+    """Image transform over the trailing ``length``-row window of every
+    turn: ``collect_list`` gathers the window JVM-side (trailing frame ⇒
+    leakage-free), then one Arrow-batched pandas UDF maps each window to
+    its image_size² field. Rows with fewer than ``length`` trailing
+    values get null (reference rejects short windows,
+    ``transformation/base.py:111-125``)."""
+    fn = _IMAGE_FUNCS[kind]
+    out_col = out_col or f"{v}_{kind}"
+    from pyspark.sql.types import ArrayType, FloatType
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _img(windows: pd.Series) -> pd.Series:
+        return windows.map(
+            lambda w: fn(np.asarray(w, dtype=np.float64), image_size).astype(
+                np.float32
+            ).tolist()
+        )
+
+    win = F.collect_list(F.col(v)).over(trailing(length, entity_col))
+    df = df.withColumn("_win", win)
+    return df.withColumn(
+        out_col, F.when(F.size("_win") >= length, _img(F.col("_win")))
+    ).drop("_win")
+
+
+#: Registry mirroring FEATURE_TRANSFORMATIONS_MAPPING (transform.py:235-246).
+#: Column-expression transforms map name → builder; frame-level transforms
+#: (ewma, images) are DataFrame→DataFrame and flagged accordingly.
+COLUMN_TRANSFORMS = {
+    "value": value,
+    "log-return": log_return,
+    "clip-log-return": log_return,
+    "volatility": volatility,
+    "stochastic_k": stochastic_k,
+    "ker": ker,
+}
+FRAME_TRANSFORMS = {
+    "ewma": ewma,
+    "gasf": window_image_feature,
+    "gadf": window_image_feature,
+    "mtf": window_image_feature,
+}

@@ -1,0 +1,97 @@
+"""Per-entity window algebra: ordering, trailing frames, sessionization.
+
+The reference's implicit contract is "a series is one symbol's column,
+ordered by the DatetimeIndex" (``feature/transform.py`` throughout).
+Here the contract is explicit: every order-dependent operator runs over
+
+    Window.partitionBy('conv_id').orderBy('ts', 'turn_idx')
+
+``turn_idx`` tie-breaks equal timestamps so ordering is total and stable
+(north rule: per-turn text equality under stable (conv_id, turn_idx)
+ordering). Zero temporal leakage is by construction: every frame is
+trailing (``rowsBetween(-k, 0)``), mirroring the reference's
+``(index >= start) & (index <= prediction_timestamp)`` guard
+(``feature/features/financial.py:224-231``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+#: Total order within a conversation.
+ORDER_COLS = ("ts", "turn_idx")
+
+
+def w_entity(entity_col: str = "conv_id") -> WindowSpec:
+    """The canonical per-conversation ordered window."""
+    return Window.partitionBy(entity_col).orderBy(*ORDER_COLS)
+
+
+def trailing(length: int, entity_col: str = "conv_id") -> WindowSpec:
+    """Trailing frame of exactly ``length`` rows ending at the current row.
+
+    Maps the reference's window selection ``get_total_ticks_x`` row count
+    (``transformation/base.py:151-162``) to a rows-preceding frame.
+    Trailing-only ⇒ no feature at ts_t can read turns > t.
+    """
+    return w_entity(entity_col).rowsBetween(-(length - 1), 0)
+
+
+def unbounded_trailing(entity_col: str = "conv_id") -> WindowSpec:
+    """Expanding frame from conversation start to the current row."""
+    return w_entity(entity_col).rowsBetween(Window.unboundedPreceding, 0)
+
+
+def repartition_sorted(
+    df: DataFrame, partitions: int | None = None, entity_col: str = "conv_id"
+) -> DataFrame:
+    """Hash-partition by conversation and sort within partitions.
+
+    This is the engine's physical layout (north rule: as-of sort-merge
+    over ts-sorted, conv_id-hash-partitioned partitions). Done once up
+    front, every subsequent window/as-of/sessionize stage reuses the
+    exchange — Catalyst recognizes the child distribution and elides the
+    extra shuffle. At 100 TB the Iceberg table is written
+    ``bucket(N, conv_id), days(ts)`` with a sort order of
+    ``(conv_id, ts, turn_idx)`` so even this first exchange is a
+    scan-local sort, not a network shuffle.
+    """
+    parts = [F.col(entity_col)]
+    rep = df.repartition(partitions, *parts) if partitions else df.repartition(*parts)
+    return rep.sortWithinPartitions(entity_col, *ORDER_COLS)
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: float = 1800.0,
+    entity_col: str = "conv_id",
+    out_col: str = "session_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Split conversations into sessions on inactivity gaps (north rule).
+
+    Pure window algebra — two analytic passes over the same partitioning,
+    zero extra shuffles after :func:`repartition_sorted`:
+
+        new_session = (ts - lag(ts) > gap) :: int   (first turn ⇒ 1)
+        session_idx = sum(new_session) over trailing unbounded
+
+    Gap comparison is done on epoch-microseconds (exact integer math,
+    identical in any SQL engine). The reference's analog is
+    calendar-based trading-hour segmentation (``cleaning.py:319-373``);
+    gap-based sessions generalize it without a calendar table.
+    """
+    w = w_entity(entity_col)
+    # parquet timestamps may surface as TIMESTAMP_NTZ; session tz is UTC so
+    # the cast is lossless and unix_micros gets the type it requires.
+    cur_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(cur_us).over(w)
+    gap_us = int(round(gap_seconds * 1_000_000))
+    is_new = F.when(prev_us.isNull(), 1).otherwise(
+        (cur_us - prev_us > F.lit(gap_us)).cast("int")
+    )
+    return df.withColumn(
+        out_col,
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )

@@ -1,0 +1,214 @@
+"""Per-operator parity vs a pandas-recomputed oracle (SURVEY.md §5:
+the reference tests each transform against inline pandas recomputation,
+e.g. tests/feature/transform/test_log_return.py:44-49, asserting to 5
+decimals — we assert to allclose 1e-9 except where float32 is at play).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfeat import transforms as T
+from sparkfeat.schema import with_turn_signals
+from sparkfeat.windows import ORDER_COLS
+
+MAX_LOG_RETURN = 0.1
+
+
+def _signal_pdf(transcripts_pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = transcripts_pdf.copy()
+    pdf["text_len"] = pdf["text"].str.len().astype("float64")
+    return pdf.sort_values(["conv_id", *ORDER_COLS]).reset_index(drop=True)
+
+
+def _oracle_log_return(s: pd.Series) -> pd.Series:
+    r = np.log(s.pct_change() + 1)
+    r = r.replace([np.inf, -np.inf], np.nan)
+    return r.clip(-MAX_LOG_RETURN, MAX_LOG_RETURN)
+
+
+def _collect(df, col):
+    pdf = (
+        df.select("conv_id", *ORDER_COLS, col)
+        .toPandas()
+        .sort_values(["conv_id", *ORDER_COLS])
+        .reset_index(drop=True)
+    )
+    return pdf[col].to_numpy(dtype="float64")
+
+
+def _assert_close(got, want, **kw):
+    assert got.shape == want.shape
+    assert np.array_equal(np.isnan(got), np.isnan(want)), "null masks differ"
+    np.testing.assert_allclose(got[~np.isnan(want)], want[~np.isnan(want)], **kw)
+
+
+@pytest.fixture(scope="module")
+def sig(spark, transcripts):
+    return with_turn_signals(transcripts).cache()
+
+
+@pytest.fixture(scope="module")
+def sig_pdf(transcripts_pdf):
+    return _signal_pdf(transcripts_pdf)
+
+
+def test_log_return_parity(sig, sig_pdf):
+    got = _collect(sig.withColumn("lr", T.log_return("text_len")), "lr")
+    want = (
+        sig_pdf.groupby("conv_id")["text_len"].transform(_oracle_log_return).to_numpy()
+    )
+    _assert_close(got, want, rtol=1e-12)
+
+
+def test_volatility_parity(sig, sig_pdf):
+    got = _collect(sig.withColumn("vol", T.volatility("text_len", window=10)), "vol")
+    want = (
+        sig_pdf.groupby("conv_id")["text_len"]
+        .transform(lambda s: _oracle_log_return(s).rolling(10, min_periods=3).std())
+        .to_numpy()
+    )
+    _assert_close(got, want, rtol=1e-9)
+
+
+def test_stochastic_k_parity(sig, sig_pdf):
+    got = _collect(sig.withColumn("k", T.stochastic_k("text_len", length=14)), "k")
+
+    def oracle(s: pd.Series) -> pd.Series:
+        mn = s.rolling(14, min_periods=1).min()
+        mx = s.rolling(14, min_periods=1).max()
+        out = 100 * (s - mn) / (mx - mn)
+        return out.replace([np.inf, -np.inf], np.nan)
+
+    want = sig_pdf.groupby("conv_id")["text_len"].transform(oracle).to_numpy()
+    _assert_close(got, want, rtol=1e-12)
+
+
+def test_ker_parity(sig, sig_pdf):
+    lag = 5
+    got = _collect(sig.withColumn("ker", T.ker("text_len", lag=lag)), "ker")
+
+    def oracle(s: pd.Series) -> pd.Series:
+        direction = s.diff(lag).abs()
+        vol = s.diff(1).abs().rolling(lag).sum()
+        out = direction / vol
+        return out.replace([np.inf, -np.inf], np.nan)
+
+    want = sig_pdf.groupby("conv_id")["text_len"].transform(oracle).to_numpy()
+    _assert_close(got, want, rtol=1e-12)
+
+
+def test_ewma_parity_exact(sig, sig_pdf):
+    got = _collect(T.ewma(sig, "text_len", halflife=7.5, out_col="e"), "e")
+    want = (
+        sig_pdf.groupby("conv_id")["text_len"]
+        .transform(lambda s: s.ewm(halflife=7.5).mean())
+        .to_numpy()
+    )
+    _assert_close(got, want, rtol=1e-12)
+
+
+def test_ewma_with_nans_matches_pandas(spark):
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=300)
+    x[rng.integers(0, 300, 40)] = np.nan
+    pdf = pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": np.arange(300, dtype="int32"),
+            "ts": pd.date_range("2024-01-01", periods=300, freq="1min"),
+            "v": x,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = _collect(T.ewma(df, "v", halflife=4.0, out_col="e"), "e")
+    want = pdf["v"].ewm(halflife=4.0).mean().to_numpy()
+    _assert_close(got, want, rtol=1e-12)
+
+
+def test_ewma_chunked_equals_unchunked(sig):
+    plain = _collect(T.ewma(sig, "text_len", halflife=3.0, out_col="e"), "e")
+    chunked = _collect(
+        T.ewma(sig, "text_len", halflife=3.0, out_col="e", chunk_size=16), "e"
+    )
+    _assert_close(chunked, plain, rtol=1e-10)
+
+
+def test_ewma_tiny_halflife_no_overflow(spark):
+    # halflife ≪ block: scale factor 2^(i/h) must not overflow (blocked cumsum).
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": np.arange(n, dtype="int32"),
+            "ts": pd.date_range("2024-01-01", periods=n, freq="1s"),
+            "v": np.sin(np.arange(n) / 10.0),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = _collect(T.ewma(df, "v", halflife=0.5, out_col="e"), "e")
+    want = pdf["v"].ewm(halflife=0.5).mean().to_numpy()
+    assert np.isfinite(got).all()
+    _assert_close(got, want, rtol=1e-9)
+
+
+def test_gasf_known_values():
+    # hand-computed: x=[-1,0,1] (already image_size-long, scaled to [-1,1])
+    img = T.gasf_image(np.array([0.0, 1.0, 2.0]), image_size=3)
+    cos = np.array([-1.0, 0.0, 1.0])
+    sin = np.sqrt(1 - cos**2)
+    want = (np.outer(cos, cos) - np.outer(sin, sin)).ravel()
+    np.testing.assert_allclose(img, want, atol=1e-12)
+
+
+def test_gadf_antisymmetric():
+    img = T.gadf_image(np.arange(16.0), image_size=4).reshape(4, 4)
+    np.testing.assert_allclose(img, -img.T, atol=1e-12)
+    np.testing.assert_allclose(np.diag(img), 0.0, atol=1e-12)
+
+
+def test_mtf_rows_are_probabilities():
+    img = T.mtf_image(np.sin(np.arange(64.0)), image_size=8)
+    assert img.shape == (64,)
+    assert (img >= 0).all() and (img <= 1).all()
+
+
+def test_window_image_feature_shapes(sig):
+    out = T.window_image_feature(sig, "text_len", length=16, image_size=4, kind="gasf")
+    pdf = out.select("conv_id", "text_len_gasf").toPandas()
+    lens = pdf["text_len_gasf"].dropna().map(len).unique()
+    assert list(lens) == [16]
+    # conversations shorter than the window produce only nulls
+    short = pdf[pdf["conv_id"] == "conv004"]
+    assert short["text_len_gasf"].isna().all()
+
+
+def test_zero_leakage_truncation_audit(sig):
+    """North-rule audit: features at ts_t computed on data truncated at
+    ts_t equal the full-history values bit-for-bit (trailing frames
+    only ⇒ no future reads)."""
+    full = (
+        sig.withColumn("lr", T.log_return("text_len"))
+        .withColumn("vol", T.volatility("text_len", 10))
+        .withColumn("k", T.stochastic_k("text_len", 14))
+    )
+    cutoff = "2024-03-01 03:00:00"
+    trunc_in = sig.filter(F.col("ts") <= cutoff)
+    trunc = (
+        trunc_in.withColumn("lr", T.log_return("text_len"))
+        .withColumn("vol", T.volatility("text_len", 10))
+        .withColumn("k", T.stochastic_k("text_len", 14))
+    )
+    cols = ["conv_id", "turn_idx", "lr", "vol", "k"]
+    a = (
+        full.filter(F.col("ts") <= cutoff)
+        .select(cols)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = trunc.select(cols).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
