@@ -1,0 +1,137 @@
+"""As-of (point-in-time) join + future-target extraction (SURVEY.md
+§2.3 J1–J3; the north rule's core operator).
+
+The reference's as-of lookup is ``index.get_loc(prediction_ts,
+method='pad')`` — last row at-or-before t
+(``feature/features/financial.py:241-250``). Two Spark strategies, both
+leakage-free:
+
+* :func:`asof_join` — **union-tag sort-merge**: probes and data are
+  unioned, ordered by (ts, tag) within conv_id (data sorts before
+  probes at equal ts ⇒ 'at-or-before' includes the equal row), and a
+  single ``last(value, ignorenulls=True)`` carries the most recent
+  observation forward. One shuffle on hash(conv_id); the sort is the
+  merge. No per-probe rescan, no range explosion, works at any probe
+  cardinality.
+* :func:`asof_join_pandas` — cogrouped ``pd.merge_asof`` used as the
+  independent parity oracle in tests (and the escape hatch for exotic
+  tolerance semantics).
+
+Targets (J2/J3): future values are ``lead`` over the same window — used
+only to build y, never features (zero-leakage rule).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparkfeat.windows import w_entity
+
+
+def asof_join(
+    probes: DataFrame,
+    data: DataFrame,
+    value_cols: list[str],
+    entity_col: str = "conv_id",
+    probe_ts: str = "probe_ts",
+    ts_col: str = "ts",
+    direction: str = "backward",
+) -> DataFrame:
+    """For each (entity, probe_ts) return each value column's last
+    observation at-or-before probe_ts (backward) or first at-or-after
+    (forward). Probes with no qualifying row get nulls."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+
+    d = data.select(
+        F.col(entity_col),
+        F.col(ts_col).alias("_t"),
+        F.lit(0).alias("_tag"),
+        F.lit(None).cast("timestamp").alias(probe_ts),
+        *[F.col(c) for c in value_cols],
+    )
+    p = probes.select(
+        F.col(entity_col),
+        F.col(probe_ts).cast("timestamp").alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.col(probe_ts).cast("timestamp").alias(probe_ts),
+        *[F.lit(None).cast(dict(data.dtypes)[c]).alias(c) for c in value_cols],
+    )
+    u = d.unionByName(p)
+    if direction == "backward":
+        # data before probe at equal _t ⇒ equal row is visible to the probe
+        w = (
+            Window.partitionBy(entity_col)
+            .orderBy(F.col("_t").asc(), F.col("_tag").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols]
+    else:
+        w = (
+            Window.partitionBy(entity_col)
+            .orderBy(F.col("_t").asc(), F.col("_tag").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        carried = [F.first(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols]
+    out = u.select(entity_col, probe_ts, F.col("_tag"), *carried)
+    return out.filter(F.col("_tag") == 1).drop("_tag")
+
+
+def asof_join_pandas(
+    probes: DataFrame,
+    data: DataFrame,
+    value_cols: list[str],
+    entity_col: str = "conv_id",
+    probe_ts: str = "probe_ts",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cogrouped Arrow ``pd.merge_asof`` variant (exact pandas
+    semantics); parity oracle for :func:`asof_join` in tests."""
+    from pyspark.sql.types import StructField, StructType
+
+    data_fields = {f.name: f for f in data.schema.fields}
+    # nullable=True throughout: probes with no at-or-before match emit nulls
+    out_schema = StructType(
+        [
+            StructField(entity_col, probes.schema[entity_col].dataType, True),
+            StructField(probe_ts, probes.schema[probe_ts].dataType, True),
+        ]
+        + [StructField(c, data_fields[c].dataType, True) for c in value_cols]
+    )
+
+    def merge(p: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(probe_ts)
+        d = d.sort_values(ts_col)
+        m = pd.merge_asof(
+            p[[entity_col, probe_ts]],
+            d[[ts_col, *value_cols]],
+            left_on=probe_ts,
+            right_on=ts_col,
+            direction="backward",
+        )
+        return m[[entity_col, probe_ts, *value_cols]]
+
+    return (
+        probes.groupBy(entity_col)
+        .cogroup(data.groupBy(entity_col))
+        .applyInPandas(merge, out_schema)
+    )
+
+
+def with_targets(
+    df: DataFrame,
+    value_col: str,
+    horizons: list[int],
+    entity_col: str = "conv_id",
+    prefix: str = "y",
+) -> DataFrame:
+    """J2/J3: future-turn targets via ``lead`` — value at t+k for each
+    horizon k (gym n_forecasts, ``feature/features/gym.py:263-287``).
+    Emitted as separate columns so consumers can't accidentally feed
+    them back into features."""
+    w = w_entity(entity_col)
+    for k in horizons:
+        df = df.withColumn(f"{prefix}_lead_{k}", F.lead(F.col(value_col), k).over(w))
+    return df

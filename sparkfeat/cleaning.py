@@ -1,0 +1,109 @@
+"""Row/entity filters, slicing, top-k (SURVEY.md §2.2 P1–P6, §2.7 O2–O3).
+
+Long-format re-expressions of ``alphai_feature_generation/cleaning.py``.
+Entity-level predicates ("keep symbols whose every value clears a
+floor") become groupBy + left-semi join — Catalyst turns the small keep
+set into a broadcast semi join, so the big side streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparkfeat.windows import ORDER_COLS
+
+
+def select_between(
+    df: DataFrame, start, end, ts_col: str = "ts"
+) -> DataFrame:
+    """P1 ``select_between_timestamps`` (cleaning.py:13-66): inclusive
+    ``start ≤ ts ≤ end``. A plain predicate ⇒ pushed to the scan
+    (parquet/Iceberg min-max pruning)."""
+    return df.filter((F.col(ts_col) >= start) & (F.col(ts_col) <= end))
+
+
+def _entity_semi_join(df: DataFrame, keep: DataFrame, entity_col: str) -> DataFrame:
+    return df.join(keep, entity_col, "left_semi")
+
+
+def select_above_floor(
+    df: DataFrame, value_col: str, floor: float, entity_col: str = "conv_id"
+) -> DataFrame:
+    """P2 ``select_above_floor`` (cleaning.py:145-180): keep entities
+    whose EVERY value > floor ⇔ min(value) > floor."""
+    keep = (
+        df.groupBy(entity_col)
+        .agg(F.min(value_col).alias("_mn"))
+        .filter(F.col("_mn") > floor)
+        .select(entity_col)
+    )
+    return _entity_semi_join(df, keep, entity_col)
+
+
+def select_below_ceiling(
+    df: DataFrame, value_col: str, ceiling: float, entity_col: str = "conv_id"
+) -> DataFrame:
+    """P3 ``select_below_ceiling`` (cleaning.py:183-218): keep entities
+    whose every value < ceiling. NB the reference's dict dispatcher
+    mistakenly routes to the floor variants (cleaning.py:190-194); we
+    implement the documented semantics, not the bug."""
+    keep = (
+        df.groupBy(entity_col)
+        .agg(F.max(value_col).alias("_mx"))
+        .filter(F.col("_mx") < ceiling)
+        .select(entity_col)
+    )
+    return _entity_semi_join(df, keep, entity_col)
+
+
+def select_entities(
+    df: DataFrame, entities: list[str], entity_col: str = "conv_id"
+) -> DataFrame:
+    """P5 ``select_columns_data_dict`` (cleaning.py:432-439)."""
+    return df.filter(F.col(entity_col).isin(entities))
+
+
+def slice_head(
+    df: DataFrame, n: int, entity_col: str = "conv_id"
+) -> DataFrame:
+    """P6 ``slice_data_dict`` (cleaning.py:442-456): positional head per
+    entity — explicit (ts, turn_idx) ordering makes 'positional' well
+    defined in a distributed table."""
+    w = Window.partitionBy(entity_col).orderBy(*ORDER_COLS)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def slice_tail(df: DataFrame, n: int, entity_col: str = "conv_id") -> DataFrame:
+    """P6 tail variant: last n rows per entity."""
+    w = Window.partitionBy(entity_col).orderBy(
+        F.col(ORDER_COLS[0]).desc(), F.col(ORDER_COLS[1]).desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def top_k_entities(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    entity_col: str = "conv_id",
+    agg: Column | None = None,
+) -> DataFrame:
+    """A5/O2 liquidity-style top-k (universe.py:68-77): rank entities by
+    total ``value_col`` desc (entity id asc tie-break for determinism),
+    keep top k. Partial aggregation map-side, then a tiny sorted keep
+    set — the big-table filter is a broadcast semi join."""
+    totals = df.groupBy(entity_col).agg(
+        (agg if agg is not None else F.sum(value_col)).alias("_total")
+    )
+    w = Window.orderBy(F.col("_total").desc(), F.col(entity_col))
+    keep = totals.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    return _entity_semi_join(df, keep.select(entity_col), entity_col)

@@ -1,0 +1,164 @@
+"""Normalization fit/apply split (SURVEY.md §2.9 N1–N3, §2.4 A6).
+
+The reference fits sklearn scalers per symbol or globally
+(``feature/features/financial.py:68-82`` scaler registry, :121-138 fit,
+:140-171 apply; orchestration ``transformation/base.py:283-302``) and
+re-uses the fitted scaler at predict time. Here the "fitted scaler" IS
+a stats table:
+
+    fit:   groupBy(conv_id).agg(count, mean, stddev_pop, min, max,
+           percentile([.25, .5, .75]))       → small stats DataFrame
+    apply: broadcast-join stats, closed-form Column expression
+
+which makes the fit artifact persistable (write the stats table) and
+the serving path zero-leakage by construction (fit on train range,
+apply anywhere). Scalers, matching sklearn formulas:
+
+* standard — (v − mean)/std_pop          (StandardScaler, ddof=0)
+* min_max  — (v − min)/(max − min)       (MinMaxScaler)
+* robust   — (v − median)/(q75 − q25)    (RobustScaler, linear-interp
+             quantiles = Spark exact ``percentile``)
+* gaussian — rank → Φ⁻¹ (QuantileTransformer(output='normal') rank
+             semantics), Φ⁻¹ via Acklam's inverse-normal-CDF
+             approximation (public domain algorithm, |ε|<1.15e-9) in a
+             vectorized pandas UDF (no scipy in this environment).
+
+NaN handling per reference (financial.py:140-171): NaNs are masked
+through the transform and restored — expressions here propagate null
+naturally. Zero-scale groups (constant series) → null (sklearn emits
+0/ε-guard; the reference's fixtures never hit it — we surface null
+rather than invent a value).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALERS = ("standard", "min_max", "robust", "gaussian")
+
+
+def fit_stats(
+    df: DataFrame, value_col: str, entity_col: str | None = "conv_id"
+) -> DataFrame:
+    """A6: one stats row per entity (or a single global row when
+    ``entity_col=None``) — the persistable fit artifact."""
+    aggs = [
+        F.count(value_col).alias("n"),
+        F.avg(value_col).alias("mean"),
+        F.stddev_pop(value_col).alias("std"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+        F.percentile(F.col(value_col), F.lit(0.25)).alias("q25"),
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("q50"),
+        F.percentile(F.col(value_col), F.lit(0.75)).alias("q75"),
+    ]
+    if entity_col is None:
+        return df.agg(*aggs)
+    return df.groupBy(entity_col).agg(*aggs)
+
+
+def apply_scaler(
+    df: DataFrame,
+    stats: DataFrame,
+    value_col: str,
+    method: str,
+    out_col: str | None = None,
+    entity_col: str | None = "conv_id",
+) -> DataFrame:
+    """N3: broadcast-join the stats table and scale ``value_col``.
+
+    ``gaussian`` is rank-based and needs no stats join — it computes
+    the in-group quantile rank directly (see :func:`gaussian_scale`).
+    """
+    out_col = out_col or f"{value_col}_{method}"
+    if method == "gaussian":
+        return gaussian_scale(df, value_col, out_col, entity_col)
+    if method not in SCALERS:
+        raise ValueError(f"unknown scaler {method!r}")
+    joined = (
+        df.join(F.broadcast(stats), on=entity_col)
+        if entity_col
+        else df.crossJoin(F.broadcast(stats))
+    )
+    v = F.col(value_col)
+    if method == "standard":
+        e = (v - F.col("mean")) / F.nullif(F.col("std"), F.lit(0.0))
+    elif method == "min_max":
+        e = (v - F.col("vmin")) / F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0.0))
+    else:  # robust
+        e = (v - F.col("q50")) / F.nullif(F.col("q75") - F.col("q25"), F.lit(0.0))
+    stat_cols = [c for c in stats.columns if c != entity_col]
+    return joined.withColumn(out_col, e).drop(*stat_cols)
+
+
+def _acklam_ndtri(p: np.ndarray) -> np.ndarray:
+    """Inverse normal CDF, Acklam's rational approximation (public
+    domain; relative error < 1.15e-9). numpy-only — no scipy here."""
+    a = [-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00]
+    b = [-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+         3.754408661907416e00]
+    p = np.asarray(p, dtype=np.float64)
+    out = np.full_like(p, np.nan)
+    plow, phigh = 0.02425, 1 - 0.02425
+
+    lo = (p > 0) & (p < plow)
+    q = np.sqrt(-2 * np.log(p[lo]))
+    out[lo] = (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+        (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+    )
+    mid = (p >= plow) & (p <= phigh)
+    q = p[mid] - 0.5
+    r = q * q
+    out[mid] = (
+        (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5])
+        * q
+        / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
+    )
+    hi = (p > phigh) & (p < 1)
+    q = np.sqrt(-2 * np.log(1 - p[hi]))
+    out[hi] = -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+        (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+    )
+    return out
+
+
+def gaussian_scale(
+    df: DataFrame,
+    value_col: str,
+    out_col: str,
+    entity_col: str | None = "conv_id",
+) -> DataFrame:
+    """N1 'gaussian': quantile rank → Φ⁻¹.
+
+    Rank = (cume_dist·n − 0.5)/n — the midpoint ECDF, clipped away from
+    {0, 1} so Φ⁻¹ stays finite (QuantileTransformer clips to
+    [ε, 1−ε] the same way). Window cume_dist keeps the rank JVM-side;
+    only the Φ⁻¹ evaluation crosses to Python, Arrow-batched.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import DoubleType
+
+    w = Window.partitionBy(entity_col) if entity_col else Window.partitionBy()
+    w = w.orderBy(F.col(value_col))
+    n = F.count(value_col).over(
+        Window.partitionBy(entity_col) if entity_col else Window.partitionBy()
+    )
+    rank = (F.cume_dist().over(w) * n - 0.5) / n
+
+    @F.pandas_udf(DoubleType())
+    def ndtri(p: pd.Series) -> pd.Series:
+        return pd.Series(_acklam_ndtri(p.to_numpy(dtype=np.float64)))
+
+    clipped = F.least(F.greatest(rank, F.lit(1e-7)), F.lit(1 - 1e-7))
+    return df.withColumn(
+        out_col,
+        F.when(F.col(value_col).isNotNull(), ndtri(clipped)),
+    )

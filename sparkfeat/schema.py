@@ -60,7 +60,7 @@ transcripts AS (
             WHEN event_type = 'purchase' THEN 'assistant'
             ELSE 'tool'
         END AS role,
-        event_type || ' ' || props AS text,
+        event_type || ' ' || props || repeat(' extra', CAST(event_id % 5 AS INTEGER)) AS text,
         CASE
             WHEN event_type = 'error' THEN 'retry'
             WHEN event_type = 'purchase' THEN 'checkout'
@@ -90,7 +90,12 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "purchase", "assistant")
         .otherwise("tool")
         .alias("role"),
-        F.concat(F.col("event_type"), F.lit(" "), F.col("props")).alias("text"),
+        F.concat(
+            F.col("event_type"),
+            F.lit(" "),
+            F.col("props"),
+            F.repeat(F.lit(" extra"), (F.col("event_id") % 5).cast("int")),
+        ).alias("text"),
         F.when(F.col("event_type") == "error", "retry")
         .when(F.col("event_type") == "purchase", "checkout")
         .alias("tool"),

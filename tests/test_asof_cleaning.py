@@ -1,0 +1,134 @@
+"""As-of join (union-tag sort-merge vs pandas merge_asof) and cleaning
+operator semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfeat import cleaning as C
+from sparkfeat.asof import asof_join, asof_join_pandas, with_targets
+from sparkfeat.schema import with_turn_signals
+
+
+@pytest.fixture(scope="module")
+def sig(transcripts):
+    return with_turn_signals(transcripts).cache()
+
+
+@pytest.fixture(scope="module")
+def probes(spark, transcripts_pdf):
+    # deterministic probes: each conv's min ts + fixed offsets (some before
+    # any turn, some between turns, some after the last)
+    rng = np.random.default_rng(5)
+    rows = []
+    for conv, g in transcripts_pdf.groupby("conv_id"):
+        t0 = g["ts"].min()
+        for off in [-60, 0, 90, 600, 3600, 86400]:
+            rows.append((conv, t0 + pd.Timedelta(seconds=off + float(rng.integers(0, 30)))))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "probe_ts"])
+    pdf["probe_ts"] = pd.to_datetime(pdf["probe_ts"], utc=True).dt.tz_localize(None)
+    return spark.createDataFrame(pdf)
+
+
+def _canon(pdf):
+    return pdf.sort_values(["conv_id", "probe_ts"]).reset_index(drop=True)
+
+
+def test_asof_backward_matches_merge_asof(sig, probes):
+    a = _canon(asof_join(probes, sig, ["text_len", "turn_idx"]).toPandas())
+    b = _canon(asof_join_pandas(probes, sig, ["text_len", "turn_idx"]).toPandas())
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_asof_equal_ts_is_inclusive(spark):
+    data = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c"] * 3,
+                "turn_idx": [0, 1, 2],
+                "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:05", "2024-01-01 00:10"]),
+                "v": [1.0, 2.0, 3.0],
+            }
+        )
+    )
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            {"conv_id": ["c"] * 2, "probe_ts": pd.to_datetime(["2024-01-01 00:05", "2024-01-01 00:04"])}
+        )
+    )
+    out = asof_join(probes, data, ["v"]).toPandas().sort_values("probe_ts")
+    assert list(out["v"]) == [1.0, 2.0]  # 00:04 → v@00:00, 00:05 → v@00:05 (inclusive)
+
+
+def test_asof_forward(spark):
+    data = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c"] * 2,
+                "turn_idx": [0, 1],
+                "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:10"]),
+                "v": [1.0, 2.0],
+            }
+        )
+    )
+    probes = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["c"] * 2, "probe_ts": pd.to_datetime(["2024-01-01 00:01", "2024-01-01 00:11"])})
+    )
+    out = asof_join(probes, data, ["v"], direction="forward").toPandas().sort_values("probe_ts")
+    assert list(out["v"])[0] == 2.0
+    assert np.isnan(out["v"].iloc[1])
+
+
+def test_with_targets_lead(sig, transcripts_pdf):
+    out = (
+        with_targets(sig, "text_len", [1, 3])
+        .select("conv_id", "turn_idx", "y_lead_1", "y_lead_3")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pdf = transcripts_pdf.copy()
+    pdf["text_len"] = pdf["text"].str.len().astype(float)
+    pdf = pdf.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    for k in (1, 3):
+        want = pdf.groupby("conv_id")["text_len"].shift(-k).to_numpy()
+        got = out[f"y_lead_{k}"].to_numpy(dtype=float)
+        assert np.array_equal(np.isnan(got), np.isnan(want))
+        np.testing.assert_allclose(got[~np.isnan(want)], want[~np.isnan(want)])
+
+
+def test_floor_ceiling_semantics(sig):
+    pdf = sig.select("conv_id", "text_len").toPandas()
+    mins = pdf.groupby("conv_id")["text_len"].min()
+    maxs = pdf.groupby("conv_id")["text_len"].max()
+    floor = float(mins.median())
+    keep_floor = set(mins[mins > floor].index)
+    got = set(
+        r[0] for r in C.select_above_floor(sig, "text_len", floor).select("conv_id").distinct().collect()
+    )
+    assert got == keep_floor
+    ceil = float(maxs.median())
+    keep_ceil = set(maxs[maxs < ceil].index)
+    got = set(
+        r[0] for r in C.select_below_ceiling(sig, "text_len", ceil).select("conv_id").distinct().collect()
+    )
+    assert got == keep_ceil
+
+
+def test_slice_and_topk(sig):
+    head = C.slice_head(sig, 3).groupBy("conv_id").count().toPandas()
+    assert (head["count"] <= 3).all()
+    tail = C.slice_tail(sig, 2)
+    t = tail.groupBy("conv_id").agg(F.max("turn_idx").alias("mx"), F.count("*").alias("n")).toPandas()
+    full = sig.groupBy("conv_id").agg(F.max("turn_idx").alias("mx")).toPandas()
+    m = t.merge(full, on="conv_id", suffixes=("", "_full"))
+    assert (m["mx"] == m["mx_full"]).all()
+
+    top2 = C.top_k_entities(sig, "token_est", 2)
+    kept = set(r[0] for r in top2.select("conv_id").distinct().collect())
+    totals = sig.groupBy("conv_id").agg(F.sum("token_est").alias("t")).toPandas()
+    want = set(totals.sort_values(["t", "conv_id"], ascending=[False, True]).head(2)["conv_id"])
+    assert kept == want

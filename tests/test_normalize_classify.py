@@ -1,0 +1,141 @@
+"""Normalization + classification fit/apply parity vs numpy oracles
+(reference: sklearn scaler formulas feature/features/financial.py:68-82,
+bin math classifier.py:56-134, one-hot financial.py:305-328)."""
+
+from __future__ import annotations
+
+import statistics
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfeat.classify import apply_bins, fit_bins
+from sparkfeat.normalize import _acklam_ndtri, apply_scaler, fit_stats, gaussian_scale
+from sparkfeat.schema import with_turn_signals
+
+
+@pytest.fixture(scope="module")
+def sig(transcripts):
+    return with_turn_signals(transcripts).cache()
+
+
+@pytest.fixture(scope="module")
+def sig_pdf(transcripts_pdf):
+    pdf = transcripts_pdf.copy()
+    pdf["text_len"] = pdf["text"].str.len().astype("float64")
+    return pdf.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+
+
+def _collect(df, col):
+    out = (
+        df.select("conv_id", "turn_idx", col)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    return out[col].to_numpy(dtype="float64")
+
+
+@pytest.mark.parametrize("method", ["standard", "min_max", "robust"])
+def test_scaler_parity(sig, sig_pdf, method):
+    stats = fit_stats(sig, "text_len")
+    got = _collect(apply_scaler(sig, stats, "text_len", method), f"text_len_{method}")
+
+    def oracle(s: pd.Series) -> pd.Series:
+        x = s.to_numpy()
+        if method == "standard":
+            return (s - x.mean()) / x.std(ddof=0)
+        if method == "min_max":
+            return (s - x.min()) / (x.max() - x.min())
+        q25, q50, q75 = np.quantile(x, [0.25, 0.5, 0.75])
+        return (s - q50) / (q75 - q25)
+
+    want = sig_pdf.groupby("conv_id")["text_len"].transform(oracle).to_numpy()
+    mask = ~np.isnan(want)  # constant groups → engine null, numpy inf/nan
+    np.testing.assert_allclose(got[mask], want[mask], rtol=1e-12)
+
+
+def test_scaler_invariants(sig):
+    stats = fit_stats(sig, "text_len")
+    out = apply_scaler(sig, stats, "text_len", "standard")
+    agg = (
+        out.groupBy("conv_id")
+        .agg(
+            F.avg("text_len_standard").alias("m"),
+            F.stddev_pop("text_len_standard").alias("s"),
+            F.count("text_len_standard").alias("n"),
+        )
+        .filter(F.col("n") > 1)  # zero-scale (1-turn) convs are null by design
+        .toPandas()
+    )
+    np.testing.assert_allclose(agg["m"], 0.0, atol=1e-9)
+    np.testing.assert_allclose(agg["s"], 1.0, atol=1e-9)
+    mm = apply_scaler(sig, stats, "text_len", "min_max")
+    r = mm.agg(F.min("text_len_min_max"), F.max("text_len_min_max")).collect()[0]
+    assert r[0] == 0.0 and r[1] == 1.0
+
+
+def test_acklam_ndtri_accuracy():
+    ps = np.concatenate(
+        [np.linspace(1e-9, 0.02, 50), np.linspace(0.03, 0.97, 200), np.linspace(0.98, 1 - 1e-9, 50)]
+    )
+    want = np.array([statistics.NormalDist().inv_cdf(p) for p in ps])
+    got = _acklam_ndtri(ps)
+    np.testing.assert_allclose(got, want, rtol=2e-9, atol=2e-9)
+
+
+def test_gaussian_scale_matches_rank_oracle(sig, sig_pdf):
+    got = _collect(gaussian_scale(sig, "text_len", "g"), "g")
+
+    def oracle(s: pd.Series) -> pd.Series:
+        n = len(s)
+        # cume_dist = rank(method='max')/n; midpoint rank = (r_max − 0.5)/n
+        r = s.rank(method="max")
+        p = np.clip((r - 0.5) / n, 1e-7, 1 - 1e-7)
+        return pd.Series([statistics.NormalDist().inv_cdf(x) for x in p], index=s.index)
+
+    want = sig_pdf.groupby("conv_id")["text_len"].transform(oracle).to_numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_fit_bins_matches_reference_formula(sig, sig_pdf):
+    nbins = 5
+    edges = fit_bins(sig, "text_len", nbins).toPandas().set_index("conv_id")["edges"]
+    for conv, g in sig_pdf.groupby("conv_id"):
+        x = np.sort(g["text_len"].to_numpy())
+        n = len(x)
+        # classifier.py:73-74 exact formula
+        want = np.interp(np.linspace(0, n - 1, nbins + 1), np.arange(n), x)
+        np.testing.assert_allclose(np.array(edges[conv]), want, rtol=1e-12, err_msg=conv)
+
+
+def test_apply_bins_matches_histogram(sig, sig_pdf):
+    nbins = 5
+    bins = fit_bins(sig, "text_len", nbins)
+    out = (
+        apply_bins(sig, bins, "text_len", nbins, onehot_col="oh")
+        .select("conv_id", "turn_idx", "text_len_bin", "oh")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    for conv, g in sig_pdf.groupby("conv_id"):
+        x = g.sort_values(["ts", "turn_idx"])["text_len"].to_numpy()
+        n = len(x)
+        edges = np.interp(np.linspace(0, n - 1, nbins + 1), np.arange(n), np.sort(x))
+        want_idx = np.searchsorted(edges, x, side="right") - 1
+        want_idx = np.where(x == edges[-1], nbins - 1, want_idx)
+        want_idx = np.where((x < edges[0]) | (x > edges[-1]), -1, want_idx)
+        sub = out[out["conv_id"] == conv]
+        got_idx = sub["text_len_bin"].to_numpy()
+        np.testing.assert_array_equal(got_idx, want_idx, err_msg=conv)
+        # one-hot agreement: histogram counts per bin match
+        hist, _ = np.histogram(x, edges)
+        oh = np.stack(sub["oh"].to_numpy())
+        got_hist = oh.sum(axis=0)
+        got_hist_in_range = oh[got_idx >= 0].sum(axis=0)
+        np.testing.assert_array_equal(got_hist_in_range, hist, err_msg=conv)
+        # out-of-range rows are zero vectors
+        assert (oh[got_idx == -1].sum(axis=1) == 0).all()
