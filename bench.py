@@ -3,13 +3,15 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line:
 
-    {"metric": "turns_per_sec_flagship", "value": N, "unit": "sec",
-     "queries": {...per-query seconds...}, "sf": ..., "turns": ...}
+    {"metric": "flagship_feature_gen_sec", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": ..., "turns": ...,
+     "turns_per_sec": ...}
 
-The north-star metric is turns/sec of the flagship point-in-time
-feature plan (BASELINE.json). Scaling-efficiency evidence (local[8] vs
-local[32]) is produced by scripts/scaling_bench.py and recorded in
-BASELINE.md.
+Timings force FULL materialization through the `noop` sink — a bare
+count() lets Catalyst prune every feature column and you end up timing
+the scan (measured: 150M-row "feature job" in 0.5s — all windows
+eliminated). Scaling-efficiency evidence (N vs 4N cores) is produced by
+scripts/scaling_bench.py and recorded in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -29,6 +31,10 @@ BENCH_QUERIES = [
     "flagship_features",
     "sessionize_aggregate",
     "ewma_halflife",
+    "asof_join_grid",
+    "resample_densify_ffill",
+    "dedup_jaccard_pairs",
+    "ann_cosine_topk",
 ]
 
 
@@ -48,8 +54,8 @@ def main() -> None:
             continue
         fn = q.QUERIES[name]
         t0 = time.perf_counter()
-        # count() forces the full plan without driver-side collect cost
-        fn(spark, SF_DIR).count()
+        # noop sink: full evaluation of every output column, no driver collect
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.perf_counter() - t0, 3)
 
     flagship_sec = per_query.get("flagship_features", float("nan"))

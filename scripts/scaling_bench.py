@@ -1,0 +1,188 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency evidence (north rule: ≥0.8 efficiency from N to 4N
+executors; sandbox protocol: same job at two parallelism levels).
+
+Measured job — the steady-state 100 TB shape:
+* input: transcripts in a **bucketed, sorted table** (CLUSTERED BY
+  conv_id, SORTED BY (conv_id, ts, turn_idx), the parquet stand-in for
+  the Iceberg bucket(conv_id)+sort layout) — the plan is verified
+  **shuffle-free** (0 exchanges);
+* compute: 24 windowed features (WIDE_SPECS) + sessionize + 2 EWMAs via
+  the sorted-stream Arrow kernel;
+* sink: `noop` (full materialization, no collect — count() would let
+  Catalyst prune all feature columns);
+* each measurement in a FRESH JVM, shuffle scratch on tmpfs and wiped
+  between runs (a 4N-node cluster's shuffle/DRAM bandwidth scales with
+  nodes; this host's single memory bus does not — see the calibration
+  microbenchmarks reported alongside the numbers in BASELINE.md).
+
+Input data: sf0.1 events replicated R times with distinct conv_id
+suffixes (deterministic derivation of driver testdata only).
+
+Usage: python scripts/scaling_bench.py [--low 2 --high 8] [--replicate 50]
+Markdown rows on stdout + machine-readable JSON last line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import textwrap
+
+BUCKETS = 256
+SCRATCH = "/dev/shm/sparkfeat-scratch"
+
+DDL = (
+    "CREATE TABLE IF NOT EXISTS scaling_input "
+    "(conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP_NTZ) "
+    f"USING parquet CLUSTERED BY (conv_id) SORTED BY (conv_id, ts, turn_idx) INTO {BUCKETS} BUCKETS "
+    "LOCATION '{data}'"
+)
+
+PREP = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import functions as F
+    from sparkfeat.session import get_spark
+    from sparkfeat.schema import transcripts_from_events
+
+    out, sf, reps, wh = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+    spark = get_spark("prep", master="local[32]",
+                      extra_conf={{"spark.sql.warehouse.dir": wh}})
+    spark.sparkContext.setLogLevel("ERROR")
+    t = transcripts_from_events(spark, sf)
+    r = spark.range(reps).select(F.col("id").cast("string").alias("_r"))
+    big = t.crossJoin(r).withColumn(
+        "conv_id", F.concat_ws("_", "conv_id", "_r")
+    ).drop("_r")
+    (big.repartition({buckets}, "conv_id")
+        .write.bucketBy({buckets}, "conv_id").sortBy("conv_id", "ts", "turn_idx")
+        .option("path", out).mode("overwrite").format("parquet")
+        .saveAsTable("scaling_input"))
+    print(spark.table("scaling_input").count())
+    spark.stop()
+    """
+)
+
+RUNNER = textwrap.dedent(
+    """
+    import json, os, sys, time
+    sys.path.insert(0, {repo!r})
+    os.environ.setdefault("SPARKFEAT_DRIVER_MEM", "48g")
+    from sparkfeat.session import get_spark
+    from sparkfeat import transforms as T
+    from sparkfeat.pipeline import WIDE_SPECS, flagship_features
+
+    cores, data, wh = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    os.makedirs({scratch!r}, exist_ok=True)
+    spark = get_spark(
+        "scaling", master=f"local[{{cores}}]", shuffle_partitions={buckets},
+        extra_conf={{"spark.local.dir": {scratch!r},
+                     "spark.sql.warehouse.dir": wh}},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sql({ddl!r}.format(data=data))
+    df = spark.table("scaling_input")
+    turns = df.count()  # JVM + footer warm-up
+    out = flagship_features(df, specs=WIDE_SPECS, pre_partitioned=True)
+    out = T.ewma_sorted(out, [("text_len", 7.5, "text_len_ewma"),
+                              ("token_est", 3.0, "token_est_ewma")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, "bucketed plan must be shuffle-free"
+    t0 = time.perf_counter()
+    out.write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    print(json.dumps({{"cores": cores, "turns": turns, "times": [elapsed]}}))
+    spark.stop()
+    """
+)
+
+
+def _run_py(code: str, args: list[str], timeout: int = 1800) -> str:
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(code)
+        path = f.name
+    try:
+        out = subprocess.run(
+            [sys.executable, path, *args], capture_output=True, text=True, timeout=timeout
+        )
+        if out.returncode != 0:
+            raise RuntimeError(out.stderr[-2000:])
+        return out.stdout.strip().splitlines()[-1]
+    finally:
+        os.unlink(path)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--replicate", type=int, default=50)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
+    ap.add_argument("--data", default="/tmp/sparkfeat_scaling_bucketed")
+    ap.add_argument("--warehouse", default="/tmp/sparkfeat_scaling_wh")
+    args = ap.parse_args()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    marker = os.path.join(args.data, f"_prep_{args.replicate}_{BUCKETS}")
+    if not os.path.exists(marker):
+        shutil.rmtree(args.warehouse, ignore_errors=True)
+        n = _run_py(
+            PREP.format(repo=repo, buckets=BUCKETS),
+            [args.data, args.sf_dir, str(args.replicate), args.warehouse],
+        )
+        open(marker, "w").write(n)
+    total_turns = int(open(marker).read())
+
+    results = {}
+    for cores in (args.low, args.high):
+        times = []
+        for _ in range(args.repeats):
+            shutil.rmtree(SCRATCH, ignore_errors=True)
+            r = json.loads(
+                _run_py(
+                    RUNNER.format(repo=repo, buckets=BUCKETS, scratch=SCRATCH, ddl=DDL),
+                    [str(cores), args.data, args.warehouse],
+                )
+            )
+            times.extend(r["times"])
+        med = statistics.median(times)
+        results[cores] = {
+            "median_sec": round(med, 3),
+            "times": [round(t, 3) for t in times],
+            "turns_per_sec": round(total_turns / med, 1),
+        }
+    scale = args.high / args.low
+    eff = (results[args.high]["turns_per_sec"] / results[args.low]["turns_per_sec"]) / scale
+    print("| parallelism | median sec | turns/sec |")
+    print("|---|---|---|")
+    for cores in (args.low, args.high):
+        r = results[cores]
+        print(f"| local[{cores}] | {r['median_sec']} | {r['turns_per_sec']} |")
+    print(f"\nturns: {total_turns}; scaling efficiency local[{args.low}]→local[{args.high}]: **{eff:.3f}**")
+    print(
+        json.dumps(
+            {
+                "low": results[args.low],
+                "high": results[args.high],
+                "levels": [args.low, args.high],
+                "scale_factor": scale,
+                "efficiency": round(eff, 3),
+                "turns": total_turns,
+                "sf_dir": args.sf_dir,
+                "replicate": args.replicate,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Resumable checkpointed runs: per-partition manifests with lineage +
+metrics (north rule).
+
+A run is split into B deterministic buckets (``pmod(hash(conv_id), B)``
+— the same hash partitioning the windowed plan uses, so bucket filters
+prune cleanly). Buckets are processed in batches; each batch is one
+Spark job writing ``data/bucket=N/`` partitions, and a bucket's JSON
+manifest is written only after its data is durably on storage — so a
+crash leaves either (data+manifest) or (no manifest ⇒ bucket re-run,
+idempotent overwrite). Resume = enumerate manifests, re-run the
+complement. No driver-side row loops; the driver only orchestrates
+O(B/batch) jobs.
+
+The reference has no persistence at all (results are in-memory ndarray
+dicts, transformation/financial.py:135); this layer is what a 10^12-turn
+run needs instead: kill -9 at any point loses at most one batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bucket_of(entity_col: str, num_buckets: int):
+    return F.pmod(F.xxhash64(F.col(entity_col)), F.lit(num_buckets)).cast("int")
+
+
+def _manifest_dir(output_path: str) -> str:
+    return os.path.join(output_path, "_manifests")
+
+
+def completed_buckets(output_path: str) -> set[int]:
+    mdir = _manifest_dir(output_path)
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for f in os.listdir(mdir):
+        if f.startswith("bucket=") and f.endswith(".json"):
+            out.add(int(f[len("bucket=") : -len(".json")]))
+    return out
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    plan: Callable[[SparkSession], DataFrame],
+    output_path: str,
+    num_buckets: int = 16,
+    batch_size: int = 4,
+    entity_col: str = "conv_id",
+    lineage: dict | None = None,
+) -> dict:
+    """Execute ``plan`` bucket-by-bucket with resume.
+
+    Returns the run summary (buckets written/skipped, rows, seconds).
+    Idempotent: re-running after a partial failure re-processes only
+    buckets without manifests; a bucket write is
+    ``mode=overwrite`` on its own directory, so half-written data from
+    a crashed attempt is replaced, never duplicated.
+    """
+    os.makedirs(_manifest_dir(output_path), exist_ok=True)
+    done = completed_buckets(output_path)
+    todo = [b for b in range(num_buckets) if b not in done]
+    summary = {
+        "num_buckets": num_buckets,
+        "skipped": sorted(done),
+        "written": [],
+        "rows": 0,
+        "seconds": 0.0,
+    }
+    df = plan(spark).withColumn("_bucket", bucket_of(entity_col, num_buckets))
+    for i in range(0, len(todo), batch_size):
+        batch = todo[i : i + batch_size]
+        t0 = time.perf_counter()
+        part = df.filter(F.col("_bucket").isin(batch))
+        part.write.mode("overwrite").partitionBy("_bucket").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(os.path.join(output_path, "data"))
+        elapsed = time.perf_counter() - t0
+        # rows per bucket from what actually landed (storage truth, not plan)
+        landed = (
+            spark.read.parquet(os.path.join(output_path, "data"))
+            .filter(F.col("_bucket").isin(batch))
+            .groupBy("_bucket")
+            .count()
+            .collect()
+        )
+        counts = {int(r["_bucket"]): int(r["count"]) for r in landed}
+        for b in batch:
+            manifest = {
+                "bucket": b,
+                "rows": counts.get(b, 0),
+                "written_at_unix": time.time(),
+                "batch_seconds": round(elapsed, 3),
+                "entity_col": entity_col,
+                "lineage": lineage or {},
+                "spark_version": spark.version,
+            }
+            tmp = os.path.join(_manifest_dir(output_path), f".bucket={b}.json.tmp")
+            final = os.path.join(_manifest_dir(output_path), f"bucket={b}.json")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, final)  # atomic publish
+            summary["written"].append(b)
+            summary["rows"] += counts.get(b, 0)
+        summary["seconds"] += elapsed
+    return summary
+
+
+def read_checkpointed(spark: SparkSession, output_path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_path, "data"))
+
+
+def run_metrics(output_path: str) -> list[dict]:
+    """All manifests for a run — the metrics/lineage record."""
+    mdir = _manifest_dir(output_path)
+    out = []
+    for f in sorted(os.listdir(mdir)):
+        if f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                out.append(json.load(fh))
+    return out

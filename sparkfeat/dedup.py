@@ -1,0 +1,271 @@
+"""Deduplication operators for web-scale corpora: exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+
+* **exact** — one md5 groupBy; shuffle keyed on the 128-bit hash, so
+  perfectly balanced regardless of text skew.
+* **n-gram Jaccard** — candidate pairs only within (lang, length-band)
+  blocks; the quadratic blowup is bounded per block, and the block join
+  is a shuffle-equi-join on the band key. Set similarity via
+  ``array_intersect``/``array_union`` sizes (JVM, codegen).
+* **MinHash+LSH** — per-doc signature (k permutations of shingle
+  FNV-1a hashes, vectorized numpy in one Arrow pass), banded into
+  r-row bands; docs sharing a band bucket are candidates (standard
+  Broder/LSH construction). Cost: O(docs·shingles) + one groupBy on
+  band buckets — no pairwise stage until candidates are already rare.
+* **SimHash** — 64-bit sign-aggregated token-hash vector; candidates
+  share one of 4 16-bit blocks (Hamming ≤ 3 guaranteed recall via
+  pigeonhole); verify by exact Hamming distance, all in JVM bit ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from sparkfeat.text import bag_fingerprint, fnv1a64_np, tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact (content-hash) dedup: canonical row = min id per fingerprint.
+    Adds ``fingerprint``, ``group_size``, ``keep`` (bool)."""
+    out = df.withColumn("fingerprint", bag_fingerprint(text_col))
+    w = Window.partitionBy("fingerprint")
+    return out.withColumn("group_size", F.count(F.lit(1)).over(w)).withColumn(
+        "keep", F.col(id_col) == F.min(id_col).over(w)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram / token-set Jaccard
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_cols: tuple[str, ...] = ("lang",),
+    len_band: int = 64,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs by token-set Jaccard within blocking bands.
+
+    Blocks: ``band_cols`` + floor(len(text)/len_band). Pairs (a < b)
+    with |A∩B|/|A∪B| ≥ threshold. Emits (id_a, id_b, jaccard)."""
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c).alias(f"_b_{c}") for c in band_cols],
+        F.floor(F.length(text_col) / len_band).alias("_lb"),
+        toks.alias("_toks"),
+    )
+    keys = [f"_b_{c}" for c in band_cols] + ["_lb"]
+    a = base.select(
+        *[F.col(k) for k in keys],
+        F.col("_id").alias("id_a"),
+        F.col("_toks").alias("_ta"),
+    )
+    b = base.select(
+        *[F.col(k) for k in keys],
+        F.col("_id").alias("id_b"),
+        F.col("_toks").alias("_tb"),
+    )
+    pairs = a.join(b, keys).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("_ta", "_tb")).cast("double")
+    union = F.size(F.array_union("_ta", "_tb")).cast("double")
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def _shingles(text: str, n: int) -> list[str]:
+    ws = text.lower().split()
+    if len(ws) < n:
+        return [" ".join(ws)] if ws else []
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature (ArrayType<long>, length num_perm).
+
+    Shingle hashes are FNV-1a64 folded into the Mersenne prime field;
+    permutations h_i(x) = (a_i·x + b_i) mod p. One Arrow batch per
+    partition — numpy does (docs×perms) mins vectorized."""
+    a, b = _perm_params(num_perm, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _shingles(t, shingle_n)
+            if not sh:
+                out.append([int(_MERSENNE)] * num_perm)
+                continue
+            hv = (fnv1a64_np(pd.Series(sh)) % _MERSENNE).astype(np.int64)
+            # (n_shingles, num_perm) permuted hashes → column-min
+            perms = (hv[:, None].astype(object) * a[None, :] + b[None, :]) % _MERSENNE
+            out.append([int(v) for v in perms.min(axis=0)])
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("_id"), sig(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs + estimated Jaccard (signature agreement).
+
+    bands·rows = num_perm; a pair lands in a bucket iff one band of the
+    signatures agrees exactly. Emits (id_a, id_b, est_jaccard)."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
+    banded = sigs.select(
+        "_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.slice("sig", i * rows + 1, rows).cast("string").alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select("band", "key", F.col("_id").alias("id_a"), F.col("sig").alias("_sa"))
+    b = banded.select("band", "key", F.col("_id").alias("id_b"), F.col("sig").alias("_sb"))
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v)
+    )
+    return cand.withColumn(
+        "est_jaccard", agree.cast("double") / F.lit(float(num_perm))
+    ).select("id_a", "id_b", "est_jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc (Charikar): sum ±1 per bit over token
+    hashes, sign → bit. Token hashes via FNV-1a64 (one Arrow pass)."""
+
+    @F.pandas_udf(LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = t.lower().split()
+            if not ws:
+                out[i] = 0
+                continue
+            hv = fnv1a64_np(pd.Series(ws))
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            v = (2 * bits - 1).sum(axis=0)
+            out[i] = int(
+                np.int64(
+                    np.uint64(
+                        sum(np.uint64(1) << np.uint64(k) for k in np.flatnonzero(v > 0))
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    return df.withColumn("simhash", sh(F.col(text_col)))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole blocking: 4 blocks of 16 bits; any pair with ≤3 differing
+    bits agrees on ≥1 block → candidates = bucket-join on (block_idx,
+    block_value); verify with JVM bit_count(xor)."""
+    s = simhash(df, text_col, id_col).select(F.col(id_col).alias("_id"), "simhash")
+    blocks = s.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a = blocks.select("blk", "val", F.col("_id").alias("id_a"), F.col("simhash").alias("_ha"))
+    b = blocks.select("blk", "val", F.col("_id").alias("id_b"), F.col("simhash").alias("_hb"))
+    cand = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

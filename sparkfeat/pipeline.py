@@ -65,12 +65,28 @@ DEFAULT_SPECS = [
     FeatureSpec("token_est", "ker", {"lag": 5}),
 ]
 
+#: production-shaped feature set (~24 windowed features over 2 signals) —
+#: what a real training pipeline computes per pass; used by the scaling
+#: bench so the measured job has production CPU-per-row, all in ONE
+#: window stage after the single sort.
+WIDE_SPECS = [
+    FeatureSpec("text_len", "value"),
+    *[FeatureSpec("text_len", "volatility", {"window": w}) for w in (5, 10, 20, 40)],
+    *[FeatureSpec("text_len", "stochastic_k", {"length": n}) for n in (7, 14, 28, 56)],
+    *[FeatureSpec("text_len", "ker", {"lag": k}) for k in (3, 5, 10, 20)],
+    FeatureSpec("token_est", "log-return"),
+    *[FeatureSpec("token_est", "volatility", {"window": w}) for w in (5, 10, 20)],
+    *[FeatureSpec("token_est", "stochastic_k", {"length": n}) for n in (7, 14, 28)],
+    *[FeatureSpec("token_est", "ker", {"lag": k}) for k in (3, 5, 10)],
+]
+
 
 def flagship_features(
     df: DataFrame,
     specs: list[FeatureSpec] | None = None,
     gap_seconds: float = 1800.0,
     partitions: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """The flagship point-in-time feature plan over a transcript table.
 
@@ -78,11 +94,16 @@ def flagship_features(
     per-turn signals → sessionize → windowed transforms → one feature row
     per (conv_id, ts, turn_idx). Text is carried through untouched
     (per-turn text equality invariant).
+
+    ``pre_partitioned=True`` — the steady-state 100 TB path: the input
+    is an Iceberg/bucketed table already hash-distributed by conv_id
+    and sorted by (conv_id, ts, turn_idx), so the explicit exchange is
+    skipped and the whole plan is shuffle-free (scan → window).
     """
     from sparkfeat.schema import with_turn_signals
 
     specs = DEFAULT_SPECS if specs is None else specs
-    out = repartition_sorted(df, partitions)
+    out = df if pre_partitioned else repartition_sorted(df, partitions)
     out = with_turn_signals(out)
     out = sessionize(out, gap_seconds=gap_seconds)
     out = apply_features(out, specs)

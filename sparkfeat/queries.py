@@ -265,13 +265,13 @@ def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Resample → densify → limited ffill (G1/G3, north-rule backfill)
 # ---------------------------------------------------------------------------
 
-_B300 = "epoch_us(ts) - 1 - ((epoch_us(ts) - 1) % 300000000) + 300000000"
+_B4H = "epoch_us(ts) - 1 - ((epoch_us(ts) - 1) % 14400000000) + 14400000000"
 
 _FILL_ORACLE = f"""{_SIG_CTE},
 b AS (
     SELECT conv_id, text_len,
-        {_B300} AS bus,
-        ROW_NUMBER() OVER (PARTITION BY conv_id, {_B300} ORDER BY ts DESC, turn_idx DESC) AS rn_z
+        {_B4H} AS bus,
+        ROW_NUMBER() OVER (PARTITION BY conv_id, {_B4H} ORDER BY ts DESC, turn_idx DESC) AS rn_z
     FROM sig
 ),
 r AS (
@@ -280,7 +280,7 @@ r AS (
     FROM b GROUP BY conv_id, bus
 ),
 grid AS (
-    SELECT conv_id, unnest(generate_series(mn, mx, INTERVAL 5 MINUTE)) AS bucket_ts
+    SELECT conv_id, unnest(generate_series(mn, mx, INTERVAL 4 HOUR)) AS bucket_ts
     FROM (SELECT conv_id, MIN(bucket_ts) AS mn, MAX(bucket_ts) AS mx FROM r GROUP BY conv_id) s
 ),
 j AS (
@@ -302,8 +302,8 @@ def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkfeat.resample import densify, ffill, resample
 
     sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
-    r = resample(sig, 300, {"text_len": "last"})
-    dense = densify(r, 300)
+    r = resample(sig, 14400, {"text_len": "last"})
+    dense = densify(r, 14400)
     filled = ffill(dense, ["text_len_last"], limit=3)
     return filled.select(
         "conv_id",
@@ -319,7 +319,7 @@ def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INTERP_ORACLE = f"""{_SIG_CTE},
 b AS (
-    SELECT conv_id, text_len, {_B300} AS bus
+    SELECT conv_id, text_len, {_B4H} AS bus
     FROM sig
 ),
 r AS (
@@ -327,7 +327,7 @@ r AS (
     FROM b GROUP BY conv_id, bus
 ),
 grid AS (
-    SELECT conv_id, unnest(generate_series(mn, mx, INTERVAL 5 MINUTE)) AS bucket_ts
+    SELECT conv_id, unnest(generate_series(mn, mx, INTERVAL 4 HOUR)) AS bucket_ts
     FROM (SELECT conv_id, MIN(bucket_ts) AS mn, MAX(bucket_ts) AS mx FROM r GROUP BY conv_id) s
 ),
 j AS (
@@ -367,8 +367,8 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkfeat.resample import densify, interpolate, resample
 
     sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
-    r = resample(sig, 300, {"text_len": "mean"})
-    dense = densify(r, 300)
+    r = resample(sig, 14400, {"text_len": "mean"})
+    dense = densify(r, 14400)
     out = interpolate(dense, ["text_len_mean"], limit=2)
     return out.select(
         "conv_id",
@@ -681,3 +681,420 @@ def q_between(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = transcripts_from_events(spark, sf_dir)
     return select_between(t, "2024-01-08 00:00:00", "2024-01-14 23:59:59")
+
+
+# ---------------------------------------------------------------------------
+# Documents: text stats / quality / language heuristic
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "('the','a','an','and','or','of','to','in','is','it')"
+_TOKS = r"regexp_split_to_array(text, '\s+')"
+_BPE_PAT = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
+
+_DOCSTATS_ORACLE = f"""WITH t AS (
+    SELECT doc_id, lang, text,
+        CAST(LEN({_TOKS}) AS INT) AS n_tok,
+        CAST(LEN(list_distinct({_TOKS})) AS INT) AS n_dist,
+        CAST(LEN(list_filter({_TOKS}, w -> w IN {_STOP_SQL})) AS DOUBLE)
+            / LEN({_TOKS}) AS stop_ratio,
+        CAST(LENGTH(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+            / LEN({_TOKS}) AS awl,
+        CAST(LEN(regexp_extract_all(text, '{_BPE_PAT}', 1)) AS INT) AS n_bpe
+    FROM documents
+),
+q AS (
+    SELECT *,
+        CAST(n_dist AS DOUBLE) / n_tok AS ttr,
+        0.25 * LEAST(n_tok / 50.0, 1.0)
+        + 0.25 * (CAST(n_dist AS DOUBLE) / n_tok)
+        + 0.25 * (1.0 - LEAST(ABS(stop_ratio - 0.4) / 0.4, 1.0))
+        + 0.25 * LEAST(awl / 8.0, 1.0) AS quality
+    FROM t
+)
+SELECT doc_id, lang, n_tok, n_dist, n_bpe,
+    ROUND(ttr, 6) AS ttr,
+    ROUND(stop_ratio, 6) AS stop_ratio,
+    ROUND(awl, 6) AS avg_word_len,
+    ROUND(quality, 6) AS quality,
+    CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM q"""
+
+
+@register("doc_textstats", _DOCSTATS_ORACLE)
+def q_docstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), type/token ratio,
+    stopword/word-length stats, composite quality score, stopword-based
+    language heuristic — all JVM Column expressions."""
+    from sparkfeat import text as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        "lang",
+        X.token_count("text").alias("n_tok"),
+        X.distinct_token_count("text").alias("n_dist"),
+        X.bpe_ish_token_count("text").alias("n_bpe"),
+        _r(X.type_token_ratio("text")).alias("ttr"),
+        _r(X.stopword_ratio("text")).alias("stop_ratio"),
+        _r(X.avg_word_len("text")).alias("avg_word_len"),
+        _r(X.quality_score("text")).alias("quality"),
+        X.lang_guess("text").alias("lang_guess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact bag-fingerprint groups
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = f"""WITH fp AS (
+    SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(
+            regexp_split_to_array(lower(text), '\\s+'))), ' ')) AS fingerprint
+    FROM documents
+)
+SELECT doc_id, fingerprint,
+    CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size,
+    doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep
+FROM fp"""
+
+
+@register("dedup_exact", _EXACT_DEDUP_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the bag-of-words md5 fingerprint: canonical row =
+    min doc_id per group; hash-keyed shuffle is skew-free."""
+    from sparkfeat.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs).select("doc_id", "fingerprint", "group_size", "keep")
+
+
+# ---------------------------------------------------------------------------
+# Dedup: n-gram/token-set Jaccard near-dup pairs (banded)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""WITH t AS (
+    SELECT doc_id, lang, CAST(FLOOR(LENGTH(text) / 64) AS BIGINT) AS lb,
+        list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks
+    FROM documents
+),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / LEN(list_distinct(a.toks || b.toks)) AS jaccard
+    FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+FROM pairs WHERE jaccard >= 0.9"""
+
+
+@register("dedup_jaccard_pairs", _JACCARD_ORACLE)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by token-set Jaccard ≥ 0.9 inside (lang,
+    length-band) blocks — the quadratic stage is bounded per block."""
+    from sparkfeat.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = jaccard_pairs(docs, threshold=0.9)
+    return out.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
+
+
+@register("dedup_minhash_lsh")  # rows-only: hash permutations not SQL-portable
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms)+LSH(16 bands) candidate pairs with estimated
+    Jaccard ≥ 0.5. Estimator accuracy and recall are pytest-verified
+    against exact Jaccard (tests/test_text_dedup.py)."""
+    from sparkfeat.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, num_perm=64, bands=16, shingle_n=2).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
+@register("dedup_simhash")  # rows-only: FNV bit math not SQL-portable
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) via 16-bit pigeonhole
+    blocking + exact bit_count verify."""
+    from sparkfeat.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """WITH c AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 10),
+scored AS (
+    SELECT p.probe_id, c.vec_id,
+        list_dot_product(p.pv, c.v)
+            / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+    FROM c, p WHERE c.vec_id <> p.probe_id
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk
+    FROM scored
+)
+SELECT probe_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 5"""
+
+
+@register("ann_cosine_topk", _ANN_ORACLE)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 probe vectors: float32 widened to
+    double, JVM zip_with/aggregate dot products, broadcast probes,
+    window rank with deterministic tie-break."""
+    from sparkfeat.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = cosine_topk(emb, probes, k=5)
+    return out.select("probe_id", "vec_id", _r(F.col("cosine")).alias("cosine"), "rk")
+
+
+@register("ann_ivf_topk")  # rows-only: recall vs brute force is pytest-gated
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (16 deterministic centroids, nprobe=4): the
+    scale path — each probe scans ~nprobe/16 of the corpus."""
+    from sparkfeat.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=4)
+
+
+@register("multimodal_decode")  # rows-only: binary payload plumbing
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: deterministic binary payloads →
+    Arrow mapInPandas feature extraction (byte-histogram stand-in kernel;
+    real codec seam raises NotImplementedError)."""
+    from sparkfeat.multimodal import attach_fake_payloads, decode_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = attach_fake_payloads(docs)
+    out = decode_features(media, mode="fake")
+    return out.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("feat_0"),
+        F.round(F.element_at("features", 16), 6).alias("feat_15"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity universe per period + interval membership (A5, P8/J5, §3.3)
+# ---------------------------------------------------------------------------
+
+_PERIOD_US = 3 * 24 * 3600 * 1_000_000  # 3-day periods
+
+_UNIVERSE_ORACLE = f"""{_SIG_CTE},
+t0 AS (SELECT MIN(epoch_us(ts)) AS v FROM sig),
+per AS (
+    SELECT conv_id, ((epoch_us(ts) - t0.v) // {_PERIOD_US}) AS p, token_est
+    FROM sig, t0
+),
+sums AS (SELECT conv_id, p, SUM(token_est) AS v FROM per GROUP BY conv_id, p),
+tr AS (
+    SELECT *, SUM(v) OVER (PARTITION BY conv_id ORDER BY p
+        RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS total
+    FROM sums
+),
+rk AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY p ORDER BY total DESC, conv_id) AS rank
+    FROM tr
+)
+SELECT CAST(p AS BIGINT) AS period,
+    make_timestamp(p * {_PERIOD_US} + t0.v) AS period_start,
+    make_timestamp((p + 1) * {_PERIOD_US} + t0.v) AS period_end,
+    conv_id, ROUND(total, 6) AS total, CAST(rank AS INT) AS rank
+FROM rk, t0 WHERE rank <= 20"""
+
+
+@register("universe_topn", _UNIVERSE_ORACLE)
+def q_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/§3.3 universe provider: top-20 conversations per 3-day period
+    by trailing-2-period token volume → small interval table."""
+    from sparkfeat.universe import active_universe
+
+    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    u = active_universe(
+        sig, period_seconds=3 * 24 * 3600, top_n=20, value_col="token_est",
+        lookback_periods=2,
+    )
+    return u.select(
+        "period", "period_start", "period_end", "conv_id",
+        _r(F.col("total")).alias("total"), "rank",
+    )
+
+
+_MEMBERSHIP_ORACLE = f"""{_SIG_CTE},
+t0 AS (SELECT MIN(epoch_us(ts)) AS v FROM sig),
+per AS (
+    SELECT conv_id, ((epoch_us(ts) - t0.v) // {_PERIOD_US}) AS p, token_est
+    FROM sig, t0
+),
+sums AS (SELECT conv_id, p, SUM(token_est) AS v FROM per GROUP BY conv_id, p),
+tr AS (
+    SELECT *, SUM(v) OVER (PARTITION BY conv_id ORDER BY p
+        RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS total
+    FROM sums
+),
+rk AS (
+    SELECT conv_id, p,
+        ROW_NUMBER() OVER (PARTITION BY p ORDER BY total DESC, conv_id) AS rank
+    FROM tr
+),
+uni AS (SELECT conv_id, p FROM rk WHERE rank <= 20)
+SELECT s.conv_id, CAST(COUNT(*) AS BIGINT) AS n_in_universe
+FROM sig s, t0
+WHERE EXISTS (
+    SELECT 1 FROM uni u
+    WHERE u.conv_id = s.conv_id
+      AND u.p = ((epoch_us(s.ts) - t0.v) // {_PERIOD_US})
+)
+GROUP BY s.conv_id"""
+
+
+@register("universe_membership", _MEMBERSHIP_ORACLE)
+def q_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/J5 interval membership: per conversation, how many of its
+    turns fall inside its active-universe periods — broadcast range
+    semi-join against the tiny interval table."""
+    from sparkfeat.universe import active_universe, universe_membership
+
+    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    u = active_universe(
+        sig, period_seconds=3 * 24 * 3600, top_n=20, value_col="token_est",
+        lookback_periods=2,
+    )
+    kept = universe_membership(sig, u)
+    return kept.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_in_universe"))
+
+
+# ---------------------------------------------------------------------------
+# Correlation dedup (A9): pairwise Pearson corr of bucketed series
+# ---------------------------------------------------------------------------
+
+_B6H = "epoch_us(ts) - 1 - ((epoch_us(ts) - 1) % 21600000000) + 21600000000"
+
+_CORR_ORACLE = f"""{_SIG_CTE},
+b AS (
+    SELECT conv_id, {_B6H} AS bus, SUM(text_len) AS v
+    FROM sig GROUP BY conv_id, bus
+),
+pairs AS (
+    SELECT a.conv_id AS id_a, c.conv_id AS id_b,
+        corr(a.v, c.v) AS corr_v, COUNT(*) AS n_buckets
+    FROM b a JOIN b c ON a.bus = c.bus AND a.conv_id < c.conv_id
+    GROUP BY a.conv_id, c.conv_id
+),
+flt AS (
+    SELECT id_a, id_b, ROUND(corr_v, 6) AS corr_r, CAST(n_buckets AS BIGINT) AS n_buckets
+    FROM pairs WHERE n_buckets >= 20
+)
+SELECT id_a, id_b, corr_r AS corr, n_buckets,
+    CAST(ROW_NUMBER() OVER (ORDER BY corr_r DESC, id_a, id_b) AS INT) AS rk
+FROM flt QUALIFY rk <= 20"""
+
+
+@register("corr_pairs_topk", _CORR_ORACLE)
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 correlation dedup: Pearson corr of 6-hour text_len sums across
+    co-observed buckets, top-20 pairs (rank on the rounded value so both
+    engines rank identically; ≥20 shared buckets)."""
+    from pyspark.sql import Window
+
+    from sparkfeat.universe import correlated_pairs
+
+    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    pairs = correlated_pairs(
+        sig, "text_len", bucket_seconds=21600, threshold=-2.0
+    ).filter(F.col("n_buckets") >= 20)
+    rounded = pairs.select(
+        "id_a", "id_b", _r(F.col("corr")).alias("corr"), "n_buckets"
+    )
+    w = Window.orderBy(F.col("corr").desc(), F.col("id_a"), F.col("id_b"))
+    return (
+        rounded.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-sample assembly (J6 stacking + G4 purge) and image transforms
+# ---------------------------------------------------------------------------
+
+_ASSEMBLE_ORACLE = f"""{_SIG_CTE},
+w8 AS (
+    SELECT conv_id, turn_idx, ts, text_len,
+        COUNT(*) OVER ({_W} ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS n_in_win,
+        LAG(text_len, 7) OVER ({_W}) AS first_el
+    FROM sig
+)
+SELECT conv_id, turn_idx, ts,
+    CAST(8 AS INT) AS vec_len,
+    ROUND(first_el, 6) AS vec_first,
+    ROUND(text_len, 6) AS vec_last
+FROM w8 WHERE n_in_win = 8"""
+
+
+@register("assemble_vectors", _ASSEMBLE_ORACLE)
+def q_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 sample stacking: trailing length-8 float32 vectors per turn
+    (rows with short windows dropped, base.py:111-125 semantics). The
+    oracle pins the window boundaries: first element = value at t−7,
+    last = value at t."""
+    from sparkfeat.assemble import assemble_vectors
+
+    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    out = assemble_vectors(sig, ["text_len"], length=8)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.size("text_len_vec").cast("int").alias("vec_len"),
+        _r(F.element_at("text_len_vec", 1).cast("double")).alias("vec_first"),
+        _r(F.element_at("text_len_vec", 8).cast("double")).alias("vec_last"),
+    )
+
+
+@register("gasf_window_images")  # rows-only: polar-field math not SQL-portable
+def q_gasf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 GASF image features over trailing 16-turn windows (image 4×4,
+    Arrow pandas UDF); math is pytest-verified against hand-computed
+    fields. Emits per-row image checksums."""
+    from sparkfeat.transforms import window_image_feature
+
+    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    out = window_image_feature(sig, "text_len", length=16, image_size=4, kind="gasf")
+    return out.filter(F.col("text_len_gasf").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        F.size("text_len_gasf").alias("img_len"),
+        F.round(
+            F.aggregate("text_len_gasf", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("img_sum"),
+    )
+
+
+@register("ewma_sorted_stream", _EWMA_ORACLE)  # same closed-form oracle
+def q_ewma_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 EWMA via the sorted-stream mapInPandas kernel (one Python
+    crossing per Arrow batch; cross-batch state carry) — checked against
+    the same closed-form weighted-cumsum oracle as the per-conversation
+    path, proving the two physical strategies agree end-to-end."""
+    from sparkfeat.transforms import ewma_sorted
+    from sparkfeat.windows import repartition_sorted
+
+    sig = repartition_sorted(with_turn_signals(transcripts_from_events(spark, sf_dir)))
+    out = ewma_sorted(sig, [("text_len", 7.5, "ewma_fast")])
+    return out.select("conv_id", "turn_idx", "ts", _r(F.col("ewma_fast")).alias("text_len_ewma"))

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_topk` — brute-force baseline: broadcast the (small)
+  probe set against the corpus, JVM-side dot product via
+  ``zip_with``+``aggregate`` (no Python in the loop), per-probe top-k by
+  window rank. Exact; O(probes × corpus) — the verification baseline
+  and the right answer when probes ≪ corpus.
+* :func:`ivf_topk` — IVF-style scale path: corpus assigned to the
+  nearest of C centroids once (one pass), probes search only their
+  ``nprobe`` nearest centroid buckets — the candidate set shrinks by
+  ~C/nprobe. Same scoring expressions; recall measured in tests against
+  the brute-force baseline.
+
+All math widens float32 → double first so results are reproducible
+across engines (and the DuckDB oracle agrees)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_cosine(df: DataFrame, a_col: str, b_col: str, out_col: str = "cosine") -> DataFrame:
+    a, b = _as_double(F.col(a_col)), _as_double(F.col(b_col))
+    return df.withColumn(out_col, _dot(a, b) / (_norm(a) * _norm(b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each probe (excluding self-matches on
+    equal ids). Probe set is broadcast; ties broken by corpus id."""
+    p = probes.select(
+        F.col(probe_id), _as_double(F.col(vec_col)).alias("_pv")
+    )
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col(id_col) != F.col(probe_id))
+        .withColumn("cosine", _dot(F.col("_pv"), F.col("_cv")) / (_norm(F.col("_pv")) * _norm(F.col("_cv"))))
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(probe_id, id_col, "cosine", "rk")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """IVF-bucketed approximate top-k.
+
+    Deterministic centroids: the first ``n_centroids`` corpus vectors by
+    id (a k-means fit would slot in here; determinism matters more for
+    the parity harness). Corpus rows attach to their nearest centroid;
+    each probe scans only its ``nprobe`` nearest buckets. At 10^9
+    vectors this turns a full scan into nprobe/C of one."""
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.monotonically_increasing_id().alias("_tmp"),
+            F.col(id_col).alias("_cent_rank_src"),
+            _as_double(F.col(vec_col)).alias("_centv"),
+        )
+        .drop("_tmp")
+    )
+    w_c = Window.orderBy("_cent_rank_src")
+    cents = cents.withColumn("cent_id", F.row_number().over(w_c) - 1).drop(
+        "_cent_rank_src"
+    )
+
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"))
+    assign_w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("cent_id")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", _dot(F.col("_cv"), F.col("_centv")) / (_norm(F.col("_cv")) * _norm(F.col("_centv"))))
+        .withColumn("_r", F.row_number().over(assign_w))
+        .filter(F.col("_r") == 1)
+        .select(id_col, "_cv", "cent_id")
+    )
+
+    p = probes.select(F.col(probe_id), _as_double(F.col(vec_col)).alias("_pv"))
+    probe_w = Window.partitionBy(probe_id).orderBy(F.col("_sim").desc(), F.col("cent_id"))
+    probe_cents = (
+        p.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", _dot(F.col("_pv"), F.col("_centv")) / (_norm(F.col("_pv")) * _norm(F.col("_centv"))))
+        .withColumn("_r", F.row_number().over(probe_w))
+        .filter(F.col("_r") <= nprobe)
+        .select(probe_id, "_pv", "cent_id")
+    )
+
+    scored = (
+        assigned.join(probe_cents, "cent_id")
+        .filter(F.col(id_col) != F.col(probe_id))
+        .withColumn("cosine", _dot(F.col("_pv"), F.col("_cv")) / (_norm(F.col("_pv")) * _norm(F.col("_cv"))))
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(probe_id, id_col, "cosine", "rk")
+    )

@@ -1,0 +1,143 @@
+"""Text analysis for large-scale training-data pipelines: token stats,
+quality scoring, language heuristic, fingerprinting.
+
+All hot-path expressions are JVM Column expressions (whole-stage
+codegen); the only Python crossing is the 64-bit rolling-hash
+fingerprint (Arrow pandas UDF, vectorized numpy).
+
+These operate on the ``documents`` table (doc_id, text, lang, source,
+n_chars) but take column names, so they compose with the transcript
+``text`` column too.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+#: tiny English stopword list used by the ratio features and the lang
+#: heuristic; fixed and duplicated into the SQL oracles — do not reorder.
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}]"
+
+
+def tokens(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, r"\s+")
+
+
+def token_count(text: str | Column) -> Column:
+    """Whitespace token count (the whitespace tokenizer baseline)."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: str | Column) -> Column:
+    """BPE-ish token estimate: count of word/number/punct chunks after
+    splitting on a GPT-2-style coarse pattern (letters runs, digit runs,
+    single punctuation). Upper-bounds real BPE within ~20% on English."""
+    c = F.col(text) if isinstance(text, str) else text
+    # one token per letter-run, digit-run, or non-space symbol
+    chunks = F.regexp_extract_all(c, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    return F.size(chunks)
+
+
+def distinct_token_count(text: str | Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def type_token_ratio(text: str | Column) -> Column:
+    return distinct_token_count(text).cast("double") / token_count(text)
+
+
+def stopword_ratio(text: str | Column) -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return hits.cast("double") / F.size(toks)
+
+
+def punct_ratio(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, PUNCT_CLASS, "")
+    return (F.length(c) - F.length(stripped)).cast("double") / F.length(c)
+
+
+def avg_word_len(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    no_space = F.regexp_replace(c, r"\s+", "")
+    return F.length(no_space).cast("double") / token_count(c)
+
+
+def quality_score(text: str | Column) -> Column:
+    """Heuristic document quality in [0, 1] — the standard pretraining
+    filter family (length, lexical diversity, stopword band, word
+    length). Deterministic closed form; weights fixed."""
+    ntok = token_count(text).cast("double")
+    ttr = type_token_ratio(text)
+    stop = stopword_ratio(text)
+    awl = avg_word_len(text)
+    len_term = F.least(ntok / F.lit(50.0), F.lit(1.0))
+    stop_term = F.lit(1.0) - F.least(F.abs(stop - F.lit(0.4)) / F.lit(0.4), F.lit(1.0))
+    awl_term = F.least(awl / F.lit(8.0), F.lit(1.0))
+    return 0.25 * len_term + 0.25 * ttr + 0.25 * stop_term + 0.25 * awl_term
+
+
+def lang_guess(text: str | Column, threshold: float = 0.08) -> Column:
+    """n-gram-free language heuristic: English stopword density. A real
+    deployment swaps in per-language stopword tables; the operator shape
+    (pure Column expression, no UDF) is the point."""
+    return F.when(stopword_ratio(text) >= threshold, F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
+
+
+def content_fingerprint(text: str | Column) -> Column:
+    """Canonical content hash: lowercase, collapse whitespace, md5.
+    Exact-dup key that survives case/spacing jitter."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.lower(c), r"\s+", " ")
+    return F.md5(norm)
+
+
+def bag_fingerprint(text: str | Column) -> Column:
+    """Bag-of-words hash: md5 of the sorted distinct token set — keys
+    word-order-insensitive duplicates (template/permutation dups)."""
+    c = F.col(text) if isinstance(text, str) else text
+    bag = F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(c)))), " ")
+    return F.md5(bag)
+
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _fnv1a_bytes(data: bytes) -> np.uint64:
+    h = _FNV_OFFSET
+    for b in data:
+        h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+    return h
+
+
+def fnv1a64_np(strings: pd.Series) -> np.ndarray:
+    """Vectorized-ish FNV-1a 64 over a string series (per-value loop in
+    C-speed bytes; fine for fingerprint columns, not the hot path)."""
+    return np.fromiter(
+        (int(_fnv1a_bytes(s.encode("utf-8"))) for s in strings),
+        dtype=np.uint64,
+        count=len(strings),
+    )
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str, out_col: str = "fp64") -> DataFrame:
+    """64-bit rolling (FNV-1a) document fingerprint as a signed long
+    column — compact dedup/join key when md5 strings are too fat
+    (SURVEY-level: 8 bytes/doc instead of 32)."""
+
+    @F.pandas_udf(LongType())
+    def fp(texts: pd.Series) -> pd.Series:
+        return pd.Series(fnv1a64_np(texts).astype(np.int64))
+
+    return df.withColumn(out_col, fp(F.col(text_col)))

@@ -131,7 +131,9 @@ def ker(v: str | Column, lag: int, entity_col: str = "conv_id") -> Column:
 # ---------------------------------------------------------------------------
 
 
-def _ewma_sw(x: np.ndarray, a: float) -> tuple[np.ndarray, np.ndarray]:
+def _ewma_sw(
+    x: np.ndarray, a: float, s0: float = 0.0, w0: float = 0.0
+) -> tuple[np.ndarray, np.ndarray]:
     """Weighted-cumsum EWMA state: S_t = Σ_{i≤t, valid} a^(t−i)·x_i and
     W_t = Σ_{i≤t, valid} a^(t−i)·1.
 
@@ -149,8 +151,8 @@ def _ewma_sw(x: np.ndarray, a: float) -> tuple[np.ndarray, np.ndarray]:
     # a = 2^(-1/h)  ⇒  a^(-i) = 2^(i/h): keep i/h ≤ 900 per block.
     h = -1.0 / math.log2(a)
     block = max(1, min(n, int(900 * h)))
-    s_carry = 0.0
-    w_carry = 0.0
+    s_carry = s0  # inbound state (chunked/streamed evaluation)
+    w_carry = w0
     for lo in range(0, n, block):
         hi = min(lo + block, n)
         i = np.arange(hi - lo, dtype=np.float64)
@@ -274,6 +276,71 @@ def ewma(
         out_col, F.when(W_g > 0, S_g / W_g)
     )
     return result.drop("_pos", "_chunk", "_S", "_W", "_S_carry", "_W_carry")
+
+
+def ewma_sorted(
+    df: DataFrame,
+    specs: list[tuple[str, float, str]],
+    entity_col: str = "conv_id",
+) -> DataFrame:
+    """T6 EWMA fast path for entity-sorted streams: one ``mapInPandas``
+    pass computing EVERY (value_col, halflife, out_col) spec at once.
+
+    Requires the input already hash-partitioned by ``entity_col`` and
+    sorted by (entity, ts, turn_idx) within partitions — true after
+    :func:`sparkfeat.windows.repartition_sorted`, after any window
+    stage on that order, or scanning a bucketed/Iceberg table with a
+    matching sort order. Under that contract this does **one Python
+    crossing per Arrow batch** (not per conversation): segment
+    boundaries inside a batch are found vectorized, and a conversation
+    spanning batch/chunk boundaries carries its (S, W) state forward —
+    the same decayed-carry algebra as the chunked scan, so results are
+    identical to pandas ``ewm(halflife, adjust=True).mean()``.
+
+    This removes the per-group Arrow overhead that dominates
+    ``applyInPandas`` when conversations are small (millions of tiny
+    groups), while staying safe for mega-conversations (state is O(1)
+    per spec regardless of conversation length).
+    """
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField(out, DoubleType(), True) for _, _, out in specs]
+    )
+    alphas = [0.5 ** (1.0 / h) for _, h, _ in specs]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_conv = None
+        carry = [(0.0, 0.0)] * len(specs)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pdf.assign(**{out: [] for _, _, out in specs})
+                continue
+            convs = pdf[entity_col].to_numpy()
+            change = np.flatnonzero(convs[1:] != convs[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [n]))
+            for k, ((v, _h, out), a) in enumerate(zip(specs, alphas)):
+                x = pdf[v].to_numpy(dtype=np.float64)
+                res = np.empty(n)
+                for s, e in zip(starts, ends):
+                    s0, w0 = (
+                        carry[k] if (s == 0 and convs[0] == last_conv) else (0.0, 0.0)
+                    )
+                    S, W = _ewma_sw(x[s:e], a, s0, w0)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        res[s:e] = np.where(W > 0, S / W, np.nan)
+                    if e == n:
+                        carry[k] = (float(S[-1]), float(W[-1]))
+                pdf[out] = res
+            last_conv = convs[-1]
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
 
 
 # ---------------------------------------------------------------------------

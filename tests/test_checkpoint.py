@@ -1,0 +1,74 @@
+"""Checkpoint/resume semantics: partial-run resume, idempotence,
+manifest lineage."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfeat.checkpoint import (
+    completed_buckets,
+    read_checkpointed,
+    run_checkpointed,
+    run_metrics,
+)
+from sparkfeat.pipeline import flagship_features
+
+
+@pytest.fixture()
+def outdir(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def _plan(transcripts):
+    def build(spark):
+        return flagship_features(transcripts)
+
+    return build
+
+
+def test_full_run_then_resume_is_noop(spark, transcripts, outdir):
+    s1 = run_checkpointed(spark, _plan(transcripts), outdir, num_buckets=4, batch_size=2)
+    assert sorted(s1["written"]) == [0, 1, 2, 3]
+    total = transcripts.count()
+    assert s1["rows"] == total
+    s2 = run_checkpointed(spark, _plan(transcripts), outdir, num_buckets=4, batch_size=2)
+    assert s2["written"] == [] and s2["skipped"] == [0, 1, 2, 3]
+    assert read_checkpointed(spark, outdir).count() == total
+
+
+def test_partial_failure_resume(spark, transcripts, outdir):
+    # simulate a crash: run only the first batch by deleting manifests after
+    s1 = run_checkpointed(spark, _plan(transcripts), outdir, num_buckets=4, batch_size=4)
+    # drop two manifests → those buckets look unfinished
+    for b in (1, 3):
+        os.remove(os.path.join(outdir, "_manifests", f"bucket={b}.json"))
+    assert completed_buckets(outdir) == {0, 2}
+    s2 = run_checkpointed(spark, _plan(transcripts), outdir, num_buckets=4, batch_size=4)
+    assert sorted(s2["written"]) == [1, 3]
+    # no duplication after re-run
+    assert read_checkpointed(spark, outdir).count() == transcripts.count()
+    # row counts per bucket are consistent with manifests
+    per_bucket = {
+        r["_bucket"]: r["count"]
+        for r in read_checkpointed(spark, outdir).groupBy("_bucket").count().collect()
+    }
+    for m in run_metrics(outdir):
+        assert per_bucket.get(m["bucket"], 0) == m["rows"]
+
+
+def test_manifest_lineage(spark, transcripts, outdir):
+    run_checkpointed(
+        spark,
+        _plan(transcripts),
+        outdir,
+        num_buckets=2,
+        lineage={"input": "synth", "specs": "default"},
+    )
+    ms = run_metrics(outdir)
+    assert len(ms) == 2
+    assert all(m["lineage"]["input"] == "synth" for m in ms)
+    assert all(m["spark_version"] for m in ms)

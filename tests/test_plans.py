@@ -1,0 +1,97 @@
+"""Physical-plan audits: the properties that matter at 100 TB.
+
+Reading ``explain`` output programmatically: number of exchanges
+(shuffles), predicate pushdown into the parquet scan, broadcast joins
+for small sides. These lock in the scale design — a regression that
+adds a shuffle or un-pushes a filter fails here, not in production.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfeat.normalize import apply_scaler, fit_stats
+from sparkfeat.pipeline import flagship_features
+from sparkfeat.schema import with_turn_signals
+
+
+def plan_of(df, extended: bool = False) -> str:
+    qe = df._jdf.queryExecution()
+    return qe.toString() if extended else qe.executedPlan().toString()
+
+
+def n_shuffles(df) -> int:
+    return len(re.findall(r"Exchange hashpartitioning", plan_of(df)))
+
+
+def test_flagship_single_shuffle_from_transcripts(transcripts):
+    """From a materialized transcript table, the whole flagship plan —
+    signals, sessionize, log-return, volatility, stochastic-k, KER —
+    runs on ONE hash(conv_id) exchange; every window reuses it."""
+    out = flagship_features(transcripts)
+    assert n_shuffles(out) == 1, plan_of(out)
+    # and exactly one sort feeds all five window stages
+    assert plan_of(out).count("Sort [conv_id") <= 2
+
+
+def test_windows_reuse_partitioning(transcripts):
+    """Stacked per-conv windowed transforms add zero extra exchanges."""
+    from sparkfeat import transforms as T
+    from sparkfeat.windows import repartition_sorted
+
+    sig = with_turn_signals(repartition_sorted(transcripts))
+    one = sig.withColumn("lr", T.log_return("text_len"))
+    many = (
+        one.withColumn("vol", T.volatility("text_len", 10))
+        .withColumn("k", T.stochastic_k("text_len", 14))
+        .withColumn("ker", T.ker("text_len", 5))
+    )
+    assert n_shuffles(one) == n_shuffles(many) == 1
+
+
+def test_filter_pushdown_to_scan(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        (F.col("ts") >= "2024-01-08") & (F.col("event_type") == "error")
+    ).select("user_id", "ts")
+    p = plan_of(ev, extended=True)
+    assert "PushedFilters" in p and "GreaterThanOrEqual(ts" in p, p
+    # column pruning: scan reads only the needed columns
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m and "event_type" in m.group(1) and "props" not in m.group(1)
+
+
+def test_normalize_apply_is_broadcast_join(transcripts):
+    sig = with_turn_signals(transcripts)
+    stats = fit_stats(sig, "text_len")
+    out = apply_scaler(sig, stats, "text_len", "standard")
+    assert "BroadcastHashJoin" in plan_of(out), plan_of(out)
+
+
+def test_asof_join_single_data_shuffle(spark, transcripts):
+    import pandas as pd
+
+    from sparkfeat.asof import asof_join
+
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            {"conv_id": ["conv000"], "probe_ts": pd.to_datetime(["2024-03-01 01:00"])}
+        )
+    )
+    sig = with_turn_signals(transcripts)
+    out = asof_join(probes, sig, ["text_len"])
+    # union-tag idiom: one exchange for the unioned stream, none extra
+    assert n_shuffles(out) <= 2, plan_of(out)
+    assert "SortMergeJoin" not in plan_of(out)  # no pairwise join at all
+
+
+def test_session_agg_reuses_session_partitioning(transcripts):
+    from sparkfeat.windows import sessionize
+
+    sig = sessionize(with_turn_signals(transcripts))
+    agg = sig.groupBy("conv_id", "session_idx").agg(F.count(F.lit(1)).alias("n"))
+    # window shuffle on conv_id; groupBy on (conv_id, session_idx) can
+    # partially aggregate map-side — at most one more exchange
+    assert n_shuffles(agg) <= 2, plan_of(agg)

@@ -1,0 +1,157 @@
+"""Text stats, fingerprints, dedup family (exact / Jaccard / MinHash /
+SimHash) against python oracles and crafted near-duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfeat import text as X
+from sparkfeat.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_token_stats_oracle(docs):
+    got = (
+        docs.select(
+            "doc_id",
+            X.token_count("text").alias("n_tok"),
+            X.distinct_token_count("text").alias("n_dist"),
+            X.stopword_ratio("text").alias("stop"),
+            X.avg_word_len("text").alias("awl"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pdf = docs.select("doc_id", "text").toPandas().sort_values("doc_id").reset_index(drop=True)
+    toks = pdf["text"].str.split()
+    np.testing.assert_array_equal(got["n_tok"], toks.map(len))
+    np.testing.assert_array_equal(got["n_dist"], toks.map(lambda t: len(set(t))))
+    want_stop = toks.map(lambda t: sum(w in X.STOPWORDS for w in t) / len(t))
+    np.testing.assert_allclose(got["stop"], want_stop, rtol=1e-12)
+    want_awl = toks.map(lambda t: sum(len(w) for w in t) / len(t))
+    np.testing.assert_allclose(got["awl"], want_awl, rtol=1e-12)
+
+
+def test_quality_score_range(docs):
+    q = docs.select(X.quality_score("text").alias("q")).toPandas()["q"]
+    assert (q >= 0).all() and (q <= 1).all()
+    assert q.nunique() > 10  # actually discriminates
+
+
+def test_fnv1a_known_vector():
+    # public FNV-1a 64 test vector
+    assert int(X.fnv1a64_np(pd.Series(["abc"]))[0]) == 0xE71FA2190541574B
+
+
+def test_rolling_fingerprint_deterministic(docs):
+    a = X.rolling_fingerprint(docs, "text").select("doc_id", "fp64").toPandas()
+    b = X.rolling_fingerprint(docs, "text").select("doc_id", "fp64").toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+    assert a["fp64"].nunique() == len(a)  # no collisions on this corpus
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow",
+        "how vexingly quick daft zebras jump",
+    ]
+    rows = []
+    i = 0
+    for t in base:
+        rows.append((i, t, "en")); i += 1
+        rows.append((i, t.upper(), "en")); i += 1                 # case dup
+        ws = t.split(); rows.append((i, " ".join(ws[::-1]), "en")); i += 1  # permuted dup
+        rows.append((i, t + " extra tail words here now", "en")); i += 1    # near dup
+    rows.append((i, "completely different content about spark engines", "en"))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+
+
+def test_exact_dedup_bag_semantics(dup_docs):
+    out = exact_dedup(dup_docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    # case + permutation dups share a fingerprint with the original
+    for base_id in (0, 4, 8, 12):
+        grp = out.loc[[base_id, base_id + 1, base_id + 2], "fingerprint"]
+        assert grp.nunique() == 1
+        assert out.loc[base_id, "keep"] and not out.loc[base_id + 1, "keep"]
+    # the near-dup (added words) does NOT collapse
+    assert out.loc[3, "fingerprint"] != out.loc[0, "fingerprint"]
+
+
+def test_jaccard_pairs_vs_bruteforce(dup_docs):
+    got = (
+        jaccard_pairs(dup_docs, threshold=0.5, len_band=1000)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pdf = dup_docs.toPandas()
+    sets = {r.doc_id: set(r.text.lower().split()) for r in pdf.itertuples()}
+    want = []
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                if jac >= 0.5:
+                    want.append((i, j, jac))
+    want_df = pd.DataFrame(want, columns=["id_a", "id_b", "jaccard"])
+    assert len(got) == len(want_df)
+    np.testing.assert_allclose(
+        got["jaccard"].to_numpy(), want_df["jaccard"].to_numpy(), rtol=1e-12
+    )
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(dup_docs):
+    got = minhash_lsh_pairs(dup_docs, num_perm=64, bands=16, shingle_n=2).toPandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    # permuted-word dup has shingle-jaccard < 1 but case dup == 1:
+    for base_id in (0, 4, 8, 12):
+        assert (base_id, base_id + 1) in pairs, f"case dup {base_id} missed"
+    # est_jaccard of exact shingle dups is 1.0
+    exact = got[(got["id_b"] - got["id_a"] == 1) & (got["id_a"] % 4 == 0)]
+    assert (exact["est_jaccard"] == 1.0).all()
+
+
+def test_minhash_estimate_tracks_true_jaccard(docs):
+    sample = docs.limit(40)
+    got = minhash_lsh_pairs(sample, num_perm=128, bands=32, shingle_n=1).toPandas()
+    if len(got) == 0:
+        pytest.skip("no candidate pairs in sample")
+    pdf = sample.toPandas()
+    sets = {r.doc_id: set(r.text.lower().split()) for r in pdf.itertuples()}
+    true = got.apply(
+        lambda r: len(sets[r.id_a] & sets[r.id_b]) / len(sets[r.id_a] | sets[r.id_b]),
+        axis=1,
+    )
+    err = (got["est_jaccard"] - true).abs()
+    assert err.mean() < 0.12  # 128 perms ⇒ σ≈0.04; generous bound
+
+
+def test_simhash_near_dups(dup_docs):
+    out = simhash_pairs(dup_docs, max_hamming=6).toPandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    for base_id in (0, 4, 8, 12):
+        # case dup and permuted dup hash identically (token multiset equal)
+        assert (base_id, base_id + 1) in pairs
+        assert (base_id, base_id + 2) in pairs
+        h = out[(out["id_a"] == base_id) & (out["id_b"] == base_id + 1)]["hamming"]
+        assert (h == 0).all()

@@ -212,3 +212,62 @@ def test_zero_leakage_truncation_audit(sig):
     )
     b = trunc.select(cols).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ewma_sorted_equals_plain(sig):
+    from sparkfeat.windows import repartition_sorted
+
+    sorted_sig = repartition_sorted(sig)
+    fast = T.ewma_sorted(
+        sorted_sig,
+        [("text_len", 7.5, "e1"), ("text_len", 2.0, "e2")],
+    )
+    got1 = _collect(fast, "e1")
+    got2 = _collect(fast, "e2")
+    want1 = _collect(T.ewma(sig, "text_len", 7.5, out_col="e1"), "e1")
+    want2 = _collect(T.ewma(sig, "text_len", 2.0, out_col="e2"), "e2")
+    _assert_close(got1, want1, rtol=1e-12)
+    _assert_close(got2, want2, rtol=1e-12)
+
+
+def test_ewma_sorted_cross_batch_carry(spark):
+    """Force conversations to span Arrow batches (tiny batch size) —
+    the carried (S, W) state must keep results exact."""
+    import pandas as pd
+
+    from sparkfeat.windows import repartition_sorted
+
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "conv_id": np.repeat([f"c{i}" for i in range(4)], n // 4),
+            "turn_idx": np.tile(np.arange(n // 4, dtype="int32"), 4),
+            "ts": np.tile(
+                pd.date_range("2024-01-01", periods=n // 4, freq="1min"), 4
+            ),
+            "v": np.random.default_rng(9).normal(size=n),
+        }
+    )
+    df = repartition_sorted(spark.createDataFrame(pdf), entity_col="conv_id")
+    small_batches = df.sparkSession.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch"
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        got = (
+            T.ewma_sorted(df, [("v", 4.0, "e")])
+            .select("conv_id", "turn_idx", "e")
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)["e"]
+            .to_numpy()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", small_batches)
+    want = (
+        pdf.sort_values(["conv_id", "turn_idx"])
+        .groupby("conv_id")["v"]
+        .transform(lambda s: s.ewm(halflife=4.0).mean())
+        .to_numpy()
+    )
+    _assert_close(got, want, rtol=1e-10)
