@@ -66,8 +66,10 @@ def purge_nan_rows(df: DataFrame, array_cols: list[str]) -> DataFrame:
     (``_remove_nans_from_dict``, transformation/financial.py:344-381)."""
     cond = None
     for c in array_cols:
-        has_nan = F.exists(F.col(c), lambda x: F.isnan(x))
-        keep = F.col(c).isNotNull() & ~has_nan
+        # null elements count as invalid too (Arrow frequently surfaces
+        # pandas NaN as null in array columns)
+        has_bad = F.exists(F.col(c), lambda x: x.isNull() | F.isnan(x))
+        keep = F.col(c).isNotNull() & ~has_bad
         cond = keep if cond is None else (cond & keep)
     return df.filter(cond)
 

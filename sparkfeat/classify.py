@@ -80,3 +80,37 @@ def apply_bins(
         )
     drop = [c for c in bins.columns if c != entity_col]
     return out.drop(*drop)
+
+
+# ---------------------------------------------------------------------------
+# N6 declassification — consumer-side inverse transform (classifier.py:136-298)
+# ---------------------------------------------------------------------------
+
+
+def declassify(pdf: "np.ndarray", edges: "np.ndarray") -> dict:
+    """Invert a predicted bin distribution back to point estimates
+    (``classifier.py:136-298``): expectation and variance over bin
+    centres with **Sheppard's correction** (−w²/12 per bin, grouped-data
+    variance de-bias), plus the distribution median by linear
+    interpolation within its bin. Operates on model outputs (tiny) —
+    numpy, not a Spark op.
+    """
+    import numpy as np
+
+    pdf = np.asarray(pdf, dtype=np.float64)
+    edges = np.asarray(edges, dtype=np.float64)
+    p = pdf / pdf.sum() if pdf.sum() > 0 else pdf
+    centres = (edges[:-1] + edges[1:]) / 2.0
+    widths = np.diff(edges)
+    mean = float((p * centres).sum())
+    # grouped-data variance with Sheppard's correction per bin
+    raw_var = float((p * (centres - mean) ** 2).sum())
+    sheppard = float((p * widths**2).sum() / 12.0)
+    variance = max(raw_var - sheppard, 0.0)
+    # median: first bin where cumulative prob crosses 0.5, linear within
+    cum = np.cumsum(p)
+    k = int(np.searchsorted(cum, 0.5))
+    prev_cum = cum[k - 1] if k > 0 else 0.0
+    frac = (0.5 - prev_cum) / p[k] if p[k] > 0 else 0.5
+    median = float(edges[k] + frac * widths[k])
+    return {"mean": mean, "variance": variance, "median": median}

@@ -41,7 +41,7 @@ def test_assemble_vectors_shapes(spark, transcripts):
     assert (counts >= 8).all()  # row k needs lr back to k-7, lr starts at 1
     # float32 cast applied
     v = pdf["text_len_vec"].iloc[0][0]
-    assert isinstance(v, float)
+    assert np.asarray(v).dtype.kind == "f"
 
 
 def test_assemble_zero_leakage(spark, transcripts):
@@ -70,7 +70,16 @@ def test_purge_nan_rows(spark):
             "b": [[1.0, 1.0], [1.0, 1.0], [np.nan, 1.0]],
         }
     )
-    df = spark.createDataFrame(pdf)
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("a", ArrayType(DoubleType())),
+            StructField("b", ArrayType(DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(pdf, schema=schema)
     kept = purge_nan_rows(df, ["a", "b"]).select("id").toPandas()["id"].tolist()
     assert kept == [0]
 
@@ -79,8 +88,8 @@ def test_onehot_targets(spark):
     pdf = pd.DataFrame({"i": [0, 1, 2], "bin": pd.array([2, -1, None], dtype="Int32")})
     df = spark.createDataFrame(pdf)
     out = onehot_targets(df, "bin", nbins=4).toPandas().sort_values("i")
-    assert out["y_onehot"].iloc[0] == [0.0, 0.0, 1.0, 0.0]
-    assert out["y_onehot"].iloc[1] == [0.0, 0.0, 0.0, 0.0]
+    assert list(out["y_onehot"].iloc[0]) == [0.0, 0.0, 1.0, 0.0]
+    assert list(out["y_onehot"].iloc[1]) == [0.0, 0.0, 0.0, 0.0]
     assert out["y_onehot"].iloc[2] is None
 
 
@@ -102,7 +111,7 @@ def ref_long(spark):
     return long, spark.createDataFrame(long)
 
 
-def _ref_compare(sdf, pdf_long, col, oracle_fn, rtol=1e-4):
+def _ref_compare(sdf, pdf_long, col, oracle_fn, rtol=1e-4, atol=0.0):
     got = (
         sdf.select("conv_id", "turn_idx", col)
         .toPandas()
@@ -115,7 +124,7 @@ def _ref_compare(sdf, pdf_long, col, oracle_fn, rtol=1e-4):
     )
     mask = ~np.isnan(want)
     assert np.array_equal(np.isnan(got), np.isnan(want))
-    np.testing.assert_allclose(got[mask], want[mask], rtol=rtol)
+    np.testing.assert_allclose(got[mask], want[mask], rtol=rtol, atol=atol)
 
 
 def test_reference_log_return_parity(ref_long):
@@ -129,7 +138,10 @@ def test_reference_log_return_parity(ref_long):
         r = pd.Series(r, index=s.index).replace([np.inf, -np.inf], np.nan)
         return r.clip(-0.1, 0.1)
 
-    _ref_compare(out, pdf, "lr", oracle, rtol=1e-4)
+    # reference computes the log itself in float32 (np.log(..., dtype=float32));
+    # we compute float64 then downcast — absolute tolerance 1e-5 matches the
+    # reference suite's ASSERT_NDECIMALS=5 (tests/feature/transform/__init__.py:1)
+    _ref_compare(out, pdf, "lr", oracle, rtol=1e-4, atol=1e-5)
 
 
 def test_reference_volatility_parity(ref_long):

@@ -139,3 +139,30 @@ def test_apply_bins_matches_histogram(sig, sig_pdf):
         np.testing.assert_array_equal(got_hist_in_range, hist, err_msg=conv)
         # out-of-range rows are zero vectors
         assert (oh[got_idx == -1].sum(axis=1) == 0).all()
+
+
+def test_declassify_point_mass():
+    import numpy as np
+
+    from sparkfeat.classify import declassify
+
+    edges = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    out = declassify(np.array([0, 0, 1, 0]), edges)
+    # all mass in bin [2,3): mean = centre 2.5; variance = -w^2/12 floored at 0
+    assert out["mean"] == 2.5
+    assert out["variance"] == 0.0
+    assert out["median"] == 2.5
+
+
+def test_declassify_uniform_matches_continuous_uniform():
+    import numpy as np
+
+    from sparkfeat.classify import declassify
+
+    edges = np.linspace(0, 8, 9)
+    out = declassify(np.ones(8) / 8, edges)
+    # grouped variance of the centres is 5.25; classical Sheppard
+    # subtracts h²/12 (= 1/12) from it
+    np.testing.assert_allclose(out["mean"], 4.0)
+    np.testing.assert_allclose(out["variance"], 5.25 - 1.0 / 12.0)
+    np.testing.assert_allclose(out["median"], 4.0)
