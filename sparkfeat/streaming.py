@@ -1,0 +1,117 @@
+"""Structured Streaming surface: streaming gap-sessionization and
+incremental feature aggregates.
+
+The reference is batch-only (SURVEY.md §2.10) and the north rule is
+resumable batch, so this module is the *streaming twin* of the batch
+operators for pipelines that tail a transcript table: the batch
+``sessionize`` (window algebra) becomes ``session_window`` (state-store
+sessions with watermarked late-data handling), and per-session
+aggregates stream out incrementally.
+
+Semantics note: batch sessionize assigns a session index per
+conversation; streaming ``session_window(ts, gap)`` merges events whose
+windows overlap within the watermark — identical session boundaries for
+in-order data, late data beyond the watermark is dropped (documented
+divergence; the batch path is the source of truth for backfills).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_session_aggregates(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming per-session aggregates over a transcript stream.
+
+    One state-store keyed by (conv_id, session_window); watermark bounds
+    state size — at 10^12-turn scale this is what keeps the job O(active
+    sessions), not O(history).
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(entity_col),
+            F.session_window(F.col(ts_col), gap).alias("session"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text").cast("double")).alias("total_text_len"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            entity_col,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_turns",
+            "total_text_len",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
+def run_stream_once(
+    spark,
+    input_path: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    output_path: str | None = None,
+) -> DataFrame:
+    """Drive the streaming sessionizer over a parquet directory with
+    ``trigger(availableNow)`` — processes everything currently present,
+    checkpoints, and stops; re-running picks up only new files (the
+    streaming analog of checkpoint.run_checkpointed resume).
+
+    ``output_path=None`` uses the in-memory sink (single-run debugging;
+    the memory sink cannot recover a checkpoint). For resumable runs
+    pass a parquet ``output_path``; the returned DataFrame then reads
+    only THIS invocation's newly committed files.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkfeat.schema import TRANSCRIPT_SCHEMA
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_path)
+    agg = stream_session_aggregates(stream, gap=gap)
+    if output_path is None:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sparkfeat_sessions")
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.sql("SELECT * FROM sparkfeat_sessions")
+
+    before = set()
+    if os.path.isdir(output_path):
+        before = {f for f in os.listdir(output_path) if f.endswith(".parquet")}
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    new = [
+        os.path.join(output_path, f)
+        for f in os.listdir(output_path)
+        if f.endswith(".parquet") and f not in before
+    ]
+    if not new:
+        return spark.createDataFrame([], schema=agg.schema)
+    return spark.read.parquet(*new)

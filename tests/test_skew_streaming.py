@@ -1,0 +1,151 @@
+"""Mega-conversation skew (FIXTURES.md F1: convs ≥10k turns alongside
+tiny ones) and the Structured Streaming sessionization twin."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfeat import transforms as T
+from sparkfeat.windows import repartition_sorted, sessionize
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """2 tiny convs + one 50k-turn mega-conversation."""
+    rng = np.random.default_rng(17)
+    frames = []
+    for conv, n in [("tiny_a", 12), ("mega", 50_000), ("tiny_b", 5)]:
+        frames.append(
+            pd.DataFrame(
+                {
+                    "conv_id": conv,
+                    "turn_idx": np.arange(n, dtype="int32"),
+                    "ts": pd.date_range("2024-01-01", periods=n, freq="30s"),
+                    "v": rng.normal(100, 10, size=n),
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    return pdf, spark.createDataFrame(pdf)
+
+
+def test_mega_conversation_windows_and_chunked_ewma(skewed):
+    """Windows + all three EWMA strategies stay correct on a 50k-turn
+    conversation; the chunk scan bounds per-task state."""
+    pdf, df = skewed
+    df = repartition_sorted(df)
+    out = df.withColumn("vol", T.volatility("v", window=20))
+    out = T.ewma(out, "v", halflife=50.0, out_col="e_chunk", chunk_size=4096)
+    out = T.ewma_sorted(out, [("v", 50.0, "e_stream")])
+    got = (
+        out.select("conv_id", "turn_idx", "vol", "e_chunk", "e_stream")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want_e = want.groupby("conv_id")["v"].transform(
+        lambda s: s.ewm(halflife=50.0).mean()
+    )
+    np.testing.assert_allclose(got["e_chunk"], want_e, rtol=1e-9)
+    np.testing.assert_allclose(got["e_stream"], want_e, rtol=1e-9)
+
+    def vol_oracle(s):
+        lr = (
+            np.log(s.pct_change() + 1)
+            .replace([np.inf, -np.inf], np.nan)
+            .clip(-0.1, 0.1)
+        )
+        return lr.rolling(20, min_periods=3).std()
+
+    want_v = want.groupby("conv_id")["v"].transform(vol_oracle)
+    mask = ~want_v.isna()
+    np.testing.assert_allclose(got["vol"][mask], want_v[mask], rtol=1e-9)
+    assert got["vol"][~mask].isna().all()
+
+
+def _with_flush(spark, df, days_ahead: int, tag: str):
+    """Append a far-future sentinel turn: advances the event-time
+    watermark past every real session so append-mode emits them (a real
+    pipeline gets this for free from continuously arriving data)."""
+    from pyspark.sql import functions as F
+
+    mx = df.agg(F.max("ts")).collect()[0][0]
+    flush = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": [f"_flush_{tag}"],
+                "turn_idx": np.array([0], dtype="int32"),
+                "role": ["system"],
+                "text": ["flush"],
+                "tool": [None],
+                "ts": [pd.Timestamp(mx) + pd.Timedelta(days=days_ahead)],
+            }
+        ),
+        schema=df.schema,
+    )
+    return df.unionByName(flush)
+
+
+def test_streaming_sessionization_matches_batch(spark, transcripts, tmp_path):
+    from sparkfeat.streaming import run_stream_once
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    _with_flush(spark, transcripts, 10, "a").write.mode("overwrite").parquet(inp)
+
+    got = (
+        run_stream_once(spark, inp, ckpt, gap="30 minutes")
+        .toPandas()
+        .query("~conv_id.str.startswith('_flush')")
+        .sort_values(["conv_id", "session_start"])
+        .reset_index(drop=True)
+    )
+
+    batch = sessionize(transcripts, gap_seconds=1800.0)
+    want = (
+        batch.groupBy("conv_id", "session_idx")
+        .agg(F.count(F.lit(1)).alias("n_turns"), F.min("ts").alias("first_ts"))
+        .toPandas()
+        .sort_values(["conv_id", "first_ts"])
+        .reset_index(drop=True)
+    )
+    # identical sessions (count, per-session sizes, start timestamps)
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["n_turns"].astype("int64"),
+        want["n_turns"].astype("int64"),
+        check_names=False,
+    )
+    pd.testing.assert_series_equal(
+        pd.to_datetime(got["first_ts"]),
+        pd.to_datetime(want["first_ts"]),
+        check_names=False,
+    )
+
+
+def test_streaming_resume_processes_only_new_files(spark, transcripts, tmp_path):
+    from sparkfeat.streaming import run_stream_once
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    first_in = _with_flush(
+        spark, transcripts.filter(F.col("conv_id") != "conv005"), 10, "a"
+    )
+    outp = str(tmp_path / "out")
+    first_in.write.mode("overwrite").parquet(inp)
+    first = run_stream_once(spark, inp, ckpt, output_path=outp).toPandas()
+    convs1 = {c for c in first["conv_id"] if not c.startswith("_flush")}
+    assert "conv005" not in convs1 and len(convs1) > 0
+
+    # new data arrives LATER in event time than the advanced watermark
+    shifted = transcripts.filter(F.col("conv_id") == "conv005").withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 12 DAYS")
+    )
+    _with_flush(spark, shifted, 10, "b").write.mode("append").parquet(inp)
+    second = run_stream_once(spark, inp, ckpt, output_path=outp).toPandas()
+    convs2 = {c for c in second["conv_id"] if not c.startswith("_flush")}
+    assert convs2 == {"conv005"}  # only the delta, no re-emission
