@@ -22,10 +22,14 @@ from sparkfeat.shipping import ensure_shipped  # noqa: E402
 
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     """Ship the sparkfeat zip to executors before building the plan —
-    Arrow UDF closures unpickle by module reference on workers."""
+    Arrow UDF closures unpickle by module reference on workers — and pin
+    the session timezone: epoch-microsecond bucket/gap math casts
+    TIMESTAMP_NTZ through TIMESTAMP, which must mean UTC to agree with
+    DuckDB's timezone-free epoch_us."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_shipped(spark)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return fn(spark, sf_dir)
 
     return run
