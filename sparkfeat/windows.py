@@ -23,12 +23,15 @@ from pyspark.sql import functions as F
 ORDER_COLS = ("ts", "turn_idx")
 
 
-def w_entity(entity_col: str = "conv_id") -> WindowSpec:
-    """The canonical per-conversation ordered window."""
-    return Window.partitionBy(entity_col).orderBy(*ORDER_COLS)
+def w_entity(entity_col="conv_id") -> WindowSpec:
+    """The canonical per-conversation ordered window. ``entity_col`` may
+    be a single column name or a sequence (used by the chunked-window
+    skew strategy, which partitions by (conv_id, chunk))."""
+    cols = [entity_col] if isinstance(entity_col, str) else list(entity_col)
+    return Window.partitionBy(*cols).orderBy(*ORDER_COLS)
 
 
-def trailing(length: int, entity_col: str = "conv_id") -> WindowSpec:
+def trailing(length: int, entity_col="conv_id") -> WindowSpec:
     """Trailing frame of exactly ``length`` rows ending at the current row.
 
     Maps the reference's window selection ``get_total_ticks_x`` row count
@@ -38,9 +41,58 @@ def trailing(length: int, entity_col: str = "conv_id") -> WindowSpec:
     return w_entity(entity_col).rowsBetween(-(length - 1), 0)
 
 
-def unbounded_trailing(entity_col: str = "conv_id") -> WindowSpec:
+def unbounded_trailing(entity_col="conv_id") -> WindowSpec:
     """Expanding frame from conversation start to the current row."""
     return w_entity(entity_col).rowsBetween(Window.unboundedPreceding, 0)
+
+
+def chunked_bounded_windows(
+    df: DataFrame,
+    apply_fn,
+    max_window: int,
+    chunk_size: int,
+    entity_col: str = "conv_id",
+):
+    """Skew strategy for BOUNDED trailing windows (SURVEY.md §4: windows
+    can't be salted — chunk long conversations into ranged sub-partitions
+    and carry boundary context).
+
+    A single window function over one mega-conversation serializes into
+    one task. For any transform whose frame looks back at most
+    ``max_window − 1`` rows (rolling stats, lag-k, %K, KER — not EWMA or
+    cumulative sums, which have their own carry strategies), split each
+    conversation into ``chunk_size``-row chunks and REPLICATE the last
+    ``max_window − 1`` rows of each chunk into the next as context rows:
+
+        pos   = row_number per conv − 1;  chunk = pos // chunk_size
+        ctx   = rows with pos % chunk_size ≥ chunk_size − (max_window−1),
+                duplicated into chunk+1, flagged _ctx=1
+        apply_fn(union, entity_cols=(conv_id, _chunk))   # parallel chunks
+        keep _ctx = 0
+
+    Every trailing frame of width ≤ max_window sees exactly the rows it
+    would have seen unchunked (context rows sort first by (ts, turn_idx)),
+    so results are bit-identical — proven in tests. Cost: ~(max_window−1)/
+    chunk_size row duplication; parallelism becomes rows/chunk_size per
+    conversation instead of 1.
+
+    ``apply_fn(df, entity_cols) -> df`` must build its window transforms
+    with the given entity partition columns.
+    """
+    w = w_entity(entity_col)
+    overlap = max_window - 1
+    base = df.withColumn("_pos", F.row_number().over(w) - 1).withColumn(
+        "_chunk", (F.col("_pos") / chunk_size).cast("long")
+    )
+    main = base.withColumn("_ctx", F.lit(0))
+    ctx = (
+        base.filter(F.col("_pos") % chunk_size >= chunk_size - overlap)
+        .withColumn("_chunk", F.col("_chunk") + 1)
+        .withColumn("_ctx", F.lit(1))
+    )
+    u = main.unionByName(ctx)
+    out = apply_fn(u, (entity_col, "_chunk"))
+    return out.filter(F.col("_ctx") == 0).drop("_pos", "_chunk", "_ctx")
 
 
 def repartition_sorted(

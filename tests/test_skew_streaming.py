@@ -149,3 +149,35 @@ def test_streaming_resume_processes_only_new_files(spark, transcripts, tmp_path)
     second = run_stream_once(spark, inp, ckpt, output_path=outp).toPandas()
     convs2 = {c for c in second["conv_id"] if not c.startswith("_flush")}
     assert convs2 == {"conv005"}  # only the delta, no re-emission
+
+
+def test_chunked_bounded_windows_bit_identical(skewed):
+    """The chunked-window skew strategy (overlap-carry sub-partitions)
+    must be bit-identical to the plain per-conversation windows for every
+    bounded transform, including the partial-window head of each conv."""
+    from sparkfeat.windows import chunked_bounded_windows
+
+    pdf, df = skewed
+
+    def features(d, entity_cols):
+        return (
+            d.withColumn("vol", T.volatility("v", window=20, entity_col=entity_cols))
+            .withColumn("k", T.stochastic_k("v", length=14, entity_col=entity_cols))
+            .withColumn("ker", T.ker("v", lag=5, entity_col=entity_cols))
+        )
+
+    plain = (
+        features(df, "conv_id")
+        .select("conv_id", "turn_idx", "vol", "k", "ker")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    chunked = (
+        chunked_bounded_windows(df, features, max_window=21, chunk_size=1000)
+        .select("conv_id", "turn_idx", "vol", "k", "ker")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, chunked)
