@@ -269,3 +269,33 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: all (a < b) with cosine ≥
+    threshold. Brute-force quadratic stage — the verification baseline;
+    at corpus scale, route candidates through ``similarity.ivf_topk``
+    buckets first (same scoring expressions) so each vector scores only
+    its nprobe/C fraction. Float32 widened to double (engine-portable)."""
+    from sparkfeat.similarity import _as_double, _dot, _norm
+
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    a = base.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1098,3 +1098,27 @@ def q_ewma_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = repartition_sorted(with_turn_signals(transcripts_from_events(spark, sf_dir)))
     out = ewma_sorted(sig, [("text_len", 7.5, "ewma_fast")])
     return out.select("conv_id", "turn_idx", "ts", _r(F.col("ewma_fast")).alias("text_len_ewma"))
+
+
+_EMB_PAIRS_ORACLE = """WITH c AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ROUND(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM c a, c b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4"""
+
+
+@register("dedup_embedding_pairs", _EMB_PAIRS_ORACLE)
+def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.4): brute-force
+    verification baseline; the IVF bucketing in similarity.py is the
+    corpus-scale candidate generator."""
+    from sparkfeat.dedup import embedding_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_pairs(emb, threshold=0.4)
+    return out.select("id_a", "id_b", _r(F.col("cosine")).alias("cosine"))

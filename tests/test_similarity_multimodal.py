@@ -117,3 +117,24 @@ def test_frame_sample_shapes(media):
     per = out.groupby("media_id")["frame_idx"].count()
     assert (per == 4).all()
     assert out["frame"].map(len).le(16).all()
+
+
+def test_embedding_pairs_vs_numpy(emb, emb_np):
+    from sparkfeat.dedup import embedding_pairs
+
+    ids, mat = emb_np
+    got = (
+        embedding_pairs(emb, threshold=0.4)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    iu = np.triu_indices(len(ids), k=1)
+    mask = sims[iu] >= 0.4
+    want = sorted(zip(np.array(ids)[iu[0]][mask], np.array(ids)[iu[1]][mask]))
+    assert list(zip(got["id_a"], got["id_b"])) == want
+    want_cos = {(a, b): sims[list(ids).index(a), list(ids).index(b)] for a, b in want}
+    for r in got.itertuples():
+        np.testing.assert_allclose(r.cosine, want_cos[(r.id_a, r.id_b)], rtol=1e-9)
