@@ -38,40 +38,52 @@ def asof_join(
     probe_ts: str = "probe_ts",
     ts_col: str = "ts",
     direction: str = "backward",
+    tie_cols: tuple[str, ...] = ("turn_idx",),
 ) -> DataFrame:
     """For each (entity, probe_ts) return each value column's last
     observation at-or-before probe_ts (backward) or first at-or-after
-    (forward). Probes with no qualifying row get nulls."""
+    (forward). Probes with no qualifying row get nulls.
+
+    ``tie_cols`` totalizes the data-side order among equal timestamps
+    (default ``turn_idx`` — the transcript schema's tie-break): backward
+    carries the max-(ts, *tie_cols) row, matching ``pd.merge_asof``'s
+    last-row-in-stable-sort; forward carries the min. Data columns absent
+    from the frame are ignored, so the default is schema-agnostic."""
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
 
+    ties = [c for c in tie_cols if c in data.columns]
+    carry_cols = list(dict.fromkeys([*value_cols, *ties]))
     d = data.select(
         F.col(entity_col),
         F.col(ts_col).alias("_t"),
         F.lit(0).alias("_tag"),
         F.lit(None).cast("timestamp").alias(probe_ts),
-        *[F.col(c) for c in value_cols],
+        *[F.col(c) for c in carry_cols],
     )
     p = probes.select(
         F.col(entity_col),
         F.col(probe_ts).cast("timestamp").alias("_t"),
         F.lit(1).alias("_tag"),
         F.col(probe_ts).cast("timestamp").alias(probe_ts),
-        *[F.lit(None).cast(dict(data.dtypes)[c]).alias(c) for c in value_cols],
+        *[F.lit(None).cast(dict(data.dtypes)[c]).alias(c) for c in carry_cols],
     )
     u = d.unionByName(p)
     if direction == "backward":
-        # data before probe at equal _t ⇒ equal row is visible to the probe
+        # data before probe at equal _t ⇒ equal row is visible to the probe;
+        # tie cols ascend so `last` carries the max-(ts, ties) data row
         w = (
             Window.partitionBy(entity_col)
-            .orderBy(F.col("_t").asc(), F.col("_tag").asc())
+            .orderBy(F.col("_t").asc(), F.col("_tag").asc(), *[F.col(c).asc_nulls_first() for c in ties])
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         carried = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols]
     else:
+        # tie cols ascend so `first` (scanning forward) hits the
+        # min-(ts, ties) data row among equal timestamps
         w = (
             Window.partitionBy(entity_col)
-            .orderBy(F.col("_t").asc(), F.col("_tag").desc())
+            .orderBy(F.col("_t").asc(), F.col("_tag").desc(), *[F.col(c).asc_nulls_first() for c in ties])
             .rowsBetween(0, Window.unboundedFollowing)
         )
         carried = [F.first(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols]

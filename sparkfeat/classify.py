@@ -51,8 +51,10 @@ def apply_bins(
     in-range v — pure array expressions, whole-stage codegen.
     """
     idx_col = idx_col or f"{value_col}_bin"
+    # LEFT join: serve-time rows for entities absent from the fit emit
+    # null bin indices instead of being silently dropped.
     joined = (
-        df.join(F.broadcast(bins), on=entity_col)
+        df.join(F.broadcast(bins), on=entity_col, how="left")
         if entity_col
         else df.crossJoin(F.broadcast(bins))
     )

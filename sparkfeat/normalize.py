@@ -78,8 +78,11 @@ def apply_scaler(
         return gaussian_scale(df, value_col, out_col, entity_col)
     if method not in SCALERS:
         raise ValueError(f"unknown scaler {method!r}")
+    # LEFT join: serve-time rows for entities absent from the training
+    # fit pass through with null scaled values instead of silently
+    # disappearing — callers decide how to handle unseen entities.
     joined = (
-        df.join(F.broadcast(stats), on=entity_col)
+        df.join(F.broadcast(stats), on=entity_col, how="left")
         if entity_col
         else df.crossJoin(F.broadcast(stats))
     )
@@ -130,6 +133,16 @@ def _acklam_ndtri(p: np.ndarray) -> np.ndarray:
     return out
 
 
+def _ndtri_udf():
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def ndtri(p: pd.Series) -> pd.Series:
+        return pd.Series(_acklam_ndtri(p.to_numpy(dtype=np.float64)))
+
+    return ndtri
+
+
 def gaussian_scale(
     df: DataFrame,
     value_col: str,
@@ -138,27 +151,64 @@ def gaussian_scale(
 ) -> DataFrame:
     """N1 'gaussian': quantile rank → Φ⁻¹.
 
-    Rank = (cume_dist·n − 0.5)/n — the midpoint ECDF, clipped away from
-    {0, 1} so Φ⁻¹ stays finite (QuantileTransformer clips to
-    [ε, 1−ε] the same way). Window cume_dist keeps the rank JVM-side;
-    only the Φ⁻¹ evaluation crosses to Python, Arrow-batched.
+    Rank = (count of VALID rows at-or-before in value order − 0.5)/n_valid
+    — the midpoint ECDF over non-null, non-NaN values only. Nulls sort
+    first and NaNs last in Spark's value ordering, so a naive
+    ``cume_dist·n`` would shift every rank when invalid rows are present;
+    counting ``when(valid, v)`` over the value-ordered range frame (peers
+    included, like cume_dist) excludes them exactly, and invalid rows emit
+    null (the reference masks NaNs through the transform,
+    financial.py:140-171). Rank clipped away from {0, 1} so Φ⁻¹ stays
+    finite (QuantileTransformer clips to [ε, 1−ε] the same way).
+
+    ``entity_col=None`` (global fit) avoids the single-task global sort:
+    ``repartitionByRange(value)`` co-locates equal values, each task ranks
+    its own value range in parallel, and the tiny per-partition valid
+    counts are prefix-summed and broadcast-joined back — exact global
+    ranks with no serialized sort (the range exchange is computed once
+    and reused for both the counts and the rank side).
     """
     from pyspark.sql import Window
-    from pyspark.sql.types import DoubleType
 
-    w = Window.partitionBy(entity_col) if entity_col else Window.partitionBy()
-    w = w.orderBy(F.col(value_col))
-    n = F.count(value_col).over(
-        Window.partitionBy(entity_col) if entity_col else Window.partitionBy()
+    v = F.col(value_col)
+    valid = v.isNotNull() & ~F.isnan(v.cast("double"))
+    ndtri = _ndtri_udf()
+
+    if entity_col is not None:
+        w_ord = (
+            Window.partitionBy(entity_col)
+            .orderBy(v)
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cnt_le = F.count(F.when(valid, v)).over(w_ord)
+        n = F.count(F.when(valid, v)).over(Window.partitionBy(entity_col))
+        rank = (cnt_le - F.lit(0.5)) / n
+        clipped = F.least(F.greatest(rank, F.lit(1e-7)), F.lit(1 - 1e-7))
+        return df.withColumn(out_col, F.when(valid, ndtri(clipped)))
+
+    # global: two-pass range-partitioned exact rank
+    ranged = df.repartitionByRange(v).withColumn("_pid", F.spark_partition_id())
+    pc = ranged.groupBy("_pid").agg(F.count(F.when(valid, v)).alias("_c"))
+    w_pid = Window.orderBy("_pid")
+    offs = pc.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_c").over(w_pid.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+        F.sum("_c")
+        .over(w_pid.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("_n"),
     )
-    rank = (F.cume_dist().over(w) * n - 0.5) / n
-
-    @F.pandas_udf(DoubleType())
-    def ndtri(p: pd.Series) -> pd.Series:
-        return pd.Series(_acklam_ndtri(p.to_numpy(dtype=np.float64)))
-
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy(v)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = ranged.join(F.broadcast(offs), "_pid")
+    cnt_le = F.col("_off") + F.count(F.when(valid, v)).over(w_loc)
+    rank = (cnt_le - F.lit(0.5)) / F.col("_n")
     clipped = F.least(F.greatest(rank, F.lit(1e-7)), F.lit(1 - 1e-7))
-    return df.withColumn(
-        out_col,
-        F.when(F.col(value_col).isNotNull(), ndtri(clipped)),
+    return joined.withColumn(out_col, F.when(valid, ndtri(clipped))).drop(
+        "_pid", "_off", "_n"
     )

@@ -82,8 +82,8 @@ feat AS (
     SELECT conv_id, turn_idx, role, text, tool, ts, text_len, token_est, is_tool,
         CAST(SUM(is_new) OVER ({_W} ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_idx,
         lr,
-        CASE WHEN COUNT(lr) OVER ({_W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) >= 3
-             THEN STDDEV_SAMP(lr) OVER ({_W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        CASE WHEN COUNT(lr_raw) OVER ({_W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) >= 3
+             THEN STDDEV_SAMP(lr_raw) OVER ({_W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
              END AS vol,
         100.0 * (text_len - MIN(text_len) OVER ({_W} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
             / NULLIF(MAX(text_len) OVER ({_W} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
@@ -897,10 +897,9 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PERIOD_US = 3 * 24 * 3600 * 1_000_000  # 3-day periods
 
 _UNIVERSE_ORACLE = f"""{_SIG_CTE},
-t0 AS (SELECT MIN(epoch_us(ts)) AS v FROM sig),
 per AS (
-    SELECT conv_id, ((epoch_us(ts) - t0.v) // {_PERIOD_US}) AS p, token_est
-    FROM sig, t0
+    SELECT conv_id, (epoch_us(ts) // {_PERIOD_US}) AS p, token_est
+    FROM sig
 ),
 sums AS (SELECT conv_id, p, SUM(token_est) AS v FROM per GROUP BY conv_id, p),
 tr AS (
@@ -913,10 +912,10 @@ rk AS (
     FROM tr
 )
 SELECT CAST(p AS BIGINT) AS period,
-    make_timestamp(p * {_PERIOD_US} + t0.v) AS period_start,
-    make_timestamp((p + 1) * {_PERIOD_US} + t0.v) AS period_end,
+    make_timestamp(p * {_PERIOD_US}) AS period_start,
+    make_timestamp((p + 1) * {_PERIOD_US}) AS period_end,
     conv_id, ROUND(total, 6) AS total, CAST(rank AS INT) AS rank
-FROM rk, t0 WHERE rank <= 20"""
+FROM rk WHERE rank <= 20"""
 
 
 @register("universe_topn", _UNIVERSE_ORACLE)
@@ -937,10 +936,9 @@ def q_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MEMBERSHIP_ORACLE = f"""{_SIG_CTE},
-t0 AS (SELECT MIN(epoch_us(ts)) AS v FROM sig),
 per AS (
-    SELECT conv_id, ((epoch_us(ts) - t0.v) // {_PERIOD_US}) AS p, token_est
-    FROM sig, t0
+    SELECT conv_id, (epoch_us(ts) // {_PERIOD_US}) AS p, token_est
+    FROM sig
 ),
 sums AS (SELECT conv_id, p, SUM(token_est) AS v FROM per GROUP BY conv_id, p),
 tr AS (
@@ -955,11 +953,11 @@ rk AS (
 ),
 uni AS (SELECT conv_id, p FROM rk WHERE rank <= 20)
 SELECT s.conv_id, CAST(COUNT(*) AS BIGINT) AS n_in_universe
-FROM sig s, t0
+FROM sig s
 WHERE EXISTS (
     SELECT 1 FROM uni u
     WHERE u.conv_id = s.conv_id
-      AND u.p = ((epoch_us(s.ts) - t0.v) // {_PERIOD_US})
+      AND u.p = (epoch_us(s.ts) // {_PERIOD_US})
 )
 GROUP BY s.conv_id"""
 

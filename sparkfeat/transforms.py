@@ -84,7 +84,7 @@ def volatility(
     v: str | Column,
     window: int,
     min_periods: int = 3,
-    clip: float | None = MAX_LOG_RETURN,
+    clip: float | None = None,
     entity_col: str = "conv_id",
 ) -> Column:
     """T4 rolling sample std of the log-return (transform.py:97-114).
@@ -92,6 +92,11 @@ def volatility(
     pandas ``rolling(window, min_periods=3).std()`` counts non-NaN values
     in the frame; ``stddev_samp`` ignores nulls, so gating on
     ``count(lr) >= min_periods`` reproduces it exactly.
+
+    NB the reference's ``TransformVolatility.transform_x`` never calls
+    ``shrink_tails`` — the std runs over **unclipped** log-returns
+    (transform.py:101-102), so ``clip`` defaults to None here; pass
+    ``clip=MAX_LOG_RETURN`` to opt into tail shrinking.
     """
     lr = log_return(v, clip=clip, entity_col=entity_col)
     fr = trailing(window, entity_col)

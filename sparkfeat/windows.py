@@ -79,6 +79,13 @@ def chunked_bounded_windows(
     ``apply_fn(df, entity_cols) -> df`` must build its window transforms
     with the given entity partition columns.
     """
+    if chunk_size < max_window - 1:
+        raise ValueError(
+            f"chunk_size ({chunk_size}) must be >= max_window - 1 "
+            f"({max_window - 1}): context rows are replicated only from "
+            "the immediately preceding chunk, so smaller chunks would "
+            "silently truncate trailing windows"
+        )
     w = w_entity(entity_col)
     overlap = max_window - 1
     base = df.withColumn("_pos", F.row_number().over(w) - 1).withColumn(

@@ -132,3 +132,39 @@ def test_slice_and_topk(sig):
     totals = sig.groupBy("conv_id").agg(F.sum("token_est").alias("t")).toPandas()
     want = set(totals.sort_values(["t", "conv_id"], ascending=[False, True]).head(2)["conv_id"])
     assert kept == want
+
+
+def test_asof_join_equal_ts_tie_break(spark):
+    """ADVICE r1: two data rows sharing a timestamp — backward must carry
+    the max-turn_idx row (pd.merge_asof last-in-stable-sort), forward the
+    min-turn_idx row, independent of partition-sort luck."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    data = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c"] * 4,
+                "ts": [t0, t0, t0 + pd.Timedelta("1h"), t0 + pd.Timedelta("1h")],
+                "turn_idx": [0, 1, 2, 3],
+                "v": [10.0, 11.0, 20.0, 21.0],
+            }
+        )
+    )
+    probes = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["c", "c"], "probe_ts": [t0, t0 + pd.Timedelta("1h")]})
+    )
+    back = (
+        asof_join(probes, data, ["v"])
+        .toPandas()
+        .sort_values("probe_ts")["v"]
+        .tolist()
+    )
+    assert back == [11.0, 21.0]  # max turn_idx at each equal-ts group
+    fwd = (
+        asof_join(probes, data, ["v"], direction="forward")
+        .toPandas()
+        .sort_values("probe_ts")["v"]
+        .tolist()
+    )
+    assert fwd == [10.0, 20.0]  # min turn_idx at each equal-ts group

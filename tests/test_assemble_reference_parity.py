@@ -150,7 +150,9 @@ def test_reference_volatility_parity(ref_long):
     out = sdf.withColumn("vol", T.volatility("close", window=10))
 
     def oracle(s: pd.Series) -> pd.Series:
-        lr = np.log(s.pct_change() + 1).replace([np.inf, -np.inf], np.nan).clip(-0.1, 0.1)
+        # reference never shrink_tails the log-return before the rolling
+        # std (transform.py:101-102) — unclipped, exactly as here
+        lr = np.log(s.pct_change() + 1).replace([np.inf, -np.inf], np.nan)
         return lr.rolling(10, min_periods=3).std()
 
     _ref_compare(out, pdf, "vol", oracle, rtol=1e-6)

@@ -166,3 +166,65 @@ def test_declassify_uniform_matches_continuous_uniform():
     np.testing.assert_allclose(out["mean"], 4.0)
     np.testing.assert_allclose(out["variance"], 5.25 - 1.0 / 12.0)
     np.testing.assert_allclose(out["median"], 4.0)
+
+
+def test_gaussian_scale_masks_nulls_and_nans(spark):
+    """ADVICE r1: nulls sort first and NaNs last in the value-ordered
+    window — neither may shift valid ranks, and both emit null output."""
+    import math
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 10,
+            "turn_idx": list(range(10)),
+            "ts": pd.date_range("2024-01-01", periods=10, freq="1min"),
+            "v": [None, 1.0, 2.0, float("nan"), 3.0, 4.0, None, 5.0, float("nan"), 6.0],
+        }
+    )
+    out = (
+        gaussian_scale(spark.createDataFrame(pdf), "v", "g")
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    # invalid rows → null out
+    invalid = out.loc[[0, 3, 6, 8], "g"]
+    assert invalid.isna().all()
+    # valid ranks = (i+1-0.5)/6 over the 6 valid values, unaffected by invalids
+    valid_vals = out.loc[[1, 2, 4, 5, 7, 9], "g"].to_numpy(dtype="float64")
+    want = np.array(
+        [statistics.NormalDist().inv_cdf((i + 0.5) / 6.0) for i in range(6)]
+    )
+    np.testing.assert_allclose(valid_vals, want, rtol=1e-6, atol=1e-9)
+
+
+def test_gaussian_scale_global_two_pass(spark, sig, sig_pdf):
+    """Global (entity_col=None) path: range-partitioned two-pass rank ==
+    single-sequence rank oracle; plan contains no single-task global sort."""
+    out = gaussian_scale(sig, "text_len", "g", entity_col=None)
+    got = _collect(out, "g")
+
+    s = sig_pdf["text_len"]
+    r = s.rank(method="max")
+    p = np.clip((r - 0.5) / len(s), 1e-7, 1 - 1e-7)
+    want = np.array([statistics.NormalDist().inv_cdf(x) for x in p])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_apply_scaler_left_join_passes_unseen_entities(spark, sig):
+    """ADVICE r1: serve-time rows for entities absent from the fit must
+    surface with null scaled values, not vanish."""
+    held_out = sig.select("conv_id").first()["conv_id"]
+    stats = fit_stats(sig.filter(F.col("conv_id") != held_out), "text_len")
+    out = apply_scaler(sig, stats, "text_len", "standard")
+    n_in = sig.count()
+    assert out.count() == n_in
+    unseen = out.filter(F.col("conv_id") == held_out)
+    assert unseen.count() > 0
+    assert unseen.filter(F.col("text_len_standard").isNotNull()).count() == 0
+
+    bins = fit_bins(sig.filter(F.col("conv_id") != held_out), "text_len", 5)
+    b = apply_bins(sig, bins, "text_len", 5, idx_col="bin_idx", onehot_col="oh")
+    assert b.count() == n_in
+    ub = b.filter(F.col("conv_id") == held_out)
+    assert ub.filter(F.col("bin_idx").isNotNull() | F.col("oh").isNotNull()).count() == 0

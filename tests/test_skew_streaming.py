@@ -54,11 +54,8 @@ def test_mega_conversation_windows_and_chunked_ewma(skewed):
     np.testing.assert_allclose(got["e_stream"], want_e, rtol=1e-9)
 
     def vol_oracle(s):
-        lr = (
-            np.log(s.pct_change() + 1)
-            .replace([np.inf, -np.inf], np.nan)
-            .clip(-0.1, 0.1)
-        )
+        # unclipped log-returns: reference volatility never shrink_tails
+        lr = np.log(s.pct_change() + 1).replace([np.inf, -np.inf], np.nan)
         return lr.rolling(20, min_periods=3).std()
 
     want_v = want.groupby("conv_id")["v"].transform(vol_oracle)
@@ -181,3 +178,12 @@ def test_chunked_bounded_windows_bit_identical(skewed):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(plain, chunked)
+
+
+def test_chunked_bounded_windows_rejects_short_chunks(skewed):
+    """ADVICE r1: chunk_size < max_window − 1 would silently truncate
+    trailing windows (context only replicates from the previous chunk)."""
+    from sparkfeat.windows import chunked_bounded_windows
+
+    with pytest.raises(ValueError, match="chunk_size"):
+        chunked_bounded_windows(skewed, lambda df, e: df, max_window=50, chunk_size=10)

@@ -64,8 +64,28 @@ def test_log_return_parity(sig, sig_pdf):
     _assert_close(got, want, rtol=1e-12)
 
 
+def _oracle_log_return_raw(s: pd.Series) -> pd.Series:
+    r = np.log(s.pct_change() + 1)
+    return r.replace([np.inf, -np.inf], np.nan)
+
+
 def test_volatility_parity(sig, sig_pdf):
+    # reference volatility never shrink_tails (transform.py:101-102):
+    # std of UNCLIPPED log-returns
     got = _collect(sig.withColumn("vol", T.volatility("text_len", window=10)), "vol")
+    want = (
+        sig_pdf.groupby("conv_id")["text_len"]
+        .transform(lambda s: _oracle_log_return_raw(s).rolling(10, min_periods=3).std())
+        .to_numpy()
+    )
+    _assert_close(got, want, rtol=1e-9)
+
+
+def test_volatility_clip_opt_in(sig, sig_pdf):
+    got = _collect(
+        sig.withColumn("vol", T.volatility("text_len", window=10, clip=MAX_LOG_RETURN)),
+        "vol",
+    )
     want = (
         sig_pdf.groupby("conv_id")["text_len"]
         .transform(lambda s: _oracle_log_return(s).rolling(10, min_periods=3).std())
