@@ -110,6 +110,23 @@ def bag_fingerprint(text: str | Column) -> Column:
     return F.md5(bag)
 
 
+def md5_lower64_np(strings) -> np.ndarray:
+    """Lower 64 bits of md5 per string — defined as the little-endian
+    integer of digest bytes 8..16, exactly DuckDB's ``md5_number_lower``.
+    This is the token/shingle hash for MinHash and SimHash so their SQL
+    oracles can replay signatures bit-for-bit."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
+            for s in strings
+        ),
+        dtype=np.uint64,
+        count=len(strings),
+    )
+
+
 _FNV_OFFSET = np.uint64(14695981039346656037)
 _FNV_PRIME = np.uint64(1099511628211)
 

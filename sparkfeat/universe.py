@@ -20,9 +20,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def period_index(ts_col: str, period_seconds: int, t0_us: int):
+def period_index(ts_col: str, period_seconds: int, t0_us: int = 0):
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    return ((us - F.lit(t0_us)) / F.lit(period_seconds * 1_000_000)).cast("long")
+    return F.floor((us - F.lit(t0_us)) / F.lit(period_seconds * 1_000_000)).cast(
+        "long"
+    )
 
 
 def active_universe(
@@ -33,15 +35,18 @@ def active_universe(
     entity_col: str = "conv_id",
     ts_col: str = "ts",
     lookback_periods: int = 1,
+    t0_us: int = 0,
 ) -> DataFrame:
     """Top-N entities per period by trailing summed ``value_col``.
 
     Emits (period, period_start, period_end, conv_id, total, rank).
     The trailing sum is a rangeBetween window over the period index, so
-    period gaps are handled without densification."""
-    t0_us = df.agg(
-        F.min(F.unix_micros(F.col(ts_col).cast("timestamp")))
-    ).collect()[0][0]
+    period gaps are handled without densification.
+
+    Periods are anchored to a FIXED epoch (``t0_us``, default 0 — floor
+    of epoch time to the period width), not to ``min(ts)``: a data-derived
+    anchor costs an extra full pass over the fact table just to start the
+    grid and makes period ids irreproducible across runs/backfills."""
     per = df.withColumn("_p", period_index(ts_col, period_seconds, t0_us))
     sums = per.groupBy(entity_col, "_p").agg(F.sum(value_col).alias("_v"))
     wtrail = (
