@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from sparkfeat.text import bag_fingerprint, fnv1a64_np, tokens
+from sparkfeat.text import bag_fingerprint, md5_lower64_np, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -123,9 +123,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature (ArrayType<long>, length num_perm).
 
-    Shingle hashes are FNV-1a64 folded into the Mersenne prime field;
-    permutations h_i(x) = (a_i·x + b_i) mod p. One Arrow batch per
-    partition — numpy does (docs×perms) mins vectorized."""
+    Shingle hashes are md5-lower-64 (== DuckDB ``md5_number_lower``)
+    folded into the Mersenne prime field; permutations
+    h_i(x) = (a_i·x + b_i) mod p. One Arrow batch per partition — numpy
+    does (docs×perms) mins vectorized. The whole signature is replayable
+    in SQL, so the driver oracle checks it end-to-end."""
     a, b = _perm_params(num_perm, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -136,7 +138,7 @@ def minhash_signatures(
             if not sh:
                 out.append([int(_MERSENNE)] * num_perm)
                 continue
-            hv = (fnv1a64_np(pd.Series(sh)) % _MERSENNE).astype(np.int64)
+            hv = (md5_lower64_np(sh) % _MERSENNE).astype(np.int64)
             # (n_shingles, num_perm) permuted hashes → column-min
             perms = (hv[:, None].astype(object) * a[None, :] + b[None, :]) % _MERSENNE
             out.append([int(v) for v in perms.min(axis=0)])
@@ -200,7 +202,9 @@ def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """64-bit SimHash per doc (Charikar): sum ±1 per bit over token
-    hashes, sign → bit. Token hashes via FNV-1a64 (one Arrow pass)."""
+    hashes, sign → bit. Token hashes via md5-lower-64 (one Arrow pass;
+    == DuckDB ``md5_number_lower``, so the SQL oracle replays the bit
+    vector exactly)."""
 
     @F.pandas_udf(LongType())
     def sh(texts: pd.Series) -> pd.Series:
@@ -210,18 +214,15 @@ def simhash(
             if not ws:
                 out[i] = 0
                 continue
-            hv = fnv1a64_np(pd.Series(ws))
+            hv = md5_lower64_np(ws)
             bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
                 np.int64
             )
             v = (2 * bits - 1).sum(axis=0)
-            out[i] = int(
-                np.int64(
-                    np.uint64(
-                        sum(np.uint64(1) << np.uint64(k) for k in np.flatnonzero(v > 0))
-                    )
-                )
-            )
+            # exact bit packing (a python sum() of uint64 scalars promotes
+            # to float64 under numpy 1.x and silently corrupts high bits)
+            packed = np.packbits((v > 0).astype(np.uint8), bitorder="little")
+            out[i] = packed.view("<i8")[0]
         return pd.Series(out)
 
     return df.withColumn("simhash", sh(F.col(text_col)))

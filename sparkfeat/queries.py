@@ -618,11 +618,64 @@ def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("gaussian_scaler")  # no SQL oracle: Φ⁻¹ not expressible in DuckDB
+def _acklam_sql(p: str) -> str:
+    """Acklam's inverse-normal-CDF as a DuckDB scalar expression over
+    ``p`` — the same public-domain rational approximation (and the same
+    operation order) as ``normalize._acklam_ndtri``, so the two engines
+    agree to ~1e-15 (libm log/sqrt), far inside the round-6 tolerance."""
+    a = [-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00]
+    b = [-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+         3.754408661907416e00]
+
+    def pc(q: str) -> str:
+        return (f"((((({c[0]!r}*{q} + {c[1]!r})*{q} + {c[2]!r})*{q} + {c[3]!r})*{q}"
+                f" + {c[4]!r})*{q} + {c[5]!r})")
+
+    def pd_(q: str) -> str:
+        return (f"(((({d[0]!r}*{q} + {d[1]!r})*{q} + {d[2]!r})*{q} + {d[3]!r})*{q}"
+                " + 1)")
+
+    qlo = f"sqrt(-2*ln({p}))"
+    qhi = f"sqrt(-2*ln(1-({p})))"
+    r = f"((({p})-0.5)*(({p})-0.5))"
+    qm = f"(({p})-0.5)"
+    num_mid = (f"((((({a[0]!r}*{r} + {a[1]!r})*{r} + {a[2]!r})*{r} + {a[3]!r})*{r}"
+               f" + {a[4]!r})*{r} + {a[5]!r})*{qm}")
+    den_mid = (f"((((({b[0]!r}*{r} + {b[1]!r})*{r} + {b[2]!r})*{r} + {b[3]!r})*{r}"
+               f" + {b[4]!r})*{r} + 1)")
+    return (f"CASE WHEN {p} < 0.02425 THEN {pc(qlo)} / {pd_(qlo)} "
+            f"WHEN {p} > 0.97575 THEN -({pc(qhi)}) / {pd_(qhi)} "
+            f"ELSE {num_mid} / {den_mid} END")
+
+
+_GAUSS_ORACLE = f"""{_SIG_CTE},
+rk AS (
+    SELECT conv_id, turn_idx, text_len,
+        COUNT(text_len) OVER (PARTITION BY conv_id ORDER BY text_len) AS cle,
+        COUNT(text_len) OVER (PARTITION BY conv_id) AS n
+    FROM sig
+),
+pr AS (
+    SELECT conv_id, turn_idx, text_len,
+        LEAST(GREATEST((cle - 0.5) / n, 1e-7), 1 - 1e-7) AS p
+    FROM rk
+)
+SELECT conv_id, turn_idx, text_len,
+    ROUND({_acklam_sql('p')}, 6) AS z_gaussian
+FROM pr"""
+
+
+@register("gaussian_scaler", _GAUSS_ORACLE)
 def q_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N1 'gaussian' quantile scaler (rank → Φ⁻¹ via vectorized Acklam
-    pandas UDF). Rows-only driver check; exactness is covered by the
-    pytest oracle against statistics.NormalDist.inv_cdf."""
+    """N1 'gaussian' quantile scaler (valid-rank → Φ⁻¹ via vectorized
+    Acklam pandas UDF); the oracle replays the midpoint-ECDF rank (COUNT
+    over the value-ordered peer-inclusive frame) and the same Acklam
+    rational approximation in pure SQL."""
     from sparkfeat.normalize import gaussian_scale
 
     sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
@@ -798,11 +851,71 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
 
 
-@register("dedup_minhash_lsh")  # rows-only: hash permutations not SQL-portable
+def _minhash_oracle() -> str:
+    """Replay the full MinHash+LSH pipeline in DuckDB: md5-lower-64
+    shingle hashes → (a·h + b) mod Mersenne-61 permutations (HUGEINT
+    intermediate — exact, like the object-dtype numpy path) → column-min
+    signatures → 16 bands of 4 rows → bucket self-join → signature
+    agreement. Bit-for-bit the same integers as sparkfeat.dedup."""
+    from sparkfeat.dedup import _MERSENNE, _perm_params
+
+    num_perm, bands, rows = 64, 16, 4
+    a, b = _perm_params(num_perm, seed=42)
+    A = "[" + ",".join(str(int(x)) for x in a) + "]"
+    B = "[" + ",".join(str(int(x)) for x in b) + "]"
+    M = int(_MERSENNE)
+    return f"""WITH w AS (
+    SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+        CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+             WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1]) END AS sh
+    FROM w
+),
+hv AS (
+    SELECT doc_id,
+        list_transform(sh, s -> CAST(md5_number_lower(s) % {M} AS BIGINT)) AS hs
+    FROM sh
+),
+sig AS (
+    SELECT doc_id,
+        CASE WHEN len(hs) = 0
+             THEN list_transform(generate_series(1, {num_perm}), j -> CAST({M} AS BIGINT))
+             ELSE list_transform(generate_series(1, {num_perm}), j ->
+                 list_min(list_transform(hs, h ->
+                     CAST((CAST({A}[j] AS HUGEINT) * h + {B}[j]) % {M} AS BIGINT))))
+        END AS sig
+    FROM hv
+),
+banded AS (
+    SELECT doc_id, sig, b AS band, sig[b * {rows} + 1 : b * {rows} + {rows}] AS key
+    FROM sig, generate_series(0, {bands - 1}) t(b)
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS id_a, x.sig AS sa, y.doc_id AS id_b, y.sig AS sb
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+est AS (
+    SELECT id_a, id_b,
+        CAST(len(list_filter(generate_series(1, {num_perm}), j -> sa[j] = sb[j]))
+             AS DOUBLE) / {num_perm}.0 AS est_jaccard
+    FROM cand
+)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5"""
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 perms)+LSH(16 bands) candidate pairs with estimated
-    Jaccard ≥ 0.5. Estimator accuracy and recall are pytest-verified
-    against exact Jaccard (tests/test_text_dedup.py)."""
+    Jaccard ≥ 0.5. The oracle replays signatures/banding exactly in SQL
+    (md5-based shingle hashes); estimator accuracy and recall are
+    additionally pytest-verified against exact Jaccard."""
     from sparkfeat.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -811,10 +924,50 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # rows-only: FNV bit math not SQL-portable
+_SIMHASH_ORACLE = r"""WITH w AS (
+    SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+    FROM documents
+),
+hv AS (
+    SELECT doc_id, list_transform(ws, s -> md5_number_lower(s)) AS hs FROM w
+),
+bits AS (
+    -- Charikar sign vector replayed as a 64-entry 0/1 list (packing into
+    -- a BIGINT would overflow DuckDB's checked 1<<63)
+    SELECT doc_id,
+        list_transform(generate_series(0, 63), k ->
+            CASE WHEN len(hs) = 0 THEN 0
+                 WHEN list_sum(list_transform(hs, h ->
+                     CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1
+                 ELSE 0 END) AS bits
+    FROM hv
+),
+blocks AS (
+    SELECT doc_id, bits, b AS blk,
+        list_sum(list_transform(generate_series(0, 15),
+                                k -> bits[b * 16 + k + 1] * (1 << k))) AS val
+    FROM bits, generate_series(0, 3) t(b)
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS id_a, x.bits AS ba, y.doc_id AS id_b, y.bits AS bb
+    FROM blocks x JOIN blocks y
+      ON x.blk = y.blk AND x.val = y.val AND x.doc_id < y.doc_id
+),
+ham AS (
+    SELECT id_a, id_b,
+        CAST(len(list_filter(generate_series(1, 64), k -> ba[k] <> bb[k])) AS INT)
+            AS hamming
+    FROM cand
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3) via 16-bit pigeonhole
-    blocking + exact bit_count verify."""
+    blocking + exact bit_count verify; the oracle rebuilds the md5-based
+    sign vectors bit-for-bit in SQL."""
     from sparkfeat.dedup import simhash_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -858,17 +1011,64 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_id", "vec_id", _r(F.col("cosine")).alias("cosine"), "rk")
 
 
-@register("ann_ivf_topk")  # rows-only: recall vs brute force is pytest-gated
+_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+_IVF_ORACLE = f"""WITH c AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv
+    FROM (SELECT * FROM c ORDER BY vec_id LIMIT 16)
+),
+assigned AS (
+    SELECT vec_id, v, cent_id FROM (
+        SELECT c.vec_id, c.v, cents.cent_id,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                {_COS.format(a='c.v', b='cents.cv')} DESC, cents.cent_id) AS r
+        FROM c, cents) WHERE r = 1
+),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 10),
+pc AS (
+    SELECT probe_id, pv, cent_id FROM (
+        SELECT p.probe_id, p.pv, cents.cent_id,
+            ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+                {_COS.format(a='p.pv', b='cents.cv')} DESC, cents.cent_id) AS r
+        FROM p, cents) WHERE r <= 4
+),
+scored AS (
+    SELECT pc.probe_id, a.vec_id,
+        {_COS.format(a='pc.pv', b='a.v')} AS cosine
+    FROM assigned a JOIN pc ON a.cent_id = pc.cent_id
+    WHERE a.vec_id <> pc.probe_id
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id)
+        AS rk
+    FROM scored
+)
+SELECT probe_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 5"""
+
+
+@register("ann_ivf_topk", _IVF_ORACLE)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (16 deterministic centroids, nprobe=4): the
-    scale path — each probe scans ~nprobe/16 of the corpus."""
+    scale path — each probe scans ~nprobe/16 of the corpus. The oracle
+    replays centroid selection, nearest-centroid assignment, probe
+    fan-out, and the in-bucket top-k rank in SQL (both engines fold dot
+    products left-to-right, so ranks agree bit-for-bit); recall vs brute
+    force is additionally pytest-gated."""
     from sparkfeat.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=4)
+    out = ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=4)
+    return out.select("probe_id", "vec_id", _r(F.col("cosine")).alias("cosine"), "rk")
 
 
 @register("multimodal_decode")  # rows-only: binary payload plumbing
@@ -1065,23 +1265,99 @@ def q_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("gasf_window_images")  # rows-only: polar-field math not SQL-portable
-def q_gasf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T8 GASF image features over trailing 16-turn windows (image 4×4,
-    Arrow pandas UDF); math is pytest-verified against hand-computed
-    fields. Emits per-row image checksums."""
+def _polar_field_oracle(element_expr: str, agg_expr: str) -> str:
+    """Shared GASF/GADF oracle scaffold: trailing-16 window collect →
+    PAA(4) → min-max to [−1,1] (cos) + sqrt(1−cos²) (sin) → 4×4 field
+    element at k = (i=k//4, j=k%4) — the same op order as
+    ``transforms.gasf_image``/``gadf_image``, so per-element doubles are
+    bit-identical; only the final 16-term sum order can differ (≈1e-16,
+    far inside round-6)."""
+    return f"""{_SIG_CTE},
+w AS (
+    SELECT conv_id, turn_idx,
+        list(text_len) OVER ({_W} ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS win
+    FROM sig
+),
+f AS (SELECT conv_id, turn_idx, win FROM w WHERE len(win) >= 16),
+paa AS (
+    SELECT conv_id, turn_idx,
+        list_transform(generate_series(0, 3),
+            i -> (win[i*4+1] + win[i*4+2] + win[i*4+3] + win[i*4+4]) / 4.0) AS p
+    FROM f
+),
+sc AS (
+    SELECT conv_id, turn_idx,
+        list_transform(p, x -> CASE WHEN list_max(p) = list_min(p) THEN 0.0
+            ELSE LEAST(GREATEST(2.0*(x - list_min(p))/(list_max(p) - list_min(p)) - 1.0,
+                                -1.0), 1.0) END) AS cosv
+    FROM paa
+),
+g AS (
+    SELECT conv_id, turn_idx, cosv,
+        list_transform(cosv, x -> sqrt(LEAST(GREATEST(1.0 - x*x, 0.0), 1.0))) AS sinv
+    FROM sc
+),
+fld AS (
+    SELECT conv_id, turn_idx,
+        list_transform(generate_series(0, 15), k -> {element_expr}) AS img
+    FROM g
+)
+SELECT conv_id, turn_idx, CAST(16 AS INT) AS img_len,
+    ROUND({agg_expr}, 6) AS img_sum
+FROM fld"""
+
+
+_GASF_ORACLE = _polar_field_oracle(
+    "cosv[k//4+1]*cosv[k%4+1] - sinv[k//4+1]*sinv[k%4+1]",
+    "list_sum(img)",
+)
+
+# GADF's plain sum is identically 0 (antisymmetric field) — checksum on |x|
+_GADF_ORACLE = _polar_field_oracle(
+    "sinv[k//4+1]*cosv[k%4+1] - cosv[k//4+1]*sinv[k%4+1]",
+    "list_sum(list_transform(img, x -> abs(x)))",
+)
+
+
+def _q_image(spark: SparkSession, sf_dir: str, kind: str, use_abs: bool) -> DataFrame:
     from sparkfeat.transforms import window_image_feature
 
     sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
-    out = window_image_feature(sig, "text_len", length=16, image_size=4, kind="gasf")
-    return out.filter(F.col("text_len_gasf").isNotNull()).select(
+    col = f"text_len_{kind}"
+    out = window_image_feature(
+        sig, "text_len", length=16, image_size=4, kind=kind, dtype="float64"
+    )
+    term = (lambda a, x: a + F.abs(x)) if use_abs else (lambda a, x: a + x)
+    return out.filter(F.col(col).isNotNull()).select(
         "conv_id",
         "turn_idx",
-        F.size("text_len_gasf").alias("img_len"),
-        F.round(
-            F.aggregate("text_len_gasf", F.lit(0.0), lambda a, x: a + x), 4
-        ).alias("img_sum"),
+        F.size(col).alias("img_len"),
+        F.round(F.aggregate(col, F.lit(0.0), term), 6).alias("img_sum"),
     )
+
+
+@register("gasf_window_images", _GASF_ORACLE)
+def q_gasf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 GASF image features over trailing 16-turn windows (image 4×4,
+    Arrow pandas UDF, float64 for the checksum path); the oracle rebuilds
+    PAA → polar encoding → field in SQL and checks the per-row sum."""
+    return _q_image(spark, sf_dir, "gasf", use_abs=False)
+
+
+@register("gadf_window_images", _GADF_ORACLE)
+def q_gadf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 GADF (difference field): per-row sum of |field| — the plain sum
+    is identically zero by antisymmetry, so |·| makes the checksum
+    informative."""
+    return _q_image(spark, sf_dir, "gadf", use_abs=True)
+
+
+@register("mtf_window_images")  # rows-only: quantile-bin Markov field in SQL
+def q_mtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 Markov transition field over trailing 16-turn windows
+    (7 quantile bins, PAA to 4×4). Rows-only driver check; field math is
+    pytest-verified against a hand-rolled numpy oracle."""
+    return _q_image(spark, sf_dir, "mtf", use_abs=False)
 
 
 @register("ewma_sorted_stream", _EWMA_ORACLE)  # same closed-form oracle

@@ -418,22 +418,28 @@ def window_image_feature(
     kind: str = "gasf",
     out_col: str | None = None,
     entity_col: str = "conv_id",
+    dtype: str = "float32",
 ) -> DataFrame:
     """Image transform over the trailing ``length``-row window of every
     turn: ``collect_list`` gathers the window JVM-side (trailing frame ⇒
     leakage-free), then one Arrow-batched pandas UDF maps each window to
     its image_size² field. Rows with fewer than ``length`` trailing
     values get null (reference rejects short windows,
-    ``transformation/base.py:111-125``)."""
+    ``transformation/base.py:111-125``). ``dtype='float32'`` matches the
+    reference's storage dtype; ``'float64'`` keeps the exact math (used
+    by the checksum oracles)."""
     fn = _IMAGE_FUNCS[kind]
     out_col = out_col or f"{v}_{kind}"
-    from pyspark.sql.types import ArrayType, FloatType
+    from pyspark.sql.types import ArrayType, DoubleType, FloatType
 
-    @F.pandas_udf(ArrayType(FloatType()))
+    np_dtype = np.float32 if dtype == "float32" else np.float64
+    arr_type = ArrayType(FloatType() if dtype == "float32" else DoubleType())
+
+    @F.pandas_udf(arr_type)
     def _img(windows: pd.Series) -> pd.Series:
         return windows.map(
             lambda w: fn(np.asarray(w, dtype=np.float64), image_size).astype(
-                np.float32
+                np_dtype
             ).tolist()
         )
 
