@@ -300,3 +300,46 @@ def embedding_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_pairs_bucketed(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_assign: int = 4,
+) -> DataFrame:
+    """Scale path for embedding-cosine near-dup: candidates are pairs
+    CO-ASSIGNED to at least one shared IVF centroid bucket
+    (``similarity.ivf_assign`` with multi-probe ``n_assign`` — one
+    broadcast pass over the corpus), then the exact cosine verify.
+
+    The all-pairs stage is a shuffle equi-join on ``cent_id``, quadratic
+    only WITHIN a bucket (O(n_assign²·Σ bᵢ²) ≪ n² when buckets scale with
+    the corpus; no CartesianProduct node in the plan — asserted in
+    tests/test_plans.py). Recall contract: a pair sharing NO assigned
+    bucket is not emitted — multi-probe n_assign=4 measures recall 1.0 on
+    the test corpora at threshold 0.4 and is the standard knob to trade
+    verify cost for recall (tests/test_similarity_multimodal.py)."""
+    from sparkfeat.similarity import _dot, _norm, ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(emb, cents, id_col, vec_col, n_assign=n_assign)
+    a = assigned.select(
+        "cent_id", F.col(id_col).alias("id_a"), F.col("_cv").alias("_va")
+    )
+    b = assigned.select(
+        "cent_id", F.col(id_col).alias("id_b"), F.col("_cv").alias("_vb")
+    )
+    pairs = (
+        a.join(b, "cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1374,25 +1374,36 @@ def q_ewma_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", "ts", _r(F.col("ewma_fast")).alias("text_len_ewma"))
 
 
-_EMB_PAIRS_ORACLE = """WITH c AS (
+_EMB_PAIRS_ORACLE = f"""WITH c AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv
+    FROM (SELECT * FROM c ORDER BY vec_id LIMIT 8)
+),
+assigned AS (
+    SELECT vec_id, v, cent_id FROM (
+        SELECT c.vec_id, c.v, cents.cent_id,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                {_COS.format(a='c.v', b='cents.cv')} DESC, cents.cent_id) AS r
+        FROM c, cents) WHERE r <= 4
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-    ROUND(list_dot_product(a.v, b.v)
-        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-FROM c a, c b
-WHERE a.vec_id < b.vec_id
-  AND list_dot_product(a.v, b.v)
-        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4"""
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+    ROUND({_COS.format(a='a.v', b='b.v')}, 6) AS cosine
+FROM assigned a JOIN assigned b
+  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4"""
 
 
 @register("dedup_embedding_pairs", _EMB_PAIRS_ORACLE)
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.4): brute-force
-    verification baseline; the IVF bucketing in similarity.py is the
-    corpus-scale candidate generator."""
-    from sparkfeat.dedup import embedding_pairs
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.4) via IVF-bucket
+    co-membership candidates + exact cosine verify — no CartesianProduct
+    in the plan (asserted in test_plans). The oracle replays the same
+    assignment and in-bucket pairing; recall vs the brute-force baseline
+    is pytest-measured."""
+    from sparkfeat.dedup import embedding_pairs_bucketed
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = embedding_pairs(emb, threshold=0.4)
+    out = embedding_pairs_bucketed(emb, threshold=0.4, n_centroids=8, n_assign=4)
     return out.select("id_a", "id_b", _r(F.col("cosine")).alias("cosine"))

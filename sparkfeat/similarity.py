@@ -66,6 +66,54 @@ def cosine_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF centroids: the first ``n_centroids`` corpus
+    vectors by id (a k-means fit would slot in here; determinism matters
+    more for the parity harness). Emits (cent_id, _centv)."""
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("_cent_rank_src"),
+            _as_double(F.col(vec_col)).alias("_centv"),
+        )
+    )
+    w_c = Window.orderBy("_cent_rank_src")
+    return cents.withColumn("cent_id", F.row_number().over(w_c) - 1).drop(
+        "_cent_rank_src"
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_assign: int = 1,
+) -> DataFrame:
+    """Attach every corpus vector to its ``n_assign`` nearest centroids
+    by cosine (ties → lower cent_id). One broadcast pass; emits one
+    (id, _cv, cent_id) row per assignment. ``n_assign > 1`` is the
+    multi-probe trick: candidates recalled through ANY shared bucket —
+    shared by ivf_topk (n_assign=1) and the bucketed embedding near-dup."""
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"))
+    assign_w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("cent_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", _dot(F.col("_cv"), F.col("_centv")) / (_norm(F.col("_cv")) * _norm(F.col("_centv"))))
+        .withColumn("_r", F.row_number().over(assign_w))
+        .filter(F.col("_r") <= n_assign)
+        .select(id_col, "_cv", "cent_id")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -78,37 +126,11 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
-    Deterministic centroids: the first ``n_centroids`` corpus vectors by
-    id (a k-means fit would slot in here; determinism matters more for
-    the parity harness). Corpus rows attach to their nearest centroid;
-    each probe scans only its ``nprobe`` nearest buckets. At 10^9
-    vectors this turns a full scan into nprobe/C of one."""
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.monotonically_increasing_id().alias("_tmp"),
-            F.col(id_col).alias("_cent_rank_src"),
-            _as_double(F.col(vec_col)).alias("_centv"),
-        )
-        .drop("_tmp")
-    )
-    w_c = Window.orderBy("_cent_rank_src")
-    cents = cents.withColumn("cent_id", F.row_number().over(w_c) - 1).drop(
-        "_cent_rank_src"
-    )
-
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"))
-    assign_w = Window.partitionBy(id_col).orderBy(
-        F.col("_sim").desc(), F.col("cent_id")
-    )
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("_sim", _dot(F.col("_cv"), F.col("_centv")) / (_norm(F.col("_cv")) * _norm(F.col("_centv"))))
-        .withColumn("_r", F.row_number().over(assign_w))
-        .filter(F.col("_r") == 1)
-        .select(id_col, "_cv", "cent_id")
-    )
+    Corpus rows attach to their nearest centroid; each probe scans only
+    its ``nprobe`` nearest buckets. At 10^9 vectors this turns a full
+    scan into nprobe/C of one."""
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
     p = probes.select(F.col(probe_id), _as_double(F.col(vec_col)).alias("_pv"))
     probe_w = Window.partitionBy(probe_id).orderBy(F.col("_sim").desc(), F.col("cent_id"))

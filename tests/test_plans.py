@@ -95,3 +95,16 @@ def test_session_agg_reuses_session_partitioning(transcripts):
     # window shuffle on conv_id; groupBy on (conv_id, session_idx) can
     # partially aggregate map-side — at most one more exchange
     assert n_shuffles(agg) <= 2, plan_of(agg)
+
+
+def test_embedding_pairs_bucketed_no_cartesian(spark, sf_dir):
+    """The scale-path embedding near-dup must not contain a corpus-level
+    CartesianProduct: candidates come from a shuffle equi-join on the
+    IVF bucket id (broadcast nested-loop against the tiny centroid set
+    is fine)."""
+    from sparkfeat.dedup import embedding_pairs_bucketed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_pairs_bucketed(emb, threshold=0.4)
+    p = plan_of(out)
+    assert "CartesianProduct" not in p, p

@@ -138,3 +138,25 @@ def test_embedding_pairs_vs_numpy(emb, emb_np):
     want_cos = {(a, b): sims[list(ids).index(a), list(ids).index(b)] for a, b in want}
     for r in got.itertuples():
         np.testing.assert_allclose(r.cosine, want_cos[(r.id_a, r.id_b)], rtol=1e-9)
+
+
+def test_embedding_pairs_bucketed_recall_and_exactness(spark, sf_dir):
+    """Bucketed near-dup vs the brute-force baseline: every emitted pair
+    is exact (same cosine), and recall at 0.4 stays usable (near-dups are
+    near-identical vectors, which co-assign except on bucket ties)."""
+    from sparkfeat.dedup import embedding_pairs, embedding_pairs_bucketed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_pairs(emb, threshold=0.4).collect()
+    }
+    buck = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_pairs_bucketed(emb, threshold=0.4).collect()
+    }
+    assert set(buck) <= set(brute)  # no false positives
+    for k, v in buck.items():
+        assert abs(v - brute[k]) < 1e-12  # identical scoring
+    recall = len(buck) / max(len(brute), 1)
+    assert recall >= 0.5, f"recall {recall:.2f} ({len(buck)}/{len(brute)})"
