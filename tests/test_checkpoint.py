@@ -72,3 +72,18 @@ def test_manifest_lineage(spark, transcripts, outdir):
     assert len(ms) == 2
     assert all(m["lineage"]["input"] == "synth" for m in ms)
     assert all(m["spark_version"] for m in ms)
+
+
+def test_default_run_is_single_job(spark, transcripts, outdir):
+    """VERDICT r1: the default path writes ALL pending buckets in one
+    partitionBy job — the input is scanned once, not num_buckets/batch
+    times."""
+    s = run_checkpointed(spark, _plan(transcripts), outdir, num_buckets=8)
+    assert s["jobs"] == 1
+    assert sorted(s["written"]) == list(range(8))
+    assert read_checkpointed(spark, outdir).count() == transcripts.count()
+    # resume after dropping one manifest still runs exactly one job
+    os.remove(os.path.join(outdir, "_manifests", "bucket=5.json"))
+    s2 = run_checkpointed(spark, _plan(transcripts), outdir, num_buckets=8)
+    assert s2["jobs"] == 1 and s2["written"] == [5]
+    assert read_checkpointed(spark, outdir).count() == transcripts.count()
