@@ -15,16 +15,51 @@ matters, SURVEY.md §7 Stage 4). Apply is ``np.histogram`` one-hot
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def unit_gaussian_edges(n_edges: int) -> np.ndarray:
+    """Equal-probability bin edges of a unit gaussian
+    (``classifier.py:331-345`` ``_calculate_unit_gaussian_edges`` exact):
+    sampler = arange(−1 + 1/n_edges, 1, 2/n_edges); edges =
+    erfinv(sampler)·√2, with erfinv via the Acklam Φ⁻¹
+    (erfinv(x)·√2 == Φ⁻¹((x+1)/2); no scipy in this environment)."""
+    from sparkfeat.normalize import _acklam_ndtri
+
+    step = 2.0 / n_edges
+    sampler = np.arange(-1.0 + step / 2.0, 1.0, step)
+    return _acklam_ndtri((sampler + 1.0) / 2.0)
+
+
 def fit_bins(
-    df: DataFrame, value_col: str, nbins: int, entity_col: str | None = "conv_id"
+    df: DataFrame,
+    value_col: str,
+    nbins: int,
+    entity_col: str | None = "conv_id",
+    centred: bool = False,
 ) -> DataFrame:
-    """A7/N4: per-entity (or global) bin-edge array, exact quantiles."""
-    ps = [i / nbins for i in range(nbins + 1)]
-    agg = F.percentile(F.col(value_col), F.array([F.lit(p) for p in ps])).alias("edges")
+    """A7/N4: per-entity (or global) bin-edge array.
+
+    ``centred=False`` — balanced bins: exact linear-interp quantiles
+    (classifier.py:73-74). ``centred=True`` — the ``use_centred_bins``
+    branch (classifier.py:69-71): edges = unit-gaussian equal-probability
+    edges × σ_pop, symmetric around 0 — constants scaled by one per-entity
+    aggregate, so the fit stays a single groupBy."""
+    if centred:
+        consts = [float(x) for x in unit_gaussian_edges(nbins + 1)]
+        sd = F.stddev_pop(value_col)
+        agg = F.transform(
+            F.array(*[F.lit(c) for c in consts]), lambda e: e * sd
+        ).alias("edges")
+    else:
+        ps = [i / nbins for i in range(nbins + 1)]
+        agg = F.percentile(F.col(value_col), F.array([F.lit(p) for p in ps])).alias(
+            "edges"
+        )
     stats = [
         agg,
         F.avg(value_col).alias("bin_mean"),
@@ -87,6 +122,168 @@ def apply_bins(
 # ---------------------------------------------------------------------------
 # N6 declassification — consumer-side inverse transform (classifier.py:136-298)
 # ---------------------------------------------------------------------------
+
+
+@dataclass
+class BinDist:
+    """Fitted bin distribution — the serving-side template the reference
+    builds per symbol (``classifier.py:9-46`` BinDistribution.__init__).
+    Operates on training-series-sized numpy arrays (the fit) and model
+    outputs (tiny pdfs); the distributed twin of the edge fit is
+    :func:`fit_bins`."""
+
+    n_bins: int
+    bin_edges: np.ndarray
+    pdf: np.ndarray
+    bin_centres: np.ndarray
+    weighted_bin_centres: np.ndarray
+    bin_widths: np.ndarray
+    mean_bin_width: float
+    sheppards_correction: float
+    mean: float
+    median: float
+    sigma: float
+
+
+def fit_bin_distribution(
+    data: np.ndarray, n_bins: int, use_centred_bins: bool = False
+) -> BinDist:
+    """``BinDistribution.__init__`` exact (classifier.py:9-46): balanced
+    (np.interp-quantile) or centred (unit-gaussian × σ) edges, histogram
+    pdf with outliers folded into the outer bins when centred, bin
+    geometry, Sheppard's correction = median(widths²)/12
+    (classifier.py:131-134), and per-bin weighted centres (mean of the
+    [lo, hi]-inclusive member values; empty bin → geometric centre)."""
+    data = np.asarray(data, dtype=np.float64).flatten()
+    data = data[np.isfinite(data)]
+    n = len(data)
+    if n == 0:
+        raise ValueError("empty data")
+    mean = float(np.mean(data))
+    median = float(np.median(data))
+    sigma = float(np.std(data))
+    if use_centred_bins:
+        edges = unit_gaussian_edges(n_bins + 1) * sigma
+    else:
+        xr = np.linspace(0, n - 1, n_bins + 1)
+        edges = np.interp(xr, np.arange(n), np.sort(data))
+    counts, _ = np.histogram(data, edges, density=False)
+    if use_centred_bins:  # catch outliers (classifier.py:28-30)
+        counts = counts.astype(np.float64)
+        counts[0] += np.sum(data < edges[0])
+        counts[-1] += np.sum(data > edges[-1])
+    pdf = counts / n
+    centres = 0.5 * (edges[1:] + edges[:-1])
+    widths = edges[1:] - edges[:-1]
+    wbc = np.empty(n_bins)
+    for i in range(n_bins):
+        members = data[(data >= edges[i]) & (data <= edges[i + 1])]
+        wbc[i] = members.mean() if len(members) else centres[i]
+    return BinDist(
+        n_bins=n_bins,
+        bin_edges=edges,
+        pdf=np.asarray(pdf, dtype=np.float64),
+        bin_centres=centres,
+        weighted_bin_centres=wbc,
+        bin_widths=widths,
+        mean_bin_width=float(abs(edges[-1] - edges[0]) / n_bins),
+        sheppards_correction=float(np.median(widths**2) / 12.0),
+        mean=mean,
+        median=median,
+        sigma=sigma,
+    )
+
+
+def _single_confidence_level(dist: BinDist, pdf: np.ndarray, level: float) -> float:
+    """``classifier.py:152-198`` ``_calculate_single_confidence_interval``
+    exact: walk bins to the cumulative ``level``; interpolate linearly
+    inside an interior bin, treat the outermost bins as triangles whose
+    centre of mass sits at the weighted bin centre."""
+    if level < 0 or level > 1:
+        raise ValueError(f"invalid confidence level {level}")
+    pdf = np.asarray(pdf, dtype=np.float64).flatten()
+    if len(pdf) != dist.n_bins:
+        raise ValueError(f"pdf length {len(pdf)} != n_bins {dist.n_bins}")
+    bin_index = 0
+    cumulative = pdf[0]
+    while cumulative < level:
+        bin_index += 1
+        cumulative += pdf[bin_index]
+    bin_total = pdf[bin_index]
+    if bin_index == 0:  # histogram edge as a triangle (CoM at 1/3)
+        bin_offset = dist.bin_edges[1] - dist.weighted_bin_centres[0]
+        triangle_width = 3 * bin_offset
+        low_edge = dist.bin_edges[1] - triangle_width
+        fill = np.sqrt(level / bin_total)
+        return float(low_edge + triangle_width * fill)
+    if bin_index == dist.n_bins:  # unreachable when pdf sums to 1; kept for parity
+        bin_offset = dist.weighted_bin_centres[-1] - dist.bin_edges[-2]
+        triangle_width = 3 * bin_offset
+        upper_edge = dist.bin_edges[-2] + triangle_width
+        fill = np.sqrt((1 - level) / bin_total)
+        return float(upper_edge - triangle_width * fill)
+    lower_edge = dist.bin_edges[bin_index]
+    overflow = cumulative - level
+    residue = bin_total - overflow
+    return float(lower_edge + dist.bin_widths[bin_index] * residue / bin_total)
+
+
+def estimate_confidence_interval(
+    dist: BinDist, pdf: np.ndarray, confidence_interval: float = 0.68
+) -> tuple[float, float, float]:
+    """``classifier.py:136-150`` exact: (median, lower, upper) of the
+    predicted pdf at the requested central confidence mass — the serving
+    path that turns model bin-probability outputs into intervals."""
+    half = confidence_interval / 2
+    return (
+        _single_confidence_level(dist, pdf, 0.5),
+        _single_confidence_level(dist, pdf, 0.5 - half),
+        _single_confidence_level(dist, pdf, 0.5 + half),
+    )
+
+
+def extract_point_estimates(dist: BinDist, pdf_array: np.ndarray) -> np.ndarray:
+    """``classifier.py:212-251`` with ``use_median=False``: per-pdf mean
+    Σ centres·pdf, renormalizing pathological (unnormalized) rows the way
+    the reference does."""
+    pdf_array = np.asarray(pdf_array, dtype=np.float64)
+    if pdf_array.ndim == 1:
+        pdf_array = pdf_array[None, :]
+    sums = pdf_array.sum(axis=1, keepdims=True)
+    if abs(float(sums[0, 0]) - 1.0) > 1e-3:
+        pdf_array = pdf_array / sums
+    return pdf_array @ dist.bin_centres
+
+
+def declassify_labels(dist: BinDist, pdf_arrays: np.ndarray) -> tuple[float, float]:
+    """``classifier.py:284-298`` exact: multi-pass pdfs → (mean,
+    variance): mean/var of the per-pass point estimates, de-biased by
+    Sheppard's correction and floored at it."""
+    points = extract_point_estimates(dist, pdf_arrays)
+    mean = float(np.mean(points))
+    variance = float(np.var(points)) - dist.sheppards_correction
+    return mean, float(np.maximum(variance, dist.sheppards_correction))
+
+
+def declassify_single_pdf(dist: BinDist, pdf: np.ndarray) -> tuple[np.ndarray, float]:
+    """``classifier.py:199-211`` (mean-point-estimate branch): per-pdf
+    point estimates plus the within-pdf variance over WEIGHTED bin
+    centres, Sheppard-corrected and floored.
+
+    NB the reference's ``use_median=True`` default routes through
+    ``calculate_discrete_median`` (classifier.py:302-330), whose edge
+    test ``is_not_edge = (bin_index == 0 or ...)`` inverts its own name
+    and returns a weighted centre for interior bins; the documented
+    median semantics ("step through bins … interpolate") are the ones
+    :func:`_single_confidence_level` implements, so consumers wanting the
+    median should use ``estimate_confidence_interval``'s first element —
+    the dispatcher quirk is deliberately not ported (same policy as P3)."""
+    points = extract_point_estimates(dist, pdf)
+    pdf = np.asarray(pdf, dtype=np.float64).flatten()
+    mean = float(points[0]) if points.size == 1 else float(np.mean(points))
+    variance = float(np.sum(dist.weighted_bin_centres**2 * pdf) - mean**2)
+    variance -= dist.sheppards_correction
+    return points, float(np.maximum(variance, dist.sheppards_correction))
 
 
 def declassify(pdf: "np.ndarray", edges: "np.ndarray") -> dict:

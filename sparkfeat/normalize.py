@@ -97,6 +97,109 @@ def apply_scaler(
     return joined.withColumn(out_col, e).drop(*stat_cols)
 
 
+def inverse_scaler(
+    df: DataFrame,
+    stats: DataFrame,
+    z_col: str,
+    method: str,
+    out_col: str | None = None,
+    entity_col: str | None = "conv_id",
+) -> DataFrame:
+    """Inverse transform for the closed-form scalers — the predict path
+    (``financial.py:330-385`` ``inverse_transform_multi_predict_y``
+    applies ``scaler.inverse_transform`` to model outputs before
+    declassification): broadcast-join the SAME fit-stats artifact and
+    invert in place.
+
+    * standard — v = z·σ + μ
+    * min_max  — v = z·(max − min) + min
+    * robust   — v = z·(q75 − q25) + q50
+
+    For gaussian see :func:`inverse_gaussian_scale` (needs the quantile
+    grid, not the moment stats)."""
+    out_col = out_col or f"{z_col}_inv"
+    if method not in ("standard", "min_max", "robust"):
+        raise ValueError(f"no closed-form inverse for scaler {method!r}")
+    joined = (
+        df.join(F.broadcast(stats), on=entity_col, how="left")
+        if entity_col
+        else df.crossJoin(F.broadcast(stats))
+    )
+    z = F.col(z_col)
+    if method == "standard":
+        e = z * F.col("std") + F.col("mean")
+    elif method == "min_max":
+        e = z * (F.col("vmax") - F.col("vmin")) + F.col("vmin")
+    else:  # robust
+        e = z * (F.col("q75") - F.col("q25")) + F.col("q50")
+    stat_cols = [c for c in stats.columns if c != entity_col]
+    return joined.withColumn(out_col, e).drop(*stat_cols)
+
+
+def fit_quantile_grid(
+    df: DataFrame,
+    value_col: str,
+    n_quantiles: int = 101,
+    entity_col: str | None = "conv_id",
+) -> DataFrame:
+    """Fit artifact for the gaussian inverse: the training data's exact
+    quantile function sampled at ``n_quantiles`` evenly spaced ranks —
+    what sklearn's QuantileTransformer stores as ``quantiles_``. One
+    groupBy aggregate; the grid is tiny and broadcastable."""
+    ps = [i / (n_quantiles - 1) for i in range(n_quantiles)]
+    agg = F.percentile(F.col(value_col), F.array([F.lit(p) for p in ps])).alias(
+        "qgrid"
+    )
+    return df.groupBy(entity_col).agg(agg) if entity_col else df.agg(agg)
+
+
+def inverse_gaussian_scale(
+    df: DataFrame,
+    grid: DataFrame,
+    z_col: str,
+    out_col: str | None = None,
+    entity_col: str | None = "conv_id",
+) -> DataFrame:
+    """Gaussian inverse: v = Q(Φ(z)) — normal CDF of the scaled value,
+    then the training quantile function by linear interpolation over the
+    broadcast grid (QuantileTransformer.inverse_transform semantics).
+    Φ via ``math.erf`` (libm-exact), np.interp per Arrow batch."""
+    import math
+
+    from pyspark.sql.types import DoubleType
+
+    out_col = out_col or f"{z_col}_inv"
+    joined = (
+        df.join(F.broadcast(grid), on=entity_col, how="left")
+        if entity_col
+        else df.crossJoin(F.broadcast(grid))
+    )
+    @F.pandas_udf(DoubleType())
+    def inv(z: pd.Series, qgrid: pd.Series) -> pd.Series:
+        import math as _m
+
+        out = np.full(len(z), np.nan)
+        zv = z.to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore"):
+            p = np.array(
+                [
+                    0.5 * (1.0 + _m.erf(v / _m.sqrt(2.0)))
+                    if np.isfinite(v)
+                    else np.nan
+                    for v in zv
+                ]
+            )
+        for i, g in enumerate(qgrid):
+            if g is None or not np.isfinite(p[i]):
+                continue
+            g = np.asarray(g, dtype=np.float64)
+            ranks = np.linspace(0.0, 1.0, len(g))
+            out[i] = np.interp(p[i], ranks, g)
+        return pd.Series(out)
+
+    return joined.withColumn(out_col, inv(F.col(z_col), F.col("qgrid"))).drop("qgrid")
+
+
 def _acklam_ndtri(p: np.ndarray) -> np.ndarray:
     """Inverse normal CDF, Acklam's rational approximation (public
     domain; relative error < 1.15e-9). numpy-only — no scipy here."""

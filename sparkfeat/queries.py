@@ -685,6 +685,48 @@ def q_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INV_ORACLE = f"""{_SIG_CTE},
+stats AS (
+    SELECT conv_id,
+        AVG(text_len) AS m, STDDEV_POP(text_len) AS sd,
+        MIN(text_len) AS mn, MAX(text_len) AS mx,
+        quantile_cont(text_len, 0.25) AS q25,
+        quantile_cont(text_len, 0.5) AS q50,
+        quantile_cont(text_len, 0.75) AS q75
+    FROM sig GROUP BY conv_id
+)
+SELECT s.conv_id, s.turn_idx, s.text_len,
+    ROUND((s.text_len - t.m) / NULLIF(t.sd, 0), 6) AS z_standard,
+    ROUND((s.text_len - t.m) / NULLIF(t.sd, 0) * t.sd + t.m, 6) AS v_std_rt,
+    ROUND((s.text_len - t.q50) / NULLIF(t.q75 - t.q25, 0) * (t.q75 - t.q25) + t.q50, 6)
+        AS v_rob_rt
+FROM sig s JOIN stats t ON s.conv_id = t.conv_id"""
+
+
+@register("inverse_scalers", _INV_ORACLE)
+def q_inverse_scalers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict-path inverse transforms (financial.py:330-385): scale with
+    the fit artifact, then invert model-space values back to raw units
+    with the SAME stats table — the oracle replays both directions and
+    the round trip must reproduce text_len."""
+    from sparkfeat.normalize import apply_scaler, fit_stats, inverse_scaler
+
+    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    stats = fit_stats(sig, "text_len")
+    z = apply_scaler(sig, stats, "text_len", "standard", out_col="z_standard")
+    z = apply_scaler(z, stats, "text_len", "robust", out_col="z_robust")
+    rt = inverse_scaler(z, stats, "z_standard", "standard", out_col="v_std_rt")
+    rt = inverse_scaler(rt, stats, "z_robust", "robust", out_col="v_rob_rt")
+    return rt.select(
+        "conv_id",
+        "turn_idx",
+        "text_len",
+        _r(F.col("z_standard")).alias("z_standard"),
+        _r(F.col("v_std_rt")).alias("v_std_rt"),
+        _r(F.col("v_rob_rt")).alias("v_rob_rt"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Classification: balanced bins fit + histogram one-hot apply (A7, N4/N5)
 # ---------------------------------------------------------------------------
