@@ -90,6 +90,55 @@ def slice_tail(df: DataFrame, n: int, entity_col: str = "conv_id") -> DataFrame:
     )
 
 
+def filter_by_intervals(
+    df: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str | None = None,
+    include_start: bool = True,
+    include_end: bool = True,
+) -> DataFrame:
+    """Generic broadcast interval-membership filter — the re-expression
+    of trading-hours selection (``cleaning.py:319-373``
+    ``select_trading_hours``) that works for ANY small (open, close[,
+    entity]) schedule: market calendars, maintenance windows, on-call
+    shifts.
+
+    ``intervals`` must be small (one row per calendar interval) — it
+    broadcasts and the fact side streams through a left-semi range join
+    with zero shuffle. ``include_start``/``include_end`` mirror the
+    reference's ``between_time`` inclusivity flags."""
+    cols = [
+        F.col("open").alias("_open"),
+        F.col("close").alias("_close"),
+    ]
+    if entity_col:
+        cols.append(F.col(entity_col).alias("_ent"))
+    iv = intervals.select(*cols)
+    t = F.col(ts_col)
+    lower = (t >= F.col("_open")) if include_start else (t > F.col("_open"))
+    upper = (t <= F.col("_close")) if include_end else (t < F.col("_close"))
+    cond = lower & upper
+    if entity_col:
+        cond = cond & (F.col(entity_col) == F.col("_ent"))
+    return df.join(F.broadcast(iv), cond, "left_semi")
+
+
+def probes_after_open(
+    intervals: DataFrame, minutes: float, out_col: str = "probe_ts"
+) -> DataFrame:
+    """One probe per interval at ``open + minutes``
+    (``cleaning.py:417-429`` ``sample_minutes_after_market_open``): feed
+    the result to :func:`sparkfeat.asof.asof_join` for the point-in-time
+    daily sample (the as-of lookup generalizes the reference's exact
+    ``.loc`` + dropna). Integer epoch-microsecond arithmetic — engine
+    portable. Carries every interval column through."""
+    probe_us = F.unix_micros(F.col("open").cast("timestamp")) + F.lit(
+        int(minutes * 60_000_000)
+    )
+    return intervals.withColumn(out_col, F.timestamp_micros(probe_us))
+
+
 def top_k_entities(
     df: DataFrame,
     value_col: str,

@@ -469,6 +469,84 @@ def q_asof_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Calendar interval membership + minutes-after-open sampling (P4/J4)
+# ---------------------------------------------------------------------------
+
+_US_DAY = 86_400_000_000
+_HOURS_ORACLE = f"""{_SIG_CTE}
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_in_hours,
+    ROUND(AVG(text_len), 6) AS avg_len
+FROM sig
+WHERE (epoch_us(ts) % {_US_DAY}) BETWEEN {9 * 3_600_000_000} AND {17 * 3_600_000_000}
+GROUP BY conv_id"""
+
+
+def _daily_intervals(sig: DataFrame, with_entity: bool) -> DataFrame:
+    """09:00–17:00 UTC interval per calendar day present in the data
+    (the deterministic stand-in for a pandas_market_calendar schedule —
+    the operator takes ANY small (open, close) table)."""
+    cols = (["conv_id"] if with_entity else []) + [F.to_date("ts").alias("_d")]
+    days = sig.select(*cols).distinct()
+    day_us = F.unix_date(F.col("_d")).cast("long") * F.lit(_US_DAY)
+    return days.select(
+        *(["conv_id"] if with_entity else []),
+        F.timestamp_micros(day_us + F.lit(9 * 3_600_000_000)).alias("open"),
+        F.timestamp_micros(day_us + F.lit(17 * 3_600_000_000)).alias("close"),
+    )
+
+
+@register("trading_hours_filter", _HOURS_ORACLE)
+def q_trading_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/J4 calendar-hours membership: broadcast interval semi-join of
+    the fact table against a small (open, close) schedule (09:00–17:00
+    per day here); the oracle reduces the same schedule to time-of-day
+    arithmetic. The fact side never shuffles for the filter."""
+    from sparkfeat.cleaning import filter_by_intervals
+
+    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    ivs = _daily_intervals(sig, with_entity=False)
+    kept = filter_by_intervals(sig, ivs)
+    return kept.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_in_hours"),
+        _r(F.avg("text_len")).alias("avg_len"),
+    )
+
+
+_MAO_ORACLE = f"""{_SIG_CTE},
+probes AS (
+    SELECT DISTINCT conv_id,
+        CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 9 HOUR + INTERVAL 30 MINUTE
+            AS probe_ts
+    FROM sig
+)
+SELECT p.conv_id, p.probe_ts,
+    ROUND(d.text_len, 6) AS asof_text_len,
+    CAST(d.turn_idx AS DOUBLE) AS asof_turn
+FROM probes p ASOF LEFT JOIN sig d
+    ON p.conv_id = d.conv_id AND p.probe_ts >= d.ts"""
+
+
+@register("minutes_after_open", _MAO_ORACLE)
+def q_minutes_after_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily point-in-time sampling k minutes after open
+    (cleaning.py:417-429): probe generation from the interval table +
+    as-of join — checked against DuckDB's native ASOF JOIN."""
+    from sparkfeat.asof import asof_join
+    from sparkfeat.cleaning import probes_after_open
+
+    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    ivs = _daily_intervals(sig, with_entity=True)
+    probes = probes_after_open(ivs, minutes=30).select("conv_id", "probe_ts")
+    out = asof_join(probes, sig, ["text_len", "turn_idx"])
+    return out.select(
+        "conv_id",
+        "probe_ts",
+        _r(F.col("text_len")).alias("asof_text_len"),
+        F.col("turn_idx").cast("double").alias("asof_turn"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Entity-level predicates (P2/P3), positional slice (P6), top-k (A5/O2)
 # ---------------------------------------------------------------------------
 

@@ -168,3 +168,40 @@ def test_asof_join_equal_ts_tie_break(spark):
         .tolist()
     )
     assert fwd == [10.0, 20.0]  # min turn_idx at each equal-ts group
+
+
+def test_filter_by_intervals_inclusivity_and_entity(spark):
+    """Generic interval membership: inclusive/exclusive bounds and the
+    per-entity schedule variant (select_trading_hours semantics)."""
+    import pandas as pd
+
+    from sparkfeat.cleaning import filter_by_intervals, probes_after_open
+
+    t = pd.Timestamp("2024-01-01 09:00:00")
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "a", "b"],
+            "ts": [t, t + pd.Timedelta("4h"), t + pd.Timedelta("8h"), t],
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    ivs = spark.createDataFrame(
+        pd.DataFrame(
+            {"open": [t], "close": [t + pd.Timedelta("8h")], "conv_id": ["a"]}
+        )
+    )
+    # global schedule, inclusive both: all of a's rows + b at open
+    assert filter_by_intervals(df, ivs.drop("conv_id")).count() == 4
+    # exclusive bounds drop the endpoints
+    assert (
+        filter_by_intervals(
+            df, ivs.drop("conv_id"), include_start=False, include_end=False
+        ).count()
+        == 1
+    )
+    # per-entity schedule: b has no interval
+    assert filter_by_intervals(df, ivs, entity_col="conv_id").count() == 3
+
+    probes = probes_after_open(ivs, minutes=90).toPandas()
+    assert probes["probe_ts"].iloc[0] == t + pd.Timedelta("90min")
