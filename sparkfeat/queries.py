@@ -1347,6 +1347,48 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORR_DROPS_ORACLE = f"""{_SIG_CTE},
+b AS (
+    SELECT conv_id, {_B6H} AS bus, SUM(text_len) AS v
+    FROM sig GROUP BY conv_id, bus
+),
+pairs AS (
+    SELECT a.conv_id AS id_a, c.conv_id AS id_b,
+        ROUND(corr(a.v, c.v), 6) AS corr_r, COUNT(*) AS n_buckets
+    FROM b a JOIN b c ON a.bus = c.bus AND a.conv_id < c.conv_id
+    GROUP BY a.conv_id, c.conv_id
+    HAVING COUNT(*) >= 20 AND ROUND(corr(a.v, c.v), 6) > 0.5
+),
+vol AS (
+    SELECT conv_id, ROUND(SUM(token_est), 6) AS volume FROM sig GROUP BY conv_id
+)
+SELECT DISTINCT CASE WHEN vb.volume > va.volume THEN p.id_a ELSE p.id_b END
+    AS conv_id
+FROM pairs p
+JOIN vol va ON va.conv_id = p.id_a
+JOIN vol vb ON vb.conv_id = p.id_b"""
+
+
+@register("corr_dedup_drops", _CORR_DROPS_ORACLE)
+def q_corr_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 resolution (cleaning.py:473-495): correlated pairs (6-hour
+    text_len sums, rounded corr > 0.5, ≥20 shared buckets) resolved by
+    total token volume — the lower-volume member of each pair lands in
+    the drop set. Rounded corr/volume on BOTH engines so the threshold
+    and tie comparisons are engine-stable."""
+    from sparkfeat.universe import correlated_pairs, resolve_correlated
+
+    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    pairs = (
+        correlated_pairs(sig, "text_len", bucket_seconds=21600, threshold=-2.0)
+        .filter(F.col("n_buckets") >= 20)
+        .select("id_a", "id_b", _r(F.col("corr")).alias("corr_r"))
+        .filter(F.col("corr_r") > 0.5)
+    )
+    volumes = sig.groupBy("conv_id").agg(_r(F.sum("token_est")).alias("volume"))
+    return resolve_correlated(pairs, volumes)
+
+
 # ---------------------------------------------------------------------------
 # Training-sample assembly (J6 stacking + G4 purge) and image transforms
 # ---------------------------------------------------------------------------

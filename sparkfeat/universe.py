@@ -125,3 +125,51 @@ def correlated_pairs(
         .agg(F.corr("_va", "_vb").alias("corr"), F.count(F.lit(1)).alias("n_buckets"))
         .filter(F.col("corr") > threshold)
     )
+
+
+def resolve_correlated(
+    pairs: DataFrame,
+    volumes: DataFrame,
+    entity_col: str = "conv_id",
+    volume_col: str = "volume",
+) -> DataFrame:
+    """A9 resolution step (``cleaning.py:473-495``
+    ``remove_duplicated_symbols_ohlcv``): for every over-threshold pair
+    drop the LOWER-total-volume member, keeping the higher (ties → keep
+    ``id_a``, the smaller id — deterministic where pandas' stable sort
+    was order-dependent). ``pairs`` is (id_a, id_b); ``volumes`` is the
+    per-entity total. Returns the distinct drop set — anti-join it
+    against the fact table (:func:`drop_correlated_duplicates`)."""
+    va = volumes.select(
+        F.col(entity_col).alias("id_a"), F.col(volume_col).alias("_va")
+    )
+    vb = volumes.select(
+        F.col(entity_col).alias("id_b"), F.col(volume_col).alias("_vb")
+    )
+    j = pairs.join(F.broadcast(va), "id_a").join(F.broadcast(vb), "id_b")
+    loser = F.when(F.col("_vb") > F.col("_va"), F.col("id_a")).otherwise(
+        F.col("id_b")
+    )
+    return j.select(loser.alias(entity_col)).distinct()
+
+
+def drop_correlated_duplicates(
+    df: DataFrame,
+    value_col: str,
+    volume_col: str,
+    bucket_seconds: int,
+    threshold: float = 0.999,
+    min_buckets: int = 2,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """End-to-end A9: correlate bucketed ``value_col`` series, resolve
+    each >threshold pair by total ``volume_col`` (reference: corr on
+    close, keep higher volume), anti-join the losers out. The pair/drop
+    tables are |entities|-sized — both joins broadcast."""
+    pairs = correlated_pairs(
+        df, value_col, bucket_seconds, threshold, entity_col, ts_col
+    ).filter(F.col("n_buckets") >= min_buckets)
+    volumes = df.groupBy(entity_col).agg(F.sum(volume_col).alias("volume"))
+    drops = resolve_correlated(pairs, volumes, entity_col)
+    return df.join(F.broadcast(drops), entity_col, "left_anti")

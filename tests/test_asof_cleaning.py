@@ -205,3 +205,33 @@ def test_filter_by_intervals_inclusivity_and_entity(spark):
 
     probes = probes_after_open(ivs, minutes=90).toPandas()
     assert probes["probe_ts"].iloc[0] == t + pd.Timedelta("90min")
+
+
+def test_drop_correlated_duplicates_keeps_higher_volume(spark):
+    """A9 resolution: of a >0.999-correlated pair, the lower-total-volume
+    entity is dropped (cleaning.py:473-495 semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkfeat.universe import drop_correlated_duplicates
+
+    rng = np.random.default_rng(3)
+    ts = pd.date_range("2024-01-01", periods=60, freq="6h")
+    base = rng.normal(100, 10, size=60)
+    rows = []
+    for conv, (scale, vol) in {
+        "dup_lo": (1.0, 1.0),
+        "dup_hi": (2.0, 9.0),  # perfectly correlated with dup_lo, more volume
+        "indep": (None, 5.0),
+    }.items():
+        series = base * scale if scale else rng.normal(100, 10, size=60)
+        for t, v in zip(ts, series):
+            rows.append((conv, t, float(v), vol))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "ts", "text_len", "token_est"])
+    )
+    out = drop_correlated_duplicates(
+        df, "text_len", "token_est", bucket_seconds=21600, threshold=0.999
+    )
+    kept = {r["conv_id"] for r in out.select("conv_id").distinct().collect()}
+    assert kept == {"dup_hi", "indep"}
