@@ -59,11 +59,18 @@ def jaccard_pairs(
     band_cols: tuple[str, ...] = ("lang",),
     len_band: int = 64,
     threshold: float = 0.8,
+    band_slop: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by token-set Jaccard within blocking bands.
 
     Blocks: ``band_cols`` + floor(len(text)/len_band). Pairs (a < b)
-    with |A∩B|/|A∪B| ≥ threshold. Emits (id_a, id_b, jaccard)."""
+    with |A∩B|/|A∪B| ≥ threshold. Emits (id_a, id_b, jaccard).
+
+    ``band_slop=1`` (default) also joins NEIGHBORING length bands, so a
+    near-dup pair straddling a band boundary (len 63 vs len 65) is not
+    silently missed — the b side fans out to 2·slop+1 band keys (cost
+    ×(2·slop+1), each pair still matched exactly once). ``band_slop=0``
+    restores strict banding."""
     toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -77,8 +84,10 @@ def jaccard_pairs(
         F.col("_id").alias("id_a"),
         F.col("_toks").alias("_ta"),
     )
+    slop = F.array(*[F.lit(i) for i in range(-band_slop, band_slop + 1)])
     b = base.select(
-        *[F.col(k) for k in keys],
+        *[F.col(f"_b_{c}") for c in band_cols],
+        F.explode(F.transform(slop, lambda o: F.col("_lb") + o)).alias("_lb"),
         F.col("_id").alias("id_b"),
         F.col("_toks").alias("_tb"),
     )

@@ -199,11 +199,28 @@ FROM scaled"""
 
 @register("ewma_halflife", _EWMA_ORACLE)
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pandas-exact EWMA (halflife=7.5, adjust=True) via Arrow
-    applyInPandas; oracle is the closed-form weighted cumsum. Plain
-    per-conversation path — the chunked scan (T.ewma chunk_size=…) is
-    reserved for mega-conversation skew and covered by unit tests; tiny
-    chunks at test scale just multiply Arrow per-group overhead."""
+    """pandas-exact EWMA (halflife=7.5, adjust=True) via the
+    sorted-stream mapInPandas kernel — ONE Python crossing per Arrow
+    batch with cross-batch state carry, the production path (the
+    per-group applyInPandas strategy pays per-conversation Arrow
+    overhead: builder measured 197s vs 22s on 5M turns; it stays
+    oracle-covered as ``ewma_grouped``). Oracle is the closed-form
+    weighted cumsum."""
+    from sparkfeat.transforms import ewma_sorted
+    from sparkfeat.windows import repartition_sorted
+
+    df = repartition_sorted(with_turn_signals(transcripts_from_events(spark, sf_dir)))
+    out = ewma_sorted(df, [("text_len", 7.5, "ewma_raw")])
+    return out.select(
+        "conv_id", "turn_idx", "ts", _r(F.col("ewma_raw")).alias("text_len_ewma")
+    )
+
+
+@register("ewma_grouped", _EWMA_ORACLE)
+def q_ewma_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 EWMA via per-conversation Arrow applyInPandas — the simple
+    strategy, kept oracle-covered to prove all physical strategies agree
+    (the chunked scan for skew is pytest-covered)."""
     df = with_turn_signals(transcripts_from_events(spark, sf_dir))
     out = T.ewma(df, "text_len", halflife=7.5, out_col="ewma_raw")
     return out.select(
@@ -954,7 +971,8 @@ pairs AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
             / LEN(list_distinct(a.toks || b.toks)) AS jaccard
-    FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND abs(a.lb - b.lb) <= 1 AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
 FROM pairs WHERE jaccard >= 0.9"""
@@ -1522,18 +1540,15 @@ def q_mtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_image(spark, sf_dir, "mtf", use_abs=False)
 
 
-@register("ewma_sorted_stream", _EWMA_ORACLE)  # same closed-form oracle
-def q_ewma_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6 EWMA via the sorted-stream mapInPandas kernel (one Python
-    crossing per Arrow batch; cross-batch state carry) — checked against
-    the same closed-form weighted-cumsum oracle as the per-conversation
-    path, proving the two physical strategies agree end-to-end."""
-    from sparkfeat.transforms import ewma_sorted
-    from sparkfeat.windows import repartition_sorted
-
-    sig = repartition_sorted(with_turn_signals(transcripts_from_events(spark, sf_dir)))
-    out = ewma_sorted(sig, [("text_len", 7.5, "ewma_fast")])
-    return out.select("conv_id", "turn_idx", "ts", _r(F.col("ewma_fast")).alias("text_len_ewma"))
+@register("ewma_chunked_scan", _EWMA_ORACLE)  # same closed-form oracle
+def q_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 EWMA via the distributed chunk scan (mega-conversation skew
+    strategy: per-chunk local state + decayed carry broadcast back) —
+    checked against the same closed-form weighted-cumsum oracle, proving
+    all three physical strategies agree end-to-end."""
+    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    out = T.ewma(sig, "text_len", halflife=7.5, out_col="ewma_c", chunk_size=512)
+    return out.select("conv_id", "turn_idx", "ts", _r(F.col("ewma_c")).alias("text_len_ewma"))
 
 
 _EMB_PAIRS_ORACLE = f"""WITH c AS (

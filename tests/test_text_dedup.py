@@ -155,3 +155,31 @@ def test_simhash_near_dups(dup_docs):
         assert (base_id, base_id + 2) in pairs
         h = out[(out["id_a"] == base_id) & (out["id_b"] == base_id + 1)]["hamming"]
         assert (h == 0).all()
+
+
+def test_jaccard_band_slop_catches_straddling_pairs(spark):
+    """Band-boundary recall: two near-identical docs whose lengths fall
+    in adjacent length bands are found with band_slop=1 and provably
+    missed with band_slop=0."""
+    import pandas as pd
+
+    base = "the quick brown fox jumps over the lazy dog "
+    a = base * 3          # 135 chars -> band 2
+    b = (base * 5).strip()  # 224 chars -> band 3; identical token set
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [a, b],
+                "lang": ["en", "en"],
+                "source": ["s", "s"],
+                "n_chars": [len(a), len(b)],
+            }
+        )
+    )
+    import math
+
+    assert math.floor(len(a) / 64) != math.floor(len(b) / 64)
+    strict = jaccard_pairs(docs, threshold=0.5, band_slop=0).count()
+    slop = jaccard_pairs(docs, threshold=0.5, band_slop=1).count()
+    assert strict == 0 and slop == 1
