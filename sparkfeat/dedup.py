@@ -57,41 +57,76 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     band_cols: tuple[str, ...] = ("lang",),
-    len_band: int = 64,
     threshold: float = 0.8,
-    band_slop: int = 1,
+    common_vocab: int = 65536,
 ) -> DataFrame:
-    """Near-dup pairs by token-set Jaccard within blocking bands.
+    """Near-dup pairs (a < b) by token-set Jaccard ≥ threshold within
+    ``band_cols`` groups — **lossless** prefix-filter blocking (the
+    PPJoin probing prefix, Xiao et al. 2008), no length banding and no
+    recall caveat: the result equals the brute-force within-band join.
 
-    Blocks: ``band_cols`` + floor(len(text)/len_band). Pairs (a < b)
-    with |A∩B|/|A∪B| ≥ threshold. Emits (id_a, id_b, jaccard).
-
-    ``band_slop=1`` (default) also joins NEIGHBORING length bands, so a
-    near-dup pair straddling a band boundary (len 63 vs len 65) is not
-    silently missed — the b side fans out to 2·slop+1 band keys (cost
-    ×(2·slop+1), each pair still matched exactly once). ``band_slop=0``
-    restores strict banding."""
+    Candidate generation: each doc's distinct tokens are ordered
+    rarest-first (global frequency; only the ``common_vocab`` most
+    frequent tokens need ranks — they broadcast, everything else is rare
+    and sorts first), and the first ``n − ⌈t·n⌉ + 1`` tokens form its
+    prefix. Two sets with Jaccard ≥ t MUST share a prefix token, so the
+    candidate join keys on (band, prefix_token) — rare tokens ⇒ small
+    buckets ⇒ the quadratic stage collapses. A size-ratio prune
+    (jaccard ≥ t ⇒ min(|A|,|B|)/max ≥ t) runs before dedup, and the
+    heavy token arrays shuffle only for surviving candidates."""
     toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    keys = [f"_b_{c}" for c in band_cols]
     base = df.select(
         F.col(id_col).alias("_id"),
         *[F.col(c).alias(f"_b_{c}") for c in band_cols],
-        F.floor(F.length(text_col) / len_band).alias("_lb"),
         toks.alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+
+    # rarest-first global order: broadcast ranks for the common vocab,
+    # everything unranked is rare (cnt 0) and sorts before common tokens
+    exploded = base.select("_id", *keys, "_n", F.explode("_toks").alias("_tok"))
+    common = (
+        exploded.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), "_tok")
+        .limit(common_vocab)
     )
-    keys = [f"_b_{c}" for c in band_cols] + ["_lb"]
-    a = base.select(
-        *[F.col(k) for k in keys],
-        F.col("_id").alias("id_a"),
-        F.col("_toks").alias("_ta"),
+    ranked = exploded.join(F.broadcast(common), "_tok", "left").withColumn(
+        "_cnt", F.coalesce(F.col("_cnt"), F.lit(0))
     )
-    slop = F.array(*[F.lit(i) for i in range(-band_slop, band_slop + 1)])
-    b = base.select(
-        *[F.col(f"_b_{c}") for c in band_cols],
-        F.explode(F.transform(slop, lambda o: F.col("_lb") + o)).alias("_lb"),
-        F.col("_id").alias("id_b"),
-        F.col("_toks").alias("_tb"),
+    plen = (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1).cast("int")
+    prefixes = (
+        ranked.groupBy("_id", *keys, "_n")
+        .agg(F.array_sort(F.collect_list(F.struct("_cnt", "_tok"))).alias("_st"))
+        .select(
+            "_id",
+            *keys,
+            "_n",
+            F.explode(
+                F.slice(F.transform("_st", lambda s: s["_tok"]), F.lit(1), plen)
+            ).alias("_ptok"),
+        )
     )
-    pairs = a.join(b, keys).filter(F.col("id_a") < F.col("id_b"))
+    a = prefixes.select(
+        *keys, "_ptok", F.col("_id").alias("id_a"), F.col("_n").alias("_na")
+    )
+    b = prefixes.select(
+        *keys, "_ptok", F.col("_id").alias("id_b"), F.col("_n").alias("_nb")
+    )
+    size_ok = F.least(F.col("_na"), F.col("_nb")).cast("double") >= F.lit(
+        threshold
+    ) * F.greatest(F.col("_na"), F.col("_nb"))
+    cand = (
+        a.join(b, [*keys, "_ptok"])
+        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # exact verify: token arrays shuffle once per side, candidates only
+    ta = base.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
+    tb = base.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
+    pairs = cand.join(ta, "id_a").join(tb, "id_b")
     inter = F.size(F.array_intersect("_ta", "_tb")).cast("double")
     union = F.size(F.array_union("_ta", "_tb")).cast("double")
     return (

@@ -963,7 +963,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _JACCARD_ORACLE = f"""WITH t AS (
-    SELECT doc_id, lang, CAST(FLOOR(LENGTH(text) / 64) AS BIGINT) AS lb,
+    SELECT doc_id, lang,
         list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks
     FROM documents
 ),
@@ -971,8 +971,7 @@ pairs AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
             / LEN(list_distinct(a.toks || b.toks)) AS jaccard
-    FROM t a JOIN t b
-      ON a.lang = b.lang AND abs(a.lb - b.lb) <= 1 AND a.doc_id < b.doc_id
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
 FROM pairs WHERE jaccard >= 0.9"""
@@ -980,8 +979,10 @@ FROM pairs WHERE jaccard >= 0.9"""
 
 @register("dedup_jaccard_pairs", _JACCARD_ORACLE)
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by token-set Jaccard ≥ 0.9 inside (lang,
-    length-band) blocks — the quadratic stage is bounded per block."""
+    """Near-dup pairs by token-set Jaccard ≥ 0.9 within a language —
+    LOSSLESS prefix-filter blocking (rarest-token prefixes), so the
+    oracle is the full brute-force within-lang join: the blocking is an
+    optimization, not a recall contract."""
     from sparkfeat.dedup import jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -98,7 +98,7 @@ def test_exact_dedup_bag_semantics(dup_docs):
 
 def test_jaccard_pairs_vs_bruteforce(dup_docs):
     got = (
-        jaccard_pairs(dup_docs, threshold=0.5, len_band=1000)
+        jaccard_pairs(dup_docs, threshold=0.5)
         .toPandas()
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
@@ -157,29 +157,38 @@ def test_simhash_near_dups(dup_docs):
         assert (h == 0).all()
 
 
-def test_jaccard_band_slop_catches_straddling_pairs(spark):
-    """Band-boundary recall: two near-identical docs whose lengths fall
-    in adjacent length bands are found with band_slop=1 and provably
-    missed with band_slop=0."""
-    import pandas as pd
+def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
+    """The prefix-filter blocking must equal brute force exactly — no
+    band-boundary or bucket recall caveat (VERDICT r1 item 10). Runs on
+    the real documents table at two thresholds."""
+    import duckdb
 
-    base = "the quick brown fox jumps over the lazy dog "
-    a = base * 3          # 135 chars -> band 2
-    b = (base * 5).strip()  # 224 chars -> band 3; identical token set
-    docs = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "doc_id": [1, 2],
-                "text": [a, b],
-                "lang": ["en", "en"],
-                "source": ["s", "s"],
-                "n_chars": [len(a), len(b)],
-            }
-        )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
     )
-    import math
-
-    assert math.floor(len(a) / 64) != math.floor(len(b) / 64)
-    strict = jaccard_pairs(docs, threshold=0.5, band_slop=0).count()
-    slop = jaccard_pairs(docs, threshold=0.5, band_slop=1).count()
-    assert strict == 0 and slop == 1
+    for t in (0.5, 0.9):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_pairs(docs, threshold=t).collect()
+        }
+        want = {
+            (a, b): j
+            for a, b, j in con.execute(
+                r"""WITH x AS (SELECT doc_id, lang,
+                        list_distinct(regexp_split_to_array(lower(text), '\s+')) toks
+                    FROM documents)
+                , p AS (
+                    SELECT a.doc_id ia, b.doc_id ib,
+                        CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                            / LEN(list_distinct(a.toks || b.toks)) j
+                    FROM x a JOIN x b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                )
+                SELECT ia, ib, j FROM p WHERE j >= ?""",
+                [t],
+            ).fetchall()
+        }
+        assert set(got) == set(want), (t, len(got), len(want))
+        for k in got:
+            assert abs(got[k] - want[k]) < 1e-12
