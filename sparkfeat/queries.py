@@ -1210,6 +1210,52 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_id", "vec_id", _r(F.col("cosine")).alias("cosine"), "rk")
 
 
+_MM_REAL_ORACLE = """WITH d AS (
+    SELECT doc_id,
+        list_transform(generate_series(0, 15), j ->
+            CAST((strpos('0123456789abcdef', substr(md5(text), j*2+1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(text), j*2+2, 1)) - 1)
+               AS DOUBLE)) AS db
+    FROM documents
+)
+SELECT doc_id AS media_id,
+    CAST(doc_id % 2 AS INT) AS mime,
+    CAST(CASE WHEN doc_id % 2 = 0 THEN 246 ELSE 1644 END AS BIGINT) AS n_bytes,
+    ROUND(CASE WHEN doc_id % 2 = 0 THEN
+        list_sum(list_transform(generate_series(0, 63), k -> db[((3*k) % 16) + 1]))
+            / 64.0 END, 6) AS img_mean_r,
+    ROUND(CASE WHEN doc_id % 2 = 1 THEN
+        sqrt(list_sum(list_transform(generate_series(0, 799), k ->
+            POWER(TRUNC(sin(2 * pi() * (100.0 + (doc_id % 50) * 10.0) * k / 16000.0)
+                        * 12000) / 32768.0, 2))) / 800.0) END, 6) AS audio_rms
+FROM d"""
+
+
+@register("multimodal_real_decode", _MM_REAL_ORACLE)
+def q_multimodal_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode: deterministic BMP/WAV payloads are
+    encoded per doc (md5-pixel image / id-derived sine), then decoded by
+    the struct-level codecs; the oracle recomputes the decoded features
+    (red-channel mean from md5 bytes; RMS of the truncated sine) from
+    first principles in SQL — an encode→decode mathematical round trip."""
+    from sparkfeat.multimodal import attach_real_payloads, decode_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = attach_real_payloads(docs)
+    out = decode_features(media, mode="real")
+    return out.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        _r(F.when(F.col("mime") == 0, F.element_at("features", 3))).alias(
+            "img_mean_r"
+        ),
+        _r(F.when(F.col("mime") == 1, F.element_at("features", 4))).alias(
+            "audio_rms"
+        ),
+    )
+
+
 @register("multimodal_decode")  # rows-only: binary payload plumbing
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: deterministic binary payloads →

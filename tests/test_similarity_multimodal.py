@@ -102,14 +102,64 @@ def test_decode_features_fake(media):
     assert a == b
 
 
-def test_decode_real_mode_is_stubbed(media):
+def test_decode_real_video_is_stubbed(spark, media):
+    """Video (mime 2) is the one genuinely stubbed codec — it raises at
+    the ffmpeg seam; BMP/WAV decode natively (tests below)."""
     import pytest as _pt
 
+    video_only = media.filter("mime = 2")
     with _pt.raises(Exception) as ei:
-        decode_features(media, mode="real").collect()
+        decode_features(video_only, mode="real").collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_bmp_wav_codecs_round_trip():
+    """Byte-level encode→decode exactness for the struct-level codecs."""
+    import numpy as _np
+
+    from sparkfeat.multimodal import decode_bmp, decode_wav, encode_bmp, encode_wav
+
+    rng = _np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=_np.uint8)  # w*3 not %4
+    assert _np.array_equal(decode_bmp(encode_bmp(px)), px)
+    samples = rng.integers(-32768, 32767, size=333, dtype=_np.int16)
+    sr, x = decode_wav(encode_wav(samples, 8000))
+    assert sr == 8000
+    _np.testing.assert_allclose(x, samples.astype(_np.float64) / 32768.0, rtol=0, atol=0)
+
+
+def test_real_decode_end_to_end(spark, sf_dir):
+    """attach_real_payloads → decode_features(mode='real'): BMP images
+    report exact 8×8 geometry and md5-derived channel means; WAV audio
+    reports the synth sine's exact sample count/duration and an RMS near
+    amplitude/sqrt(2)."""
+    import hashlib
+
+    import numpy as _np
+
+    from sparkfeat.multimodal import attach_real_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    media = attach_real_payloads(docs)
+    out = decode_features(media, mode="real").toPandas().set_index("media_id")
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for mid, row in out.iterrows():
+        f = row["features"]
+        if row["mime"] == 0:
+            assert f[0] == 8.0 and f[1] == 8.0
+            digest = hashlib.md5(texts[mid].encode()).digest()
+            px = _np.frombuffer((digest * 12)[: 8 * 8 * 3], dtype=_np.uint8).reshape(
+                8, 8, 3
+            )
+            _np.testing.assert_allclose(f[2], px[:, :, 0].mean(), rtol=1e-12)
+            _np.testing.assert_allclose(f[4], px[:, :, 2].mean(), rtol=1e-12)
+        else:
+            assert f[0] == 16000.0 and f[1] == 800.0
+            assert abs(f[2] - 800 / 16000.0) < 1e-12
+            assert 0.2 < f[3] < 0.3  # sine RMS = A/sqrt(2) = 0.366/1.414 ≈ 0.259
+            assert f[4] <= 12000 / 32768.0 + 1e-9
 
 
 def test_frame_sample_shapes(media):
