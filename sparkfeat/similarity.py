@@ -114,6 +114,46 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means refinement of the IVF centroids
+    (cosine assignment): init = first-C-by-id (the deterministic seed),
+    then ``n_iter`` rounds of broadcast-assign → per-cluster
+    element-wise mean (posexplode + groupBy avg — never collects the
+    corpus). Empty clusters keep their previous centroid. Better-shaped
+    buckets than the raw seed → higher recall per nprobe; the fit cost
+    is n_iter broadcast passes over the corpus. A production run would
+    checkpoint the (C × dim) centroid table between rounds to cut
+    lineage; at these C it is a trivial plan."""
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        pos = assigned.select(
+            "cent_id", F.posexplode("_cv").alias("_pos", "_val")
+        )
+        means = pos.groupBy("cent_id", "_pos").agg(F.avg("_val").alias("_m"))
+        new = (
+            means.groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_s"))
+            .select(
+                "cent_id", F.transform("_s", lambda x: x["_m"]).alias("_centv")
+            )
+        )
+        cents = (
+            cents.select("cent_id", F.col("_centv").alias("_prev"))
+            .join(new, "cent_id", "left")
+            .select(
+                "cent_id", F.coalesce(F.col("_centv"), F.col("_prev")).alias("_centv")
+            )
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -123,13 +163,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id: str = "probe_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
     Corpus rows attach to their nearest centroid; each probe scans only
     its ``nprobe`` nearest buckets. At 10^9 vectors this turns a full
-    scan into nprobe/C of one."""
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    scan into nprobe/C of one. ``centroids`` overrides the deterministic
+    first-C seed — pass :func:`kmeans_centroids` output for real
+    cluster-shaped buckets."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
     p = probes.select(F.col(probe_id), _as_double(F.col(vec_col)).alias("_pv"))

@@ -108,3 +108,46 @@ def test_embedding_pairs_bucketed_no_cartesian(spark, sf_dir):
     out = embedding_pairs_bucketed(emb, threshold=0.4)
     p = plan_of(out)
     assert "CartesianProduct" not in p, p
+
+
+def test_interval_filter_is_broadcast_semi_join(spark, transcripts):
+    """filter_by_intervals must stream the fact side through a broadcast
+    semi join — no exchange of the big table for the filter."""
+    import pandas as pd
+
+    from sparkfeat.cleaning import filter_by_intervals
+
+    sig = with_turn_signals(transcripts)
+    ivs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "open": pd.to_datetime(["2024-03-01 09:00"]),
+                "close": pd.to_datetime(["2024-03-01 17:00"]),
+            }
+        )
+    )
+    out = filter_by_intervals(sig, ivs)
+    p = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in p and "LeftSemi" in p, p
+    assert n_shuffles(out) == 0, p
+
+
+def test_jaccard_verify_stage_no_cartesian(spark, sf_dir):
+    """Prefix-filter candidate generation + id-join verify: the whole
+    plan is equi-joins — no CartesianProduct anywhere."""
+    from sparkfeat.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(jaccard_pairs(docs, threshold=0.9))
+    assert "CartesianProduct" not in p, p
+
+
+def test_checkpoint_write_partitions_by_bucket(spark, transcripts, tmp_path):
+    """The single-job checkpoint write plans one scan of the input (no
+    per-bucket re-filter subplans)."""
+    from sparkfeat.checkpoint import bucket_of
+
+    df = transcripts.withColumn("_bucket", bucket_of("conv_id", 8))
+    # one scan node in the filtered write plan
+    p = plan_of(df.filter(F.col("_bucket").isin(list(range(8)))))
+    assert p.count("Scan ") <= 1 or p.count("InMemoryTableScan") <= 1

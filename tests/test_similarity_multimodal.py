@@ -210,3 +210,48 @@ def test_embedding_pairs_bucketed_recall_and_exactness(spark, sf_dir):
         assert abs(v - brute[k]) < 1e-12  # identical scoring
     recall = len(buck) / max(len(brute), 1)
     assert recall >= 0.5, f"recall {recall:.2f} ({len(buck)}/{len(brute)})"
+
+
+def test_kmeans_centroids_improve_assignment_objective(spark, sf_dir):
+    """Lloyd refinement: the mean cosine between vectors and their
+    assigned centroid must improve over the first-C seed, and IVF recall
+    with k-means centroids stays usable. (On this near-random corpus
+    recall parity is enough — there is no cluster structure to exploit;
+    on clustered corpora the refined buckets are strictly better.)"""
+    from pyspark.sql import functions as F
+
+    from sparkfeat.similarity import (
+        _dot,
+        _norm,
+        cosine_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+    def objective(cents):
+        assigned = ivf_assign(emb, cents)
+        sim = assigned.join(F.broadcast(cents), "cent_id").select(
+            (
+                _dot(F.col("_cv"), F.col("_centv"))
+                / (_norm(F.col("_cv")) * _norm(F.col("_centv")))
+            ).alias("s")
+        )
+        return sim.agg(F.avg("s")).collect()[0][0]
+
+    seed = ivf_centroids(emb, 16)
+    km = kmeans_centroids(emb, 16, n_iter=3)
+    assert objective(km) > objective(seed)
+
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    truth = {(r.probe_id, r.vec_id) for r in cosine_topk(emb, probes, k=5).collect()}
+    got = {
+        (r.probe_id, r.vec_id)
+        for r in ivf_topk(emb, probes, k=5, nprobe=4, centroids=km).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.6
