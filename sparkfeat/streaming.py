@@ -58,6 +58,71 @@ def stream_session_aggregates(
     )
 
 
+def stream_ewma(
+    stream: DataFrame,
+    value_col: str,
+    halflife: float,
+    out_col: str = "ewma",
+    entity_col: str = "conv_id",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-conversation EWMA via
+    ``applyInPandasWithState`` — the streaming twin of
+    ``transforms.ewma``. Each conversation's (S, W) weighted-cumsum
+    state lives in the state store and carries across micro-batches AND
+    across restarts (checkpoint recovery), using the same decayed-carry
+    algebra as the chunk-scan and sorted-stream kernels, so emitted
+    values equal the batch ``ewm(halflife, adjust=True).mean()`` exactly
+    when turns arrive in (ts, turn_idx) order per conversation (the
+    append-only transcript-log contract; within a micro-batch order is
+    restored by an explicit sort).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from sparkfeat.transforms import _ewma_sw
+
+    a = 0.5 ** (1.0 / halflife)
+    src_fields = {f.name: f for f in stream.schema.fields}
+    out_schema = StructType(
+        [
+            src_fields[entity_col],
+            src_fields["ts"],
+            src_fields["turn_idx"],
+            StructField(value_col, DoubleType(), True),
+            StructField(out_col, DoubleType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("s", DoubleType(), True), StructField("w", DoubleType(), True)]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "turn_idx"], kind="mergesort")
+        s0, w0 = state.get if state.exists else (0.0, 0.0)
+        x = rows[value_col].to_numpy(dtype=np.float64)
+        S, W = _ewma_sw(x, a, s0, w0)
+        state.update((float(S[-1]), float(W[-1])))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = np.where(W > 0, S / W, np.nan)
+        out = pd.DataFrame(
+            {
+                entity_col: key[0],
+                "ts": rows["ts"],
+                "turn_idx": rows["turn_idx"],
+                value_col: x,
+                out_col: m,
+            }
+        )
+        yield out
+
+    return stream.groupBy(entity_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_once(
     spark,
     input_path: str,

@@ -185,5 +185,55 @@ def test_chunked_bounded_windows_rejects_short_chunks(skewed):
     trailing windows (context only replicates from the previous chunk)."""
     from sparkfeat.windows import chunked_bounded_windows
 
+    _, df = skewed
     with pytest.raises(ValueError, match="chunk_size"):
-        chunked_bounded_windows(skewed, lambda df, e: df, max_window=50, chunk_size=10)
+        chunked_bounded_windows(df, lambda d, e: d, max_window=50, chunk_size=10)
+
+
+def test_stream_ewma_state_carries_across_invocations(spark, transcripts, tmp_path):
+    """applyInPandasWithState streaming EWMA == batch ewm(): the (S, W)
+    state survives in the state store across two availableNow
+    invocations (checkpoint recovery), so late turns continue each
+    conversation's weighted cumsum exactly."""
+    from sparkfeat import transforms as T
+    from sparkfeat.schema import TRANSCRIPT_SCHEMA
+    from sparkfeat.streaming import stream_ewma
+
+    indir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    outdir = str(tmp_path / "out")
+
+    def run_once(batch_df):
+        batch_df.write.mode("append").parquet(indir)
+        st = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(indir)
+        st = st.withColumn("text_len", F.length("text").cast("double"))
+        q = (
+            stream_ewma(st, "text_len", halflife=7.5, out_col="e")
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once(transcripts.filter("turn_idx < 10"))
+    run_once(transcripts.filter("turn_idx >= 10"))
+
+    got = (
+        spark.read.parquet(outdir)
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    sig = transcripts.withColumn("text_len", F.length("text").cast("double"))
+    want = (
+        T.ewma(sig, "text_len", halflife=7.5, out_col="e")
+        .select("conv_id", "ts", "turn_idx", "e")
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got["e"], want["e"], rtol=1e-9)
