@@ -1256,11 +1256,30 @@ def q_multimodal_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode")  # rows-only: binary payload plumbing
+_MM_FAKE_ORACLE = """WITH c AS (
+    SELECT doc_id, LENGTH(text) AS n,
+        list_transform(
+            list_filter(string_split_regex(text, ''), ch -> ch <> ''),
+            ch -> unicode(ch) // 16) AS bins
+    FROM documents
+)
+SELECT doc_id AS media_id,
+    CAST(doc_id % 3 AS INT) AS mime,
+    CAST(n AS BIGINT) AS n_bytes,
+    ROUND(CAST(len(list_filter(bins, b -> b = 2)) AS DOUBLE) / n, 6) AS feat_2,
+    ROUND(CAST(len(list_filter(bins, b -> b = 6)) AS DOUBLE) / n, 6) AS feat_6,
+    ROUND(CAST(len(list_filter(bins, b -> b = 7)) AS DOUBLE) / n, 6) AS feat_7
+FROM c"""
+
+
+@register("multimodal_decode", _MM_FAKE_ORACLE)
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: deterministic binary payloads →
-    Arrow mapInPandas feature extraction (byte-histogram stand-in kernel;
-    real codec seam raises NotImplementedError)."""
+    Arrow mapInPandas feature extraction (byte-histogram stand-in
+    kernel). The corpus is pure ASCII, so the oracle recomputes the
+    utf-8 byte histogram from codepoints in SQL — full parity for the
+    plumbing path too (the REAL codecs are covered by
+    multimodal_real_decode)."""
     from sparkfeat.multimodal import attach_fake_payloads, decode_features
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1270,8 +1289,9 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "mime",
         "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("feat_0"),
-        F.round(F.element_at("features", 16), 6).alias("feat_15"),
+        F.round(F.element_at("features", 3), 6).alias("feat_2"),
+        F.round(F.element_at("features", 7), 6).alias("feat_6"),
+        F.round(F.element_at("features", 8), 6).alias("feat_7"),
     )
 
 
@@ -1579,11 +1599,56 @@ def q_gadf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_image(spark, sf_dir, "gadf", use_abs=True)
 
 
-@register("mtf_window_images")  # rows-only: quantile-bin Markov field in SQL
+_MTF_ORACLE = f"""{_SIG_CTE},
+w AS (
+    SELECT conv_id, turn_idx,
+        list(text_len) OVER ({_W} ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS win
+    FROM sig
+),
+b AS (
+    SELECT conv_id, turn_idx, win, list_sort(win) AS s FROM w WHERE len(win) >= 16
+),
+qx AS (
+    SELECT conv_id, turn_idx, win,
+        list_transform(generate_series(1, 6), k ->
+            s[CAST(FLOOR(15*k/7.0) AS INT) + 1]
+            + (15*k/7.0 - FLOOR(15*k/7.0))
+              * (s[CAST(FLOOR(15*k/7.0) AS INT) + 2]
+                 - s[CAST(FLOOR(15*k/7.0) AS INT) + 1])) AS qs
+    FROM b
+),
+qq AS (
+    SELECT conv_id, turn_idx,
+        list_transform(win, x -> len(list_filter(qs, v -> v <= x))) AS q
+    FROM qx
+),
+wc AS (
+    SELECT conv_id, turn_idx, q,
+        list_transform(generate_series(0, 48), c ->
+            len(list_filter(generate_series(1, 15),
+                            i -> q[i] = c // 7 AND q[i+1] = c % 7))) AS tc
+    FROM qq
+),
+rs AS (
+    SELECT conv_id, turn_idx, q, tc,
+        list_transform(generate_series(0, 6), a -> list_sum(tc[a*7+1 : a*7+7])) AS rsum
+    FROM wc
+)
+SELECT conv_id, turn_idx, CAST(16 AS INT) AS img_len,
+    ROUND(list_sum(list_transform(generate_series(0, 255), st ->
+        CASE WHEN rsum[q[st // 16 + 1] + 1] = 0 THEN 0.0
+             ELSE CAST(tc[q[st // 16 + 1] * 7 + q[st % 16 + 1] + 1] AS DOUBLE)
+                  / rsum[q[st // 16 + 1] + 1] END)) / 16.0, 6) AS img_sum
+FROM rs"""
+
+
+@register("mtf_window_images", _MTF_ORACLE)
 def q_mtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T10 Markov transition field over trailing 16-turn windows
-    (7 quantile bins, PAA to 4×4). Rows-only driver check; field math is
-    pytest-verified against a hand-rolled numpy oracle."""
+    (7 quantile bins, PAA to 4×4): the oracle rebuilds np.quantile's
+    linear interpolation, searchsorted-right binning, the 7×7 transition
+    matrix, row normalization, and the 16×16 field sum entirely in SQL
+    list algebra (agrees to ~2e-15, far inside round-6)."""
     return _q_image(spark, sf_dir, "mtf", use_abs=False)
 
 
