@@ -119,6 +119,65 @@ def apply_bins(
     return out.drop(*drop)
 
 
+def fit_bin_pdf(
+    df: DataFrame,
+    bins: DataFrame,
+    value_col: str,
+    nbins: int,
+    entity_col: str | None = "conv_id",
+    centred: bool = False,
+) -> DataFrame:
+    """Distributed twin of the BinDistribution pdf fit
+    (``classifier.py:26-32``): broadcast-join the edges table, histogram
+    each row (np.histogram semantics via the same index math as
+    :func:`apply_bins`), fold out-of-range values into the outer bins
+    when ``centred`` (classifier.py:28-30 outlier catch; balanced edges
+    span the data so -1 cannot occur there), then one groupBy →
+    dense ``pdf`` array per entity. At 10^12 rows this is a single
+    partial-aggregated count — the numpy fit
+    (:func:`fit_bin_distribution`) is for driver-sized series."""
+    joined = (
+        df.join(F.broadcast(bins), on=entity_col, how="left")
+        if entity_col
+        else df.crossJoin(F.broadcast(bins))
+    )
+    v = F.col(value_col)
+    e = F.col("edges")
+    lo, hi = F.element_at(e, 1), F.element_at(e, nbins + 1)
+    interior = F.slice(e, 2, nbins - 1)
+    raw_idx = F.size(F.filter(interior, lambda edge: v >= edge))
+    below = F.lit(0) if centred else F.lit(-1)
+    above = F.lit(nbins - 1) if centred else F.lit(-1)
+    idx = (
+        F.when(v.isNull() | F.isnan(v.cast("double")), F.lit(None).cast("int"))
+        .when(v < lo, below)
+        .when(v > hi, above)
+        .when(v == hi, F.lit(nbins - 1))
+        .otherwise(raw_idx)
+        .cast("int")
+    )
+    idx_df = joined.withColumn("_bi2", idx).drop(
+        *[c for c in bins.columns if c != entity_col]
+    )
+    valid = idx_df.filter(F.col("_bi2").isNotNull() & (F.col("_bi2") >= 0))
+    gcols = [entity_col] if entity_col else []
+    counts = valid.groupBy(*gcols, "_bi2").agg(F.count(F.lit(1)).alias("_c"))
+    per_entity = counts.groupBy(*gcols).agg(
+        F.sum("_c").alias("_n"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_bi2"), F.col("_c")))
+        ).alias("_m"),
+    )
+    pdf = F.transform(
+        F.sequence(F.lit(0), F.lit(nbins - 1)),
+        lambda k: F.coalesce(
+            F.element_at(F.col("_m"), k).cast("double"), F.lit(0.0)
+        )
+        / F.col("_n"),
+    )
+    return per_entity.select(*gcols, F.col("_n").alias("n"), pdf.alias("pdf"))
+
+
 # ---------------------------------------------------------------------------
 # N6 declassification — consumer-side inverse transform (classifier.py:136-298)
 # ---------------------------------------------------------------------------

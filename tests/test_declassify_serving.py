@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from sparkfeat.classify import (
     declassify_labels,
+    fit_bin_pdf,
     declassify_single_pdf,
     estimate_confidence_interval,
     extract_point_estimates,
@@ -191,3 +192,22 @@ def test_inverse_gaussian_round_trip(sig):
     scale = pdf["text_len"].abs().clip(lower=1.0)
     assert (err / scale).median() < 0.02
     assert (err / scale).quantile(0.95) < 0.25
+
+
+def test_fit_bin_pdf_matches_numpy_fit(spark, sig):
+    """Distributed pdf fit == BinDistribution numpy fit, both balanced
+    and centred (outliers folded into outer bins)."""
+    pdf_local = sig.select("conv_id", "text_len").toPandas()
+    for centred in (False, True):
+        bins = fit_bins(sig, "text_len", 5, centred=centred)
+        got = {
+            r["conv_id"]: np.array(r["pdf"])
+            for r in fit_bin_pdf(
+                sig, bins, "text_len", 5, centred=centred
+            ).collect()
+        }
+        for conv, g in pdf_local.groupby("conv_id"):
+            d = fit_bin_distribution(
+                g["text_len"].to_numpy(), 5, use_centred_bins=centred
+            )
+            np.testing.assert_allclose(got[conv], d.pdf, atol=1e-12, err_msg=f"{conv} centred={centred}")
