@@ -136,6 +136,21 @@ def ffill(
     return df
 
 
+def drop_nan_entities(
+    df: DataFrame, cols: list[str], entity_col: str = "conv_id"
+) -> DataFrame:
+    """G1/G2 ``dropna=True`` option (cleaning.py:246-250: after gap
+    filling, drop COLUMNS — i.e. entities in the long layout — that
+    still contain any NaN). One pass to find offending entities (tiny
+    set), broadcast anti-join back; the fact side never shuffles."""
+    cond = None
+    for c in cols:
+        bad = F.col(c).isNull() | F.isnan(F.col(c).cast("double"))
+        cond = bad if cond is None else (cond | bad)
+    offenders = df.filter(cond).select(entity_col).distinct()
+    return df.join(F.broadcast(offenders), entity_col, "left_anti")
+
+
 def interpolate(
     df: DataFrame,
     cols: list[str],

@@ -108,3 +108,24 @@ def test_interpolate_parity(transcripts, transcripts_pdf):
         v = w["v"].to_numpy(dtype=float)
         assert np.array_equal(np.isnan(g), np.isnan(v)), f"limit={limit}"
         np.testing.assert_allclose(g[~np.isnan(v)], v[~np.isnan(v)], rtol=1e-12)
+
+
+def test_drop_nan_entities_after_fill(spark):
+    """fill_gaps(dropna=True) semantics: entities still containing NaN
+    after the limited fill are dropped entirely (cleaning.py:246-250)."""
+    import pandas as pd
+
+    from sparkfeat.resample import drop_nan_entities, ffill
+
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 4 + ["b"] * 4,
+            "bucket_ts": list(pd.date_range("2024-01-01", periods=4, freq="1h")) * 2,
+            "v": [1.0, None, 3.0, 4.0, 1.0, None, None, None],  # b: gap > limit
+        }
+    )
+    df = ffill(spark.createDataFrame(rows), ["v"], limit=1)
+    out = drop_nan_entities(df, ["v_filled"])
+    kept = {r["conv_id"] for r in out.select("conv_id").distinct().collect()}
+    assert kept == {"a"}
+    assert out.count() == 4
