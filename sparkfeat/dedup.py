@@ -140,13 +140,17 @@ def jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+#: Mersenne-31 hash field: a·h + b < 2^62 fits uint64, so the whole
+#: (shingles × perms) permutation matrix is plain vectorized numpy —
+#: the 61-bit field would force object-dtype python-int products
+#: (~50× slower in the scan-dominant signature stage).
+_MERSENNE = (1 << 31) - 1
 
 
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -171,8 +175,17 @@ def minhash_signatures(
     folded into the Mersenne prime field; permutations
     h_i(x) = (a_i·x + b_i) mod p. One Arrow batch per partition — numpy
     does (docs×perms) mins vectorized. The whole signature is replayable
-    in SQL, so the driver oracle checks it end-to-end."""
+    in SQL, so the driver oracle checks it end-to-end.
+
+    The input is hash-repartitioned on the id first: signature hashing is
+    the CPU-heavy stage and must parallelize regardless of how few files
+    the source scan produced (a single-file corpus would otherwise hash
+    in one task)."""
     a, b = _perm_params(num_perm, seed)
+    # explicit partition count: AQE would coalesce this tiny-by-bytes
+    # exchange back to one partition, serializing the CPU-bound hashing
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n_part, F.col(id_col))
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(texts: pd.Series) -> pd.Series:
@@ -182,10 +195,13 @@ def minhash_signatures(
             if not sh:
                 out.append([int(_MERSENNE)] * num_perm)
                 continue
-            hv = (md5_lower64_np(sh) % _MERSENNE).astype(np.int64)
-            # (n_shingles, num_perm) permuted hashes → column-min
-            perms = (hv[:, None].astype(object) * a[None, :] + b[None, :]) % _MERSENNE
-            out.append([int(v) for v in perms.min(axis=0)])
+            hv = (md5_lower64_np(sh) & np.uint64(0xFFFFFFFF)) % np.uint64(
+                _MERSENNE
+            )
+            # (n_shingles, num_perm) permuted hashes → column-min; pure
+            # uint64 SIMD (max product (2^31)² + b < 2^62, no overflow)
+            perms = (hv[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+            out.append(perms.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("_id"), sig(F.col(text_col)).alias("sig"))
@@ -248,7 +264,11 @@ def simhash(
     """64-bit SimHash per doc (Charikar): sum ±1 per bit over token
     hashes, sign → bit. Token hashes via md5-lower-64 (one Arrow pass;
     == DuckDB ``md5_number_lower``, so the SQL oracle replays the bit
-    vector exactly)."""
+    vector exactly). Hash-repartitioned on the id first (explicit
+    partition count — AQE's byte-based coalescing would serialize the
+    CPU-bound hashing) so the stage parallelizes independent of source
+    file count."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
 
     @F.pandas_udf(LongType())
     def sh(texts: pd.Series) -> pd.Series:
@@ -370,18 +390,32 @@ def embedding_pairs_bucketed(
 
     cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
     assigned = ivf_assign(emb, cents, id_col, vec_col, n_assign=n_assign)
-    a = assigned.select(
-        "cent_id", F.col(id_col).alias("id_a"), F.col("_cv").alias("_va")
+    # pre-normalize ONCE per assignment row: the per-pair verify then
+    # needs a single dot-product fold instead of dot + two norms (3×
+    # fewer higher-order-function passes on the quadratic stage);
+    # repartition on the bucket key so big buckets spread across tasks
+    # regardless of the input's file layout
+    normed = (
+        assigned.repartition(F.col("cent_id"))
+        .withColumn("_n", _norm(F.col("_cv")))
+        .select(
+            "cent_id",
+            F.col(id_col),
+            F.transform("_cv", lambda x: x / F.col("_n")).alias("_nv"),
+        )
     )
-    b = assigned.select(
-        "cent_id", F.col(id_col).alias("id_b"), F.col("_cv").alias("_vb")
+    a = normed.select(
+        "cent_id", F.col(id_col).alias("id_a"), F.col("_nv").alias("_va")
+    )
+    b = normed.select(
+        "cent_id", F.col(id_col).alias("id_b"), F.col("_nv").alias("_vb")
     )
     pairs = (
         a.join(b, "cent_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    cos = _dot(F.col("_va"), F.col("_vb"))
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)

@@ -1018,7 +1018,8 @@ sh AS (
 ),
 hv AS (
     SELECT doc_id,
-        list_transform(sh, s -> CAST(md5_number_lower(s) % {M} AS BIGINT)) AS hs
+        list_transform(sh, s ->
+            CAST((md5_number_lower(s) & 4294967295) % {M} AS BIGINT)) AS hs
     FROM sh
 ),
 sig AS (
@@ -1027,7 +1028,7 @@ sig AS (
              THEN list_transform(generate_series(1, {num_perm}), j -> CAST({M} AS BIGINT))
              ELSE list_transform(generate_series(1, {num_perm}), j ->
                  list_min(list_transform(hs, h ->
-                     CAST((CAST({A}[j] AS HUGEINT) * h + {B}[j]) % {M} AS BIGINT))))
+                     ({A}[j] * h + {B}[j]) % {M})))
         END AS sig
     FROM hv
 ),
@@ -1676,12 +1677,19 @@ assigned AS (
             ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
                 {_COS.format(a='c.v', b='cents.cv')} DESC, cents.cent_id) AS r
         FROM c, cents) WHERE r <= 4
+),
+normed AS (
+    -- mirror the engine's pre-normalized verify: unit vectors first,
+    -- then a single dot product per pair (identical fold order)
+    SELECT cent_id, vec_id,
+        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+    FROM assigned
 )
 SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-    ROUND({_COS.format(a='a.v', b='b.v')}, 6) AS cosine
-FROM assigned a JOIN assigned b
+    ROUND(list_dot_product(a.nv, b.nv), 6) AS cosine
+FROM normed a JOIN normed b
   ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4"""
+WHERE list_dot_product(a.nv, b.nv) >= 0.4"""
 
 
 @register("dedup_embedding_pairs", _EMB_PAIRS_ORACLE)
