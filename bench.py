@@ -35,6 +35,11 @@ BENCH_QUERIES = [
     "resample_densify_ffill",
     "dedup_jaccard_pairs",
     "ann_cosine_topk",
+    # round 2 additions (kept after the original seven for cross-round
+    # comparability of the shared keys)
+    "dedup_minhash_lsh",
+    "dedup_embedding_pairs",
+    "gaussian_scaler",
 ]
 
 
@@ -53,8 +58,13 @@ def main() -> None:
         if name not in q.QUERIES:
             continue
         fn = q.QUERIES[name]
+        # steady-state timing: one untimed execution first (whole-stage
+        # codegen compilation + JIT warmup otherwise dominates the first
+        # run and adds ±40% run-to-run noise at this input size), then
+        # the timed run. noop sink: full evaluation of every output
+        # column, no driver collect.
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
-        # noop sink: full evaluation of every output column, no driver collect
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.perf_counter() - t0, 3)
 
