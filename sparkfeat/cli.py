@@ -33,7 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("--events", help="testdata sf dir (transcripts derived)")
     p.add_argument("--output", required=True)
     p.add_argument("--num-buckets", type=int, default=16)
-    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="buckets per job; default = all pending in ONE job "
+                        "(single input scan). Set for blast-radius batching.")
     p.add_argument("--gap-seconds", type=float, default=1800.0)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--master", default=None)

@@ -5,18 +5,24 @@ Scale design:
 
 * **exact** — one md5 groupBy; shuffle keyed on the 128-bit hash, so
   perfectly balanced regardless of text skew.
-* **n-gram Jaccard** — candidate pairs only within (lang, length-band)
-  blocks; the quadratic blowup is bounded per block, and the block join
-  is a shuffle-equi-join on the band key. Set similarity via
-  ``array_intersect``/``array_union`` sizes (JVM, codegen).
-* **MinHash+LSH** — per-doc signature (k permutations of shingle
-  FNV-1a hashes, vectorized numpy in one Arrow pass), banded into
-  r-row bands; docs sharing a band bucket are candidates (standard
-  Broder/LSH construction). Cost: O(docs·shingles) + one groupBy on
-  band buckets — no pairwise stage until candidates are already rare.
-* **SimHash** — 64-bit sign-aggregated token-hash vector; candidates
-  share one of 4 16-bit blocks (Hamming ≤ 3 guaranteed recall via
-  pigeonhole); verify by exact Hamming distance, all in JVM bit ops.
+* **n-gram Jaccard** — LOSSLESS PPJoin-style prefix filtering:
+  candidates share a rarest-first prefix token (frequency ranks for the
+  common vocabulary broadcast), size-ratio pruned, then exact
+  ``array_intersect``/``array_union`` verify over survivors only. The
+  result equals brute force within a language — blocking is an
+  optimization, not a recall contract.
+* **MinHash+LSH** — per-doc signature (k permutations of md5-derived
+  shingle hashes in the Mersenne-31 field — pure uint64 SIMD, and
+  replayable in the DuckDB oracle), banded into r-row bands; docs
+  sharing a band bucket are candidates (standard Broder/LSH
+  construction). Cost: O(docs·shingles) + one groupBy on band buckets —
+  no pairwise stage until candidates are already rare.
+* **SimHash** — 64-bit sign-aggregated md5-token-hash vector;
+  candidates share one of 4 16-bit blocks (Hamming ≤ 3 guaranteed
+  recall via pigeonhole); verify by exact Hamming distance in JVM bit
+  ops.
+* **Embedding near-dup** — multi-probe IVF bucket co-membership
+  candidates, within-bucket verify as one BLAS matmul per bucket.
 """
 
 from __future__ import annotations
