@@ -1121,12 +1121,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_ORACLE = """WITH c AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-p AS (SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 10),
+n AS (
+    -- mirror the engine's normalize-then-dot scoring (identical fold order)
+    SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+    FROM c
+),
+p AS (SELECT vec_id AS probe_id, u AS pu FROM n WHERE vec_id < 10),
 scored AS (
-    SELECT p.probe_id, c.vec_id,
-        list_dot_product(p.pv, c.v)
-            / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
-    FROM c, p WHERE c.vec_id <> p.probe_id
+    SELECT p.probe_id, n.vec_id, list_dot_product(p.pu, n.u) AS cosine
+    FROM n, p WHERE n.vec_id <> p.probe_id
 ),
 r AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk
@@ -1178,11 +1181,20 @@ pc AS (
                 {_COS.format(a='p.pv', b='cents.cv')} DESC, cents.cent_id) AS r
         FROM p, cents) WHERE r <= 4
 ),
+an AS (
+    SELECT vec_id, cent_id,
+        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+    FROM assigned
+),
+pn AS (
+    SELECT probe_id, cent_id,
+        list_transform(pv, x -> x / sqrt(list_dot_product(pv, pv))) AS pu
+    FROM pc
+),
 scored AS (
-    SELECT pc.probe_id, a.vec_id,
-        {_COS.format(a='pc.pv', b='a.v')} AS cosine
-    FROM assigned a JOIN pc ON a.cent_id = pc.cent_id
-    WHERE a.vec_id <> pc.probe_id
+    SELECT pn.probe_id, an.vec_id, list_dot_product(pn.pu, an.u) AS cosine
+    FROM an JOIN pn ON an.cent_id = pn.cent_id
+    WHERE an.vec_id <> pn.probe_id
 ),
 r AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id)

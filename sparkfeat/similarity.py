@@ -48,15 +48,26 @@ def cosine_topk(
     probe_id: str = "probe_id",
 ) -> DataFrame:
     """Exact top-k by cosine for each probe (excluding self-matches on
-    equal ids). Probe set is broadcast; ties broken by corpus id."""
-    p = probes.select(
-        F.col(probe_id), _as_double(F.col(vec_col)).alias("_pv")
+    equal ids). Probe set is broadcast; ties broken by corpus id. Both
+    sides are pre-normalized to unit vectors, so the per-pair score is
+    one dot-product fold (the oracle mirrors the same normalize-then-dot
+    order)."""
+    p = (
+        probes.select(F.col(probe_id), _as_double(F.col(vec_col)).alias("_pv"))
+        .withColumn("_pn", _norm(F.col("_pv")))
+        .select(
+            probe_id, F.transform("_pv", lambda x: x / F.col("_pn")).alias("_pu")
+        )
     )
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"))
+    c = (
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"))
+        .withColumn("_cn", _norm(F.col("_cv")))
+        .select(id_col, F.transform("_cv", lambda x: x / F.col("_cn")).alias("_cu"))
+    )
     scored = (
         c.crossJoin(F.broadcast(p))
         .filter(F.col(id_col) != F.col(probe_id))
-        .withColumn("cosine", _dot(F.col("_pv"), F.col("_cv")) / (_norm(F.col("_pv")) * _norm(F.col("_cv"))))
+        .withColumn("cosine", _dot(F.col("_pu"), F.col("_cu")))
     )
     w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
@@ -177,7 +188,15 @@ def ivf_topk(
         if centroids is not None
         else ivf_centroids(corpus, n_centroids, id_col, vec_col)
     )
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    assigned = (
+        ivf_assign(corpus, cents, id_col, vec_col)
+        .withColumn("_cn", _norm(F.col("_cv")))
+        .select(
+            id_col,
+            "cent_id",
+            F.transform("_cv", lambda x: x / F.col("_cn")).alias("_cu"),
+        )
+    )
 
     p = probes.select(F.col(probe_id), _as_double(F.col(vec_col)).alias("_pv"))
     probe_w = Window.partitionBy(probe_id).orderBy(F.col("_sim").desc(), F.col("cent_id"))
@@ -186,13 +205,19 @@ def ivf_topk(
         .withColumn("_sim", _dot(F.col("_pv"), F.col("_centv")) / (_norm(F.col("_pv")) * _norm(F.col("_centv"))))
         .withColumn("_r", F.row_number().over(probe_w))
         .filter(F.col("_r") <= nprobe)
-        .select(probe_id, "_pv", "cent_id")
+        .withColumn("_pn", _norm(F.col("_pv")))
+        .select(
+            probe_id,
+            "cent_id",
+            F.transform("_pv", lambda x: x / F.col("_pn")).alias("_pu"),
+        )
     )
 
+    # pre-normalized sides ⇒ the in-bucket score is one dot-product fold
     scored = (
         assigned.join(probe_cents, "cent_id")
         .filter(F.col(id_col) != F.col(probe_id))
-        .withColumn("cosine", _dot(F.col("_pv"), F.col("_cv")) / (_norm(F.col("_pv")) * _norm(F.col("_cv"))))
+        .withColumn("cosine", _dot(F.col("_pu"), F.col("_cu")))
     )
     w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
