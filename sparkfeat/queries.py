@@ -485,6 +485,89 @@ def q_asof_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONFIG_ORACLE = f"""{_SIG_CTE},
+lagged AS (
+    SELECT *,
+        LN(text_len / NULLIF(LAG(text_len) OVER ({_W}), 0)) AS lr_raw
+    FROM sig
+),
+feat AS (
+    SELECT conv_id, turn_idx, ts, text_len,
+        CASE WHEN lr_raw IS NULL THEN NULL
+             ELSE LEAST(GREATEST(lr_raw, -0.1), 0.1) END AS lr,
+        CASE WHEN COUNT(lr_raw) OVER ({_W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) >= 3
+             THEN STDDEV_SAMP(lr_raw) OVER ({_W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+             END AS vol
+    FROM lagged
+),
+stats AS (
+    SELECT conv_id, AVG(vol) AS m, STDDEV_POP(vol) AS sd,
+        quantile_cont(lr, [0.0, 0.2, 0.4, 0.6, 0.8, 1.0]) AS e
+    FROM feat GROUP BY conv_id
+),
+j AS (
+    SELECT f.*, s.m, s.sd, s.e,
+        LEAD(f.lr, 1) OVER (PARTITION BY f.conv_id ORDER BY f.ts, f.turn_idx) AS y1,
+        LEAD(f.lr, 2) OVER (PARTITION BY f.conv_id ORDER BY f.ts, f.turn_idx) AS y2
+    FROM feat f JOIN stats s ON f.conv_id = s.conv_id
+)
+SELECT conv_id, turn_idx,
+    ROUND(text_len, 6) AS text_len_value,
+    ROUND((vol - m) / NULLIF(sd, 0), 6) AS vol_z,
+    ROUND(y1, 6) AS y_lead_1,
+    ROUND(y2, 6) AS y_lead_2,
+    CAST(CASE
+        WHEN lr IS NULL THEN NULL
+        WHEN lr < e[1] OR lr > e[6] THEN -1
+        WHEN lr = e[6] THEN 4
+        ELSE LEN(list_filter(e[2:5], x -> lr >= x))
+    END AS INT) AS y_bin
+FROM j"""
+
+
+@register("config_pipeline", _CONFIG_ORACLE)
+def q_config_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end config-driven user journey (factory/schemas twin):
+    a reference-shaped config — value + normalized volatility features,
+    a clipped log-return target with 5 balanced bins and 2 forecast
+    leads — compiled by config.build_pipeline into one plan; the oracle
+    replays every stage (transform, fit/apply normalization, leads, bin
+    assignment) in SQL."""
+    from sparkfeat.config import build_pipeline, parse_config
+
+    cfg = parse_config(
+        {
+            "feature_config_list": [
+                {"name": "text_len", "transformation": {"name": "value"}},
+                {
+                    "name": "text_len",
+                    "transformation": {"name": "volatility", "window": 10},
+                    "normalization": "standard",
+                    "length": 10,
+                },
+                {
+                    "name": "text_len",
+                    "transformation": {"name": "log-return"},
+                    "nbins": 5,
+                    "is_target": True,
+                },
+            ],
+            "n_forecasts": 2,
+        }
+    )
+    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    out = build_pipeline(sig, cfg)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        _r(F.col("text_len_value")).alias("text_len_value"),
+        _r(F.col("text_len_volatility_scaled")).alias("vol_z"),
+        _r(F.col("y_lead_1")).alias("y_lead_1"),
+        _r(F.col("y_lead_2")).alias("y_lead_2"),
+        F.col("`text_len_log-return_bin`").alias("y_bin"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Calendar interval membership + minutes-after-open sampling (P4/J4)
 # ---------------------------------------------------------------------------
