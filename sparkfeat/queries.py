@@ -1015,6 +1015,65 @@ def q_docstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QRULES_ORACLE = r"""WITH t AS (
+    SELECT doc_id, text,
+        regexp_split_to_array(lower(text), '\s+') AS ws,
+        regexp_split_to_array(text, '\s+') AS rws,
+        str_split(text, chr(10)) AS lines
+    FROM documents
+),
+b AS (
+    SELECT doc_id, text, ws, rws, lines,
+        CASE WHEN len(ws) >= 2
+             THEN list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1])
+        END AS bg
+    FROM t
+),
+m AS (
+    SELECT doc_id, text, rws, lines,
+        CAST(len(rws) AS INT) AS n_tok,
+        CASE WHEN len(rws) >= 2 THEN
+            CAST(list_max(list_transform(list_distinct(bg),
+                 x -> len(list_filter(bg, y -> y = x)))) * 2 AS DOUBLE) / len(rws)
+        ELSE 0.0 END AS top_bigram,
+        1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) AS dup_lines,
+        CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[#…]|\.\.\.', '', 'g'))
+             AS DOUBLE) / len(rws) AS sym_ratio,
+        CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(rws) AS awl,
+        len(list_intersect(list_distinct(regexp_split_to_array(lower(text), '\s+')),
+            ['the','a','an','and','or','of','to','in','is','it'])) AS n_stops
+    FROM b
+)
+SELECT doc_id, n_tok,
+    ROUND(top_bigram, 6) AS top_bigram_frac,
+    ROUND(dup_lines, 6) AS dup_line_frac,
+    ROUND(sym_ratio, 6) AS symbol_ratio,
+    (n_tok >= 5 AND n_tok <= 100000 AND awl >= 2.0 AND awl <= 12.0
+     AND sym_ratio <= 0.1 AND top_bigram <= 0.5 AND n_stops >= 1) AS quality_pass
+FROM m"""
+
+
+@register("doc_quality_rules", _QRULES_ORACLE)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family document quality gate: word-count bounds, mean word
+    length band, symbol-to-word ceiling, top-bigram repetition ceiling,
+    duplicate-line fraction, stopword presence — all whole-stage-codegen
+    Column expressions (the shape of a trillion-token pretraining filter
+    pass), fully replayed in SQL."""
+    from sparkfeat import text as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tok"),
+        _r(X.top_bigram_fraction("text")).alias("top_bigram_frac"),
+        _r(X.duplicate_line_fraction("text")).alias("dup_line_frac"),
+        _r(X.symbol_word_ratio("text")).alias("symbol_ratio"),
+        X.gopher_quality_pass("text").alias("quality_pass"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup: exact bag-fingerprint groups
 # ---------------------------------------------------------------------------

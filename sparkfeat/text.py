@@ -94,6 +94,85 @@ def lang_guess(text: str | Column, threshold: float = 0.08) -> Column:
     )
 
 
+def top_bigram_fraction(text: str | Column) -> Column:
+    """Repetition signal: fraction of tokens covered by the single most
+    frequent word bigram (Gopher/Rae et al. repetition filters use
+    exactly this family). Pure Column algebra: build the bigram list,
+    count each distinct bigram via a nested filter, take the max —
+    O(distinct·n) per doc, JVM-side."""
+    toks = tokens(F.lower(text if isinstance(text, Column) else F.col(text)))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.slice(toks, 1, n - 1),
+            lambda w, i: F.concat_ws(" ", w, F.element_at(toks, i + 2)),
+        ),
+    )
+    counts = F.transform(
+        F.array_distinct(bigrams),
+        lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+    )
+    top = F.array_max(counts)
+    return F.when(
+        n >= 2, (top * 2).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def duplicate_line_fraction(text: str | Column) -> Column:
+    """Repetition signal: fraction of lines that are duplicates of an
+    earlier line (1 − distinct/total over newline-split lines)."""
+    c = text if isinstance(text, Column) else F.col(text)
+    lines = F.split(c, "\n")
+    n = F.size(lines)
+    return (
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n.cast("double")
+    )
+
+
+def symbol_word_ratio(text: str | Column) -> Column:
+    """Gopher rule input: symbol characters (#, …, ellipsis dots) per
+    whitespace word."""
+    c = text if isinstance(text, Column) else F.col(text)
+    n_sym = F.length(c) - F.length(F.regexp_replace(c, r"[#…]|\.\.\.", ""))
+    return n_sym.cast("double") / token_count(c).cast("double")
+
+
+def gopher_quality_pass(
+    text: str | Column,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 2.0,
+    max_avg_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    max_top_bigram_frac: float = 0.5,
+    min_stopword_hits: int = 1,
+) -> Column:
+    """Composite Gopher-style document gate (Rae et al. 2021 §A1.1
+    family, thresholds tuned for short synthetic docs): word-count
+    bounds, mean-word-length band, symbol-to-word ceiling, top-bigram
+    repetition ceiling, and a minimum number of distinct stopwords.
+    Pure whole-stage-codegen expressions — the shape of a trillion-token
+    pretraining filter pass."""
+    toks = tokens(text)
+    n = F.size(toks)
+    distinct_stops = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(F.lower(text if isinstance(text, Column) else F.col(text)))),
+            F.array(*[F.lit(s) for s in STOPWORDS]),
+        )
+    )
+    return (
+        (n >= min_words)
+        & (n <= max_words)
+        & (avg_word_len(text) >= min_avg_word_len)
+        & (avg_word_len(text) <= max_avg_word_len)
+        & (symbol_word_ratio(text) <= max_symbol_ratio)
+        & (top_bigram_fraction(text) <= max_top_bigram_frac)
+        & (distinct_stops >= min_stopword_hits)
+    )
+
+
 def content_fingerprint(text: str | Column) -> Column:
     """Canonical content hash: lowercase, collapse whitespace, md5.
     Exact-dup key that survives case/spacing jitter."""

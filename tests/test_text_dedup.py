@@ -192,3 +192,43 @@ def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
         assert set(got) == set(want), (t, len(got), len(want))
         for k in got:
             assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_quality_rules_hand_cases(spark):
+    """Gopher-style gate semantics pinned on crafted documents."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkfeat import text as X
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over a lazy dog in the sun",  # good
+                    "spam ham spam ham spam ham spam ham spam ham",  # repeated bigram
+                    "line one\nline one\nline one\nthe end",  # duplicate lines
+                    "### ### ### the ### ### ###",  # symbol heavy
+                ],
+            }
+        )
+    )
+    out = (
+        docs.select(
+            "doc_id",
+            F.round(X.top_bigram_fraction("text"), 6).alias("bg"),
+            F.round(X.duplicate_line_fraction("text"), 6).alias("dl"),
+            F.round(X.symbol_word_ratio("text"), 6).alias("sr"),
+            X.gopher_quality_pass("text").alias("ok"),
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "ok"] and out.loc[0, "bg"] < 0.3 and out.loc[0, "dl"] == 0.0
+    # "spam ham" appears 5x in 9 bigrams over 10 tokens -> 5*2/10 = 1.0
+    assert out.loc[1, "bg"] == 1.0 and not out.loc[1, "ok"]
+    # 4 lines, 2 distinct -> 0.5 duplicated
+    assert out.loc[2, "dl"] == 0.5
+    # 18 '#' chars over 7 words = 2.571429
+    assert abs(out.loc[3, "sr"] - 18 / 7) < 1e-6 and not out.loc[3, "ok"]
