@@ -1015,6 +1015,61 @@ def q_docstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_ngram_oracle() -> str:
+    """Replay the Cavnar–Trenkle trigram language ID in SQL: same
+    trigram extraction, same (count desc, trigram asc) top-k via struct
+    sort, same profile intersections and (score, lang) struct max."""
+    from sparkfeat.text import LANG_PROFILES
+
+    def lit_list(items):
+        return "[" + ",".join("'" + t.replace("'", "''") + "'" for t in items) + "]"
+
+    scored = ",".join(
+        "{score: len(list_intersect(doc_top, " + lit_list(prof) + ")), "
+        f"lang: '{lang}'}}"
+        for lang, prof in LANG_PROFILES.items()
+    )
+    return f"""WITH t AS (
+    SELECT doc_id, lower(text) AS lc FROM documents
+),
+tri AS (
+    SELECT doc_id,
+        CASE WHEN LENGTH(lc) >= 3
+             THEN list_transform(generate_series(1, LENGTH(lc) - 2),
+                                 i -> substr(lc, i, 3))
+             ELSE CAST([] AS VARCHAR[]) END AS tris
+    FROM t
+),
+cnt AS (
+    SELECT doc_id, tris,
+        list_transform(list_distinct(tris), g ->
+            {{neg: -len(list_filter(tris, x -> x = g)), tri: g}}) AS counted
+    FROM tri
+),
+topk AS (
+    SELECT doc_id,
+        list_transform(list_sort(counted)[1:40], s -> s.tri) AS doc_top
+    FROM cnt
+),
+sc AS (
+    SELECT doc_id, list_max([{scored}]) AS best FROM topk
+)
+SELECT doc_id,
+    CASE WHEN best.score >= 3 THEN best.lang ELSE 'unknown' END AS lang_ngram
+FROM sc"""
+
+
+@register("doc_lang_ngram", _lang_ngram_oracle())
+def q_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (Cavnar–Trenkle profile match over
+    embedded en/de/fr/es seed profiles) — zero UDFs, whole-stage codegen
+    list algebra, fully replayed in SQL."""
+    from sparkfeat import text as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", X.lang_ngram_guess("text").alias("lang_ngram"))
+
+
 _QRULES_ORACLE = r"""WITH t AS (
     SELECT doc_id, text,
         regexp_split_to_array(lower(text), '\s+') AS ws,

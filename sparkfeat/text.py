@@ -173,6 +173,103 @@ def gopher_quality_pass(
     )
 
 
+# ---------------------------------------------------------------------------
+# n-gram language ID (Cavnar–Trenkle-style profile match, Column algebra)
+# ---------------------------------------------------------------------------
+
+#: deterministic seed text per language (composed here; public common
+#: vocabulary) — profiles are the top character trigrams of these.
+_LANG_SEEDS = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and then it runs to "
+        "the river where the water is cold and the light of the morning "
+        "sun is soft with all of the things that we know and love here"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund und dann "
+        "läuft er zum fluss wo das wasser kalt ist und das licht der "
+        "morgensonne weich ist mit allen dingen die wir kennen und lieben"
+    ),
+    "fr": (
+        "le renard brun rapide saute par dessus le chien paresseux et puis "
+        "il court vers la rivière où l'eau est froide et la lumière du "
+        "matin est douce avec toutes les choses que nous aimons ici"
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso y luego "
+        "corre hacia el río donde el agua está fría y la luz de la mañana "
+        "es suave con todas las cosas que conocemos y amamos aquí"
+    ),
+}
+
+
+def _seed_profile(seed: str, k: int = 40) -> list[str]:
+    """Top-k character trigrams of the seed by (count desc, trigram asc)
+    — plain python, evaluated once at plan-build time."""
+    from collections import Counter
+
+    tris = [seed[i : i + 3] for i in range(len(seed) - 2)]
+    counts = Counter(tris)
+    return [t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+
+
+LANG_PROFILES = {lang: _seed_profile(s) for lang, s in _LANG_SEEDS.items()}
+
+
+def char_trigrams(text: str | Column) -> Column:
+    """All character trigrams of the lowercased text (Column algebra:
+    sequence over positions + substring; NB ``sequence(1, 0)`` DESCENDS
+    in Spark, hence the explicit short-text guard)."""
+    c = F.lower(text if isinstance(text, Column) else F.col(text))
+    tri = F.transform(
+        F.sequence(F.lit(1), F.length(c) - 2), lambda i: c.substr(i, F.lit(3))
+    )
+    return F.when(F.length(c) >= 3, tri).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def lang_ngram_guess(
+    text: str | Column, top_k: int = 40, min_overlap: int = 3
+) -> Column:
+    """Cavnar–Trenkle-style n-gram language ID, whole-stage codegen:
+    the doc's ``top_k`` character trigrams (by count desc, trigram asc)
+    are intersected with each language's seed profile; the language with
+    the largest overlap wins (score ties → lexicographically last
+    language, deterministic), overlaps below ``min_overlap`` →
+    'unknown'. A production system swaps the embedded seed profiles for
+    corpus-trained ones — the operator shape (no UDF, replayable in SQL)
+    is the point."""
+    tris = char_trigrams(text)
+    counted = F.transform(
+        F.array_distinct(tris),
+        lambda t: F.struct(
+            (-F.size(F.filter(tris, lambda x: x == t))).alias("neg"),
+            t.alias("tri"),
+        ),
+    )
+    doc_top = F.transform(
+        F.slice(F.array_sort(counted), 1, top_k), lambda s: s["tri"]
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        doc_top, F.array(*[F.lit(t) for t in prof])
+                    )
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, prof in LANG_PROFILES.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] >= min_overlap, best["lang"]).otherwise(
+        F.lit("unknown")
+    )
+
+
 def content_fingerprint(text: str | Column) -> Column:
     """Canonical content hash: lowercase, collapse whitespace, md5.
     Exact-dup key that survives case/spacing jitter."""

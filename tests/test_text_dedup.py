@@ -232,3 +232,34 @@ def test_quality_rules_hand_cases(spark):
     assert out.loc[2, "dl"] == 0.5
     # 18 '#' chars over 7 words = 2.571429
     assert abs(out.loc[3, "sr"] - 18 / 7) < 1e-6 and not out.loc[3, "ok"]
+
+
+def test_lang_ngram_guess_multilingual(spark):
+    """Trigram-profile language ID separates real language samples
+    (sentences deliberately different from the seed texts)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkfeat import text as X
+
+    samples = {
+        "en": "she walked through the garden while the children were playing with their small wooden toys near the old stone wall",
+        "de": "sie ging durch den garten während die kinder mit ihren kleinen holzspielzeugen neben der alten steinmauer spielten",
+        "fr": "elle marchait dans le jardin pendant que les enfants jouaient avec leurs petits jouets en bois près du vieux mur de pierre",
+        "es": "ella caminaba por el jardín mientras los niños jugaban con sus pequeños juguetes de madera cerca del viejo muro de piedra",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(len(samples)), "text": list(samples.values())}
+        )
+    )
+    got = [
+        r["g"]
+        for r in df.select(X.lang_ngram_guess("text").alias("g"))
+        .orderBy("g")
+        .collect()
+    ]
+    assert sorted(got) == sorted(samples.keys()), got
+    # garbage → unknown
+    junk = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["zzqx vvk pffft 12398"]}))
+    assert junk.select(X.lang_ngram_guess("text").alias("g")).first()["g"] == "unknown"
