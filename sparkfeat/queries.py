@@ -27,18 +27,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _canon_signed_zero(sql: str) -> str:
+    """Rewrite every ``ROUND(...)`` in an oracle as ``(ROUND(...) + 0.0)``.
+
+    DuckDB's ROUND emits IEEE ``-0.0`` when a tiny negative (e.g. a window
+    sum that cancels, a log-return of -1e-9) rounds to zero; Spark's
+    ``F.round`` emits ``+0.0`` for the same input. The driver's value hash
+    distinguishes the two, so both engines canonicalize: ``-0.0 + 0.0``
+    is ``+0.0`` under IEEE-754 round-to-nearest on both. NULL + 0.0 stays
+    NULL, and every ROUND site here is a terminal double-typed projection
+    (verified: no CAST-of-ROUND in any oracle), so the rewrite is
+    value- and schema-neutral apart from the zero sign.
+    """
+    out: list[str] = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        j = sql.find("ROUND(", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        # walk to the matching close paren
+        depth = 0
+        k = j + len("ROUND(") - 1  # index of the opening paren
+        while k < n:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        out.append("(" + sql[j : k + 1] + " + 0.0)")
+        i = k + 1
+    return "".join(out)
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            ORACLES[name] = _canon_signed_zero(oracle)
         return fn
 
     return deco
 
 
 def _r(c, nd: int = 6):
-    return F.round(c, nd)
+    # + 0.0 canonicalizes IEEE signed zero to match the oracle-side
+    # rewrite in _canon_signed_zero (see its docstring).
+    return F.round(c, nd) + F.lit(0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -1499,9 +1538,9 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "mime",
         "n_bytes",
-        F.round(F.element_at("features", 3), 6).alias("feat_2"),
-        F.round(F.element_at("features", 7), 6).alias("feat_6"),
-        F.round(F.element_at("features", 8), 6).alias("feat_7"),
+        _r(F.element_at("features", 3)).alias("feat_2"),
+        _r(F.element_at("features", 7)).alias("feat_6"),
+        _r(F.element_at("features", 8)).alias("feat_7"),
     )
 
 
@@ -1789,7 +1828,7 @@ def _q_image(spark: SparkSession, sf_dir: str, kind: str, use_abs: bool) -> Data
         "conv_id",
         "turn_idx",
         F.size(col).alias("img_len"),
-        F.round(F.aggregate(col, F.lit(0.0), term), 6).alias("img_sum"),
+        _r(F.aggregate(col, F.lit(0.0), term)).alias("img_sum"),
     )
 
 

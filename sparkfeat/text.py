@@ -94,26 +94,77 @@ def lang_guess(text: str | Column, threshold: float = 0.08) -> Column:
     )
 
 
+def _sorted_run_counts(arr: Column) -> Column:
+    """Per-distinct-value counts of a string array in O(n log n), pure
+    Column algebra: ``array_sort`` groups equal values into runs; a run
+    START is a position whose predecessor differs, a run END one whose
+    successor differs; the k-th start pairs with the k-th end (runs
+    cannot nest), so ``zip_with(ends, starts)`` yields per-run lengths.
+    Emits ``array<struct<neg:int, tri:string>>`` with ``neg`` = -count,
+    so a plain ``array_sort`` on the result orders by count desc, value
+    asc — the Cavnar–Trenkle profile order. Replaces the earlier nested
+    filter-count (O(distinct·n) per doc — quadratic on 100 KB docs).
+
+    Construction note: every lambda below reads ONLY its bound
+    variables. An outer array referenced inside a higher-order-function
+    lambda (e.g. ``element_at(sorted, i)``) is re-evaluated per element
+    by Catalyst — that turns the scan into O(n² log n). Hence the
+    shifted-copy zips instead of indexed lookups."""
+    s = F.array_sort(arr)
+    n = F.size(s)
+    null1 = F.array(F.lit(None).cast("string"))
+    prv = F.when(n >= 2, F.concat(null1, F.slice(s, 1, n - 1))).otherwise(null1)
+    nxt = F.when(n >= 2, F.concat(F.slice(s, 2, n - 1), null1)).otherwise(null1)
+
+    def _boundaries(neighbor: Column) -> Column:
+        pairs = F.zip_with(
+            s,
+            neighbor,
+            lambda a, b: F.struct(a.alias("val"), b.alias("nb")),
+        )
+        indexed = F.transform(
+            pairs,
+            lambda p, i: F.struct(
+                (i + F.lit(1)).alias("pos"),
+                p["val"].alias("val"),
+                p["nb"].alias("nb"),
+            ),
+        )
+        return F.filter(indexed, lambda q: q["nb"].isNull() | (q["nb"] != q["val"]))
+
+    counted = F.zip_with(
+        _boundaries(nxt),  # run ends, in order
+        _boundaries(prv),  # run starts, in order
+        lambda e, st: F.struct(
+            (-(e["pos"] - st["pos"] + F.lit(1))).alias("neg"),
+            e["val"].alias("tri"),
+        ),
+    )
+    empty = F.array().cast("array<struct<neg:int,tri:string>>")
+    return F.when(n >= 1, counted).otherwise(empty)
+
+
 def top_bigram_fraction(text: str | Column) -> Column:
     """Repetition signal: fraction of tokens covered by the single most
     frequent word bigram (Gopher/Rae et al. repetition filters use
-    exactly this family). Pure Column algebra: build the bigram list,
-    count each distinct bigram via a nested filter, take the max —
-    O(distinct·n) per doc, JVM-side."""
+    exactly this family). Pure Column algebra, O(n log n) per doc via
+    sort-and-run-scan (``_sorted_run_counts``), JVM-side."""
     toks = tokens(F.lower(text if isinstance(text, Column) else F.col(text)))
     n = F.size(toks)
+    # zip the token array against its shift-by-one — NOT
+    # element_at(toks, i+2) inside the lambda, which would re-evaluate
+    # the whole split per element (quadratic in doc length).
     bigrams = F.when(
         n >= 2,
-        F.transform(
+        F.zip_with(
             F.slice(toks, 1, n - 1),
-            lambda w, i: F.concat_ws(" ", w, F.element_at(toks, i + 2)),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     )
-    counts = F.transform(
-        F.array_distinct(bigrams),
-        lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+    top = -F.array_min(
+        F.transform(_sorted_run_counts(bigrams), lambda st: st["neg"])
     )
-    top = F.array_max(counts)
     return F.when(
         n >= 2, (top * 2).cast("double") / n.cast("double")
     ).otherwise(F.lit(0.0))
@@ -218,11 +269,19 @@ LANG_PROFILES = {lang: _seed_profile(s) for lang, s in _LANG_SEEDS.items()}
 
 def char_trigrams(text: str | Column) -> Column:
     """All character trigrams of the lowercased text (Column algebra:
-    sequence over positions + substring; NB ``sequence(1, 0)`` DESCENDS
-    in Spark, hence the explicit short-text guard)."""
+    split to a char array, zip three shifted copies — NOT
+    ``substr(i, 3)`` inside a transform lambda, which re-evaluates the
+    lowered string per position and goes quadratic on 100 KB docs)."""
     c = F.lower(text if isinstance(text, Column) else F.col(text))
-    tri = F.transform(
-        F.sequence(F.lit(1), F.length(c) - 2), lambda i: c.substr(i, F.lit(3))
+    chars = F.split(c, "")
+    m = F.length(c) - 2  # number of trigrams
+    pair = F.zip_with(
+        F.slice(chars, 1, m),
+        F.slice(chars, 2, m),
+        lambda a, b: F.concat(a, b),
+    )
+    tri = F.zip_with(
+        pair, F.slice(chars, 3, m), lambda ab, cch: F.concat(ab, cch)
     )
     return F.when(F.length(c) >= 3, tri).otherwise(
         F.array().cast("array<string>")
@@ -241,13 +300,7 @@ def lang_ngram_guess(
     corpus-trained ones — the operator shape (no UDF, replayable in SQL)
     is the point."""
     tris = char_trigrams(text)
-    counted = F.transform(
-        F.array_distinct(tris),
-        lambda t: F.struct(
-            (-F.size(F.filter(tris, lambda x: x == t))).alias("neg"),
-            t.alias("tri"),
-        ),
-    )
+    counted = _sorted_run_counts(tris)
     doc_top = F.transform(
         F.slice(F.array_sort(counted), 1, top_k), lambda s: s["tri"]
     )

@@ -263,3 +263,49 @@ def test_lang_ngram_guess_multilingual(spark):
     # garbage → unknown
     junk = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["zzqx vvk pffft 12398"]}))
     assert junk.select(X.lang_ngram_guess("text").alias("g")).first()["g"] == "unknown"
+
+
+def test_long_doc_counters_bounded_time(spark):
+    """The sort-and-run-scan counters (_sorted_run_counts) keep
+    top_bigram_fraction / lang_ngram_guess O(n log n) per document:
+    a ~50k-token doc must finish in seconds (the earlier nested
+    filter-count was O(distinct*n) ~ 4e8 comparisons here) and match
+    a python Counter oracle exactly."""
+    import time
+    from collections import Counter
+
+    import pandas as pd
+
+    from sparkfeat import text as X
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(5000)] + list(X.STOPWORDS)
+    words = rng.choice(vocab, size=50_000).tolist()
+    doc = " ".join(words)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [doc]}))
+
+    t0 = time.monotonic()
+    row = df.select(
+        X.top_bigram_fraction("text").alias("bg"),
+        X.lang_ngram_guess("text").alias("lang"),
+    ).first()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 30, f"long-doc counters took {elapsed:.1f}s"
+
+    low = doc.lower().split()
+    bigrams = [f"{a} {b}" for a, b in zip(low, low[1:])]
+    want_bg = 2 * Counter(bigrams).most_common(1)[0][1] / len(low)
+    assert abs(row["bg"] - want_bg) < 1e-12
+
+    # trigram top-40 replay: count desc, trigram asc — then profile match
+    tris = [doc.lower()[i : i + 3] for i in range(len(doc) - 2)]
+    top40 = [
+        t
+        for t, _ in sorted(Counter(tris).items(), key=lambda kv: (-kv[1], kv[0]))[:40]
+    ]
+    scores = {
+        lang: len(set(top40) & set(prof)) for lang, prof in X.LANG_PROFILES.items()
+    }
+    best = max(sorted(scores.items()), key=lambda kv: (kv[1], kv[0]))
+    want_lang = best[0] if best[1] >= 3 else "unknown"
+    assert row["lang"] == want_lang
