@@ -78,6 +78,42 @@ def slice_head(
     )
 
 
+def slice_range(
+    df: DataFrame,
+    start: int,
+    end: int | None = None,
+    entity_col: str = "conv_id",
+) -> DataFrame:
+    """P6 ``slice_data_dict(slice_start, slice_end)`` complete surface
+    (cleaning.py:442-456): pandas ``iloc[start:end]`` per entity,
+    including negative indices and ``end=None``. Position = 0-based
+    rank under the canonical (ts, turn_idx) order; per-entity length
+    comes from an unbounded count over the same partition — one window
+    exchange on entity_col, no second scan."""
+    w = Window.partitionBy(entity_col).orderBy(*ORDER_COLS)
+    w_all = Window.partitionBy(entity_col)
+    pos = F.row_number().over(w) - 1
+    n = F.count(F.lit(1)).over(w_all)
+    lo = (
+        F.lit(start)
+        if start >= 0
+        else F.greatest(n + F.lit(start), F.lit(0))
+    )
+    if end is None:
+        hi = n
+    elif end >= 0:
+        hi = F.lit(end)
+    else:
+        hi = n + F.lit(end)
+    return (
+        df.withColumn("_pos", pos)
+        .withColumn("_lo", lo)
+        .withColumn("_hi", hi)
+        .filter((F.col("_pos") >= F.col("_lo")) & (F.col("_pos") < F.col("_hi")))
+        .drop("_pos", "_lo", "_hi")
+    )
+
+
 def slice_tail(df: DataFrame, n: int, entity_col: str = "conv_id") -> DataFrame:
     """P6 tail variant: last n rows per entity."""
     w = Window.partitionBy(entity_col).orderBy(

@@ -758,6 +758,29 @@ def q_slice_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     return slice_head(t, 5).select("conv_id", "turn_idx", "role", "text", "ts")
 
 
+_SLICE_RANGE_ORACLE = f"""{_SIG_CTE},
+rn AS (
+    SELECT conv_id, turn_idx, role, text, ts,
+        ROW_NUMBER() OVER ({_W}) - 1 AS p,
+        COUNT(*) OVER (PARTITION BY conv_id) AS n
+    FROM sig
+)
+SELECT conv_id, turn_idx, role, text, ts FROM rn
+WHERE p >= GREATEST(n - 7, 0) AND p < n - 2"""
+
+
+@register("slice_range", _SLICE_RANGE_ORACLE)
+def q_slice_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 arbitrary positional slice with pandas iloc semantics
+    (reference slice_data_dict, cleaning.py:442-456): here
+    iloc[-7:-2] per conversation — negative start AND negative end, the
+    part slice_head/tail cannot express."""
+    from sparkfeat.cleaning import slice_range
+
+    t = transcripts_from_events(spark, sf_dir)
+    return slice_range(t, -7, -2).select("conv_id", "turn_idx", "role", "text", "ts")
+
+
 _TOPK_ORACLE = f"""{_SIG_CTE},
 totals AS (
     SELECT conv_id, SUM(token_est) AS total_tokens, CAST(COUNT(*) AS BIGINT) AS n_turns
@@ -1456,6 +1479,99 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     out = ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=4)
+    return out.select("probe_id", "vec_id", _r(F.col("cosine")).alias("cosine"), "rk")
+
+
+def _lloyd_round(prev: str, nxt: str) -> str:
+    """One Lloyd iteration as SQL CTEs: nearest-centroid assignment
+    (cosine, ties → lower cent_id) → element-wise mean per cluster →
+    empty clusters keep the previous centroid. Mirrors
+    ``similarity.kmeans_centroids`` (posexplode + groupBy avg)."""
+    return f"""a_{nxt} AS (
+    SELECT vec_id, v, cent_id FROM (
+        SELECT c.vec_id, c.v, {prev}.cent_id,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                {_COS.format(a='c.v', b=f'{prev}.cv')} DESC, {prev}.cent_id) AS r
+        FROM c, {prev}) WHERE r = 1
+),
+m_{nxt} AS (
+    SELECT cent_id, i, AVG(v[i]) AS m
+    FROM a_{nxt}, UNNEST(generate_series(1, len(v))) AS t(i)
+    GROUP BY cent_id, i
+),
+g_{nxt} AS (SELECT cent_id, list(m ORDER BY i) AS cv FROM m_{nxt} GROUP BY cent_id),
+{nxt} AS (
+    SELECT {prev}.cent_id, COALESCE(g_{nxt}.cv, {prev}.cv) AS cv
+    FROM {prev} LEFT JOIN g_{nxt} USING (cent_id)
+)"""
+
+
+_IVF_KMEANS_ORACLE = f"""WITH c AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv
+    FROM (SELECT * FROM c ORDER BY vec_id LIMIT 16)
+),
+{_lloyd_round('cents0', 'cents1')},
+{_lloyd_round('cents1', 'cents2')},
+assigned AS (
+    SELECT vec_id, v, cent_id FROM (
+        SELECT c.vec_id, c.v, cents2.cent_id,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                {_COS.format(a='c.v', b='cents2.cv')} DESC, cents2.cent_id) AS r
+        FROM c, cents2) WHERE r = 1
+),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 10),
+pc AS (
+    SELECT probe_id, pv, cent_id FROM (
+        SELECT p.probe_id, p.pv, cents2.cent_id,
+            ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+                {_COS.format(a='p.pv', b='cents2.cv')} DESC, cents2.cent_id) AS r
+        FROM p, cents2) WHERE r <= 4
+),
+an AS (
+    SELECT vec_id, cent_id,
+        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+    FROM assigned
+),
+pn AS (
+    SELECT probe_id, cent_id,
+        list_transform(pv, x -> x / sqrt(list_dot_product(pv, pv))) AS pu
+    FROM pc
+),
+scored AS (
+    SELECT pn.probe_id, an.vec_id, list_dot_product(pn.pu, an.u) AS cosine
+    FROM an JOIN pn ON an.cent_id = pn.cent_id
+    WHERE an.vec_id <> pn.probe_id
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id)
+        AS rk
+    FROM scored
+)
+SELECT probe_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 5"""
+
+
+@register("ann_ivf_kmeans", _IVF_KMEANS_ORACLE)
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with k-means-refined centroids (2 distributed Lloyd
+    rounds over the first-16-by-id seed, then nprobe=4 bucket search).
+    The oracle replays both Lloyd rounds in SQL CTEs — assignment rank,
+    element-wise cluster means, empty-cluster carry — then the same
+    bucketed top-k. Lloyd is deterministic given the seed, so the two
+    engines walk identical centroid trajectories (means differ only in
+    summation order, ~1e-15, far inside round-6 and assignment
+    margins)."""
+    from sparkfeat.similarity import ivf_topk, kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    cents = kmeans_centroids(emb, n_centroids=16, n_iter=2)
+    out = ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=4, centroids=cents)
     return out.select("probe_id", "vec_id", _r(F.col("cosine")).alias("cosine"), "rk")
 
 

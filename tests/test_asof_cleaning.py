@@ -235,3 +235,32 @@ def test_drop_correlated_duplicates_keeps_higher_volume(spark):
     )
     kept = {r["conv_id"] for r in out.select("conv_id").distinct().collect()}
     assert kept == {"dup_hi", "indep"}
+
+
+def test_slice_range_iloc_parity(sig):
+    """slice_range must match pandas iloc[start:end] per entity for
+    every sign combination, out-of-range indices included (reference
+    slice_data_dict semantics, cleaning.py:442-456)."""
+    pdf = (
+        sig.select("conv_id", "ts", "turn_idx")
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+    )
+    cases = [(2, 7), (0, None), (3, None), (-4, None), (-6, -2), (2, -1),
+             (-3, 2), (5, 3), (0, 10_000), (-10_000, 2)]
+    for start, end in cases:
+        got = (
+            C.slice_range(sig, start, end)
+            .select("conv_id", "turn_idx")
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        want = (
+            pdf.groupby("conv_id", group_keys=False)
+            .apply(lambda g: g.iloc[start:end] if end is not None else g.iloc[start:])
+            [["conv_id", "turn_idx"]]
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), (start, end)

@@ -254,4 +254,53 @@ def test_kmeans_centroids_improve_assignment_objective(spark, sf_dir):
         (r.probe_id, r.vec_id)
         for r in ivf_topk(emb, probes, k=5, nprobe=4, centroids=km).collect()
     }
-    assert len(got & truth) / len(truth) >= 0.6
+    recall_km = len(got & truth) / len(truth)
+    assert recall_km >= 0.6
+
+
+def test_kmeans_beats_seed_on_clustered_corpus(spark, sf_dir):
+    """Where cluster structure exists, k-means-refined IVF buckets must
+    recall at least as much as the first-C seed (and in practice more).
+    The clustered corpus is derived deterministically from the driver's
+    embeddings table: 8 cluster centers = the first 8 vectors, members =
+    unit-normalized 0.9*center + 0.1*mixer; ids are laid out so the
+    first-16-by-id seed sits almost entirely inside cluster 0 — the
+    degenerate case Lloyd refinement exists to fix."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkfeat.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = emb.orderBy("vec_id").limit(48).toPandas()
+    mat = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    base, mix = mat[:8], mat[8:48]
+    rows = []
+    for ci in range(8):
+        for mi in range(40):
+            v = 0.9 * base[ci] + 0.1 * mix[(ci * 40 + mi) % 40]
+            v = v / np.linalg.norm(v)
+            rows.append((ci * 40 + mi, v.astype(np.float32).tolist()))
+    cl = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    probes = cl.filter((F.col("vec_id") % 40) >= 35).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    truth = {(r.probe_id, r.vec_id) for r in cosine_topk(cl, probes, k=5).collect()}
+
+    def recall(cents):
+        got = {
+            (r.probe_id, r.vec_id)
+            for r in ivf_topk(cl, probes, k=5, nprobe=4, centroids=cents).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_seed = recall(ivf_centroids(cl, 16))
+    r_km = recall(kmeans_centroids(cl, 16, n_iter=3))
+    assert r_km >= r_seed, (r_km, r_seed)
+    assert r_km >= 0.95, r_km
