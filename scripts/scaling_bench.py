@@ -124,7 +124,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--replicate", type=int, default=50)
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--low", type=int, default=2)
     ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--data", default="/tmp/sparkfeat_scaling_bucketed")
@@ -142,10 +142,13 @@ def main() -> None:
         open(marker, "w").write(n)
     total_turns = int(open(marker).read())
 
-    results = {}
-    for cores in (args.low, args.high):
-        times = []
-        for _ in range(args.repeats):
+    # interleaved A/B ordering (L,H,L,H,...): thermal drift / background
+    # noise lands on both levels symmetrically instead of biasing
+    # whichever level runs second; median-of-N per level plus the
+    # min..max spread is reported so the envelope is visible.
+    times: dict[int, list[float]] = {args.low: [], args.high: []}
+    for _ in range(args.repeats):
+        for cores in (args.low, args.high):
             shutil.rmtree(SCRATCH, ignore_errors=True)
             r = json.loads(
                 _run_py(
@@ -153,21 +156,39 @@ def main() -> None:
                     [str(cores), args.data, args.warehouse],
                 )
             )
-            times.extend(r["times"])
-        med = statistics.median(times)
+            times[cores].extend(r["times"])
+    results = {}
+    for cores in (args.low, args.high):
+        med = statistics.median(times[cores])
         results[cores] = {
             "median_sec": round(med, 3),
-            "times": [round(t, 3) for t in times],
+            "min_sec": round(min(times[cores]), 3),
+            "max_sec": round(max(times[cores]), 3),
+            "times": [round(t, 3) for t in times[cores]],
             "turns_per_sec": round(total_turns / med, 1),
         }
     scale = args.high / args.low
     eff = (results[args.high]["turns_per_sec"] / results[args.low]["turns_per_sec"]) / scale
-    print("| parallelism | median sec | turns/sec |")
+    # envelope: pair the extreme medians-of-opposite-sign to bracket eff
+    eff_lo = (total_turns / results[args.high]["max_sec"]) / (
+        total_turns / results[args.low]["min_sec"]
+    ) / scale
+    eff_hi = (total_turns / results[args.high]["min_sec"]) / (
+        total_turns / results[args.low]["max_sec"]
+    ) / scale
+    print("| parallelism | median sec (min..max) | turns/sec |")
     print("|---|---|---|")
     for cores in (args.low, args.high):
         r = results[cores]
-        print(f"| local[{cores}] | {r['median_sec']} | {r['turns_per_sec']} |")
-    print(f"\nturns: {total_turns}; scaling efficiency local[{args.low}]→local[{args.high}]: **{eff:.3f}**")
+        print(
+            f"| local[{cores}] | {r['median_sec']} ({r['min_sec']}..{r['max_sec']}) "
+            f"| {r['turns_per_sec']} |"
+        )
+    print(
+        f"\nturns: {total_turns}; scaling efficiency local[{args.low}]→local[{args.high}]: "
+        f"**{eff:.3f}** (worst/best-case envelope {eff_lo:.3f}..{eff_hi:.3f}, "
+        f"interleaved runs, median of {args.repeats})"
+    )
     print(
         json.dumps(
             {
@@ -176,6 +197,8 @@ def main() -> None:
                 "levels": [args.low, args.high],
                 "scale_factor": scale,
                 "efficiency": round(eff, 3),
+                "efficiency_envelope": [round(eff_lo, 3), round(eff_hi, 3)],
+                "interleaved": True,
                 "turns": total_turns,
                 "sf_dir": args.sf_dir,
                 "replicate": args.replicate,

@@ -34,6 +34,27 @@ def _manifest_dir(output_path: str) -> str:
     return os.path.join(output_path, "_manifests")
 
 
+def _bucket_rows_from_footers(output_path: str, bucket: int) -> int:
+    """Per-bucket row count from the committed parquet file FOOTERS
+    (``num_rows`` in each file's metadata) — storage truth without
+    re-reading the output data. Footers are a few KB per file, so at a
+    100 TB output this reads megabytes instead of scanning the whole
+    output back through Spark (the round-2 implementation's second
+    read). Local-filesystem walk; an object-store deployment swaps in
+    the FileSystem listing API, same footer reads."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(output_path, "data", f"_bucket={bucket}")
+    if not os.path.isdir(d):
+        return 0
+    total = 0
+    for root, _, files in os.walk(d):
+        for fn in files:
+            if fn.endswith(".parquet") and not fn.startswith("."):
+                total += pq.read_metadata(os.path.join(root, fn)).num_rows
+    return total
+
+
 def completed_buckets(output_path: str) -> set[int]:
     mdir = _manifest_dir(output_path)
     if not os.path.isdir(mdir):
@@ -94,15 +115,9 @@ def run_checkpointed(
         ).parquet(os.path.join(output_path, "data"))
         elapsed = time.perf_counter() - t0
         summary["jobs"] += 1
-        # rows per bucket from what actually landed (storage truth, not plan)
-        landed = (
-            spark.read.parquet(os.path.join(output_path, "data"))
-            .filter(F.col("_bucket").isin(batch))
-            .groupBy("_bucket")
-            .count()
-            .collect()
-        )
-        counts = {int(r["_bucket"]): int(r["count"]) for r in landed}
+        # rows per bucket from what actually landed (storage truth) —
+        # committed parquet footers, not a second Spark read of the output
+        counts = {b: _bucket_rows_from_footers(output_path, b) for b in batch}
         for b in batch:
             manifest = {
                 "bucket": b,

@@ -14,6 +14,21 @@ from pyspark.sql import functions as F
 from sparkfeat.windows import ORDER_COLS
 
 
+def to_utc(
+    df: DataFrame, ts_col: str = "ts", source_tz: str = "America/New_York"
+) -> DataFrame:
+    """Reference ``convert_to_utc`` family (cleaning.py:376-414): a
+    timezone-naive timestamp column is interpreted as ``source_tz``
+    wall time and converted to the UTC instant (kept naive — the
+    engine's convention; sessions pin spark.sql.session.timeZone=UTC).
+    Pure Column expression (``to_utc_timestamp`` does the IANA tzdata
+    lookup JVM-side), so non-UTC sources are first-class at scan time
+    rather than relying on session config."""
+    return df.withColumn(
+        ts_col, F.to_utc_timestamp(F.col(ts_col).cast("timestamp"), source_tz)
+    )
+
+
 def select_between(
     df: DataFrame, start, end, ts_col: str = "ts"
 ) -> DataFrame:

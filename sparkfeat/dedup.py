@@ -58,6 +58,26 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+def jaccard_vocab_ranks(
+    df: DataFrame, text_col: str = "text", common_vocab: int = 65536
+) -> DataFrame:
+    """Global token-frequency ranks for :func:`jaccard_pairs`: the
+    ``common_vocab`` most frequent tokens (distinct-per-doc counts),
+    emitted as (_tok, _cnt). This is a fitted artifact — like scaler
+    stats — so a pipeline that calls ``jaccard_pairs`` repeatedly fits
+    it ONCE, persists it, and passes it in, shaving one full
+    explode+aggregate pass over the corpus off every subsequent call.
+    Broadcast-sized by construction (≤ common_vocab rows)."""
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    return (
+        df.select(F.explode(toks).alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), "_tok")
+        .limit(common_vocab)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -65,6 +85,7 @@ def jaccard_pairs(
     band_cols: tuple[str, ...] = ("lang",),
     threshold: float = 0.8,
     common_vocab: int = 65536,
+    vocab_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs (a < b) by token-set Jaccard ≥ threshold within
     ``band_cols`` groups — **lossless** prefix-filter blocking (the
@@ -89,13 +110,18 @@ def jaccard_pairs(
     ).withColumn("_n", F.size("_toks"))
 
     # rarest-first global order: broadcast ranks for the common vocab,
-    # everything unranked is rare (cnt 0) and sorts before common tokens
+    # everything unranked is rare (cnt 0) and sorts before common tokens;
+    # a pre-fitted vocab_ranks (jaccard_vocab_ranks) skips the aggregate
     exploded = base.select("_id", *keys, "_n", F.explode("_toks").alias("_tok"))
     common = (
-        exploded.groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .orderBy(F.col("_cnt").desc(), "_tok")
-        .limit(common_vocab)
+        vocab_ranks
+        if vocab_ranks is not None
+        else (
+            exploded.groupBy("_tok")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .orderBy(F.col("_cnt").desc(), "_tok")
+            .limit(common_vocab)
+        )
     )
     ranked = exploded.join(F.broadcast(common), "_tok", "left").withColumn(
         "_cnt", F.coalesce(F.col("_cnt"), F.lit(0))

@@ -264,3 +264,24 @@ def test_slice_range_iloc_parity(sig):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False), (start, end)
+
+
+def test_to_utc_matches_pandas(spark):
+    """to_utc == pandas tz_localize(source).tz_convert('UTC') on
+    unambiguous wall times, in both a DST zone (America/New_York,
+    winter + summer offsets) and a fixed-offset zone (Asia/Kolkata)."""
+    wall = pd.to_datetime(
+        ["2024-01-15 09:30:00", "2024-07-15 09:30:00", "2024-03-09 12:00:00",
+         "2024-11-02 12:00:00", "2024-06-01 00:00:00"]
+    )
+    pdf = pd.DataFrame({"i": range(len(wall)), "ts": wall})
+    df = spark.createDataFrame(pdf)
+    for tz in ("America/New_York", "Asia/Kolkata"):
+        got = (
+            C.to_utc(df, "ts", tz)
+            .orderBy("i")
+            .toPandas()["ts"]
+            .dt.tz_localize(None)
+        )
+        want = wall.tz_localize(tz).tz_convert("UTC").tz_localize(None)
+        assert list(got) == list(want), (tz, list(got), list(want))
