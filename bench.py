@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_embedding_pairs",
     "gaussian_scaler",
+    # round 3 additions: the de-quadraticized text-quality path and the
+    # k-means-refined IVF search (2 Lloyd rounds + bucket probe)
+    "doc_quality_rules",
+    "ann_ivf_kmeans",
 ]
 
 

@@ -204,6 +204,14 @@ class BinDist:
     sigma: float
 
 
+def find_best_fit_pdf_type(data: np.ndarray | None = None) -> str:
+    """Functional-form selector for the fitted distribution. The reference
+    (``classifier.py:48-54``) is a hard-coded stub returning ``'Gaussian'``
+    (its TODO for t/lognormal was never enabled); mirrored verbatim for
+    inventory completeness so config-driven callers have the same hook."""
+    return "Gaussian"
+
+
 def fit_bin_distribution(
     data: np.ndarray, n_bins: int, use_centred_bins: bool = False
 ) -> BinDist:

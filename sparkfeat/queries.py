@@ -1213,6 +1213,42 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FP_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+_FINGERPRINT_ORACLE = f"""WITH n AS (
+    SELECT doc_id,
+        md5({_FP_NORM}) AS content_fp,
+        md5_number_lower({_FP_NORM}) AS u,
+        md5(array_to_string(list_sort(list_distinct(
+            regexp_split_to_array(lower(text), '\\s+'))), ' ')) AS bag_fp
+    FROM documents
+),
+g AS (
+    SELECT doc_id, content_fp, u,
+        COUNT(*) OVER (PARTITION BY content_fp) AS cg,
+        COUNT(*) OVER (PARTITION BY bag_fp) AS bg
+    FROM n
+)
+SELECT doc_id, content_fp,
+    CAST(CAST(u AS HUGEINT)
+         - 18446744073709551616 * CAST(u >> 63 AS HUGEINT) AS BIGINT) AS fp64,
+    CAST(cg AS BIGINT) AS content_group,
+    bg > cg AS reorder_only_dup
+FROM g"""
+
+
+@register("doc_fingerprint", _FINGERPRINT_ORACLE)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: canonical content md5 (case/whitespace
+    jitter collapsed), the compact signed-64 key (`content_fp64`), the
+    duplicate-group size under the content key, and a flag for docs that
+    are duplicates only under the word-order-insensitive bag key (i.e.
+    shuffled/templated copies the content hash misses)."""
+    from sparkfeat.text import fingerprint_summary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint_summary(docs)
+
+
 # ---------------------------------------------------------------------------
 # Dedup: exact bag-fingerprint groups
 # ---------------------------------------------------------------------------

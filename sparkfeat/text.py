@@ -339,6 +339,49 @@ def bag_fingerprint(text: str | Column) -> Column:
     return F.md5(bag)
 
 
+def content_fp64(text: str | Column) -> Column:
+    """Compact 8-byte content key: signed lower-64 md5 of the case- and
+    whitespace-normalized text (same normalization as
+    ``content_fingerprint``, same md5-lower-64 convention as MinHash) —
+    the dedup/join key you'd carry at 10^12 docs when a 32-byte hex md5
+    is too fat. The SQL oracle replays it via ``md5_number_lower``."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.lower(c), r"\s+", " ")
+
+    @F.pandas_udf(LongType())
+    def fp(texts: pd.Series) -> pd.Series:
+        return pd.Series(md5_lower64_np(texts).astype(np.int64))
+
+    return fp(norm)
+
+
+def fingerprint_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document fingerprint panel: canonical content md5, the compact
+    signed-64 key, the duplicate-group size under the content key, and a
+    flag for docs that are duplicates only under the word-order-insensitive
+    bag key (shuffled/templated copies the content hash misses). Two
+    hash-keyed window partitions — skew-free at corpus scale."""
+    from pyspark.sql import Window
+
+    d = docs.select(
+        "doc_id",
+        content_fingerprint(text_col).alias("content_fp"),
+        content_fp64(text_col).alias("fp64"),
+        bag_fingerprint(text_col).alias("bag_fp"),
+    )
+    wc = Window.partitionBy("content_fp")
+    wb = Window.partitionBy("bag_fp")
+    return d.select(
+        "doc_id",
+        "content_fp",
+        "fp64",
+        F.count(F.lit(1)).over(wc).alias("content_group"),
+        (F.count(F.lit(1)).over(wb) > F.count(F.lit(1)).over(wc)).alias(
+            "reorder_only_dup"
+        ),
+    )
+
+
 def md5_lower64_np(strings) -> np.ndarray:
     """Lower 64 bits of md5 per string — defined as the little-endian
     integer of digest bytes 8..16, exactly DuckDB's ``md5_number_lower``.

@@ -96,6 +96,38 @@ def test_exact_dedup_bag_semantics(dup_docs):
     assert out.loc[3, "fingerprint"] != out.loc[0, "fingerprint"]
 
 
+def test_fingerprint_summary_semantics(dup_docs):
+    import hashlib
+
+    import numpy as np
+
+    out = (
+        X.fingerprint_summary(dup_docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    texts = dup_docs.toPandas().sort_values("doc_id")["text"].tolist()
+    for base_id in (0, 4, 8, 12):
+        # content key collapses the case dup (group of 2) but not the
+        # permuted or extended copies
+        assert out.loc[base_id, "content_fp"] == out.loc[base_id + 1, "content_fp"]
+        assert out.loc[base_id, "content_group"] == 2
+        assert out.loc[base_id + 2, "content_group"] == 1
+        # orig/case/permuted share a bag group of 3 > their content groups
+        assert out.loc[[base_id, base_id + 1, base_id + 2], "reorder_only_dup"].all()
+        # the near dup (added words) is neither
+        assert not out.loc[base_id + 3, "reorder_only_dup"]
+    assert not out.iloc[-1]["reorder_only_dup"]  # the unique doc
+    # fp64 is exactly the signed lower-64 md5 of the normalized text
+    import re
+
+    for i in (0, 3, 16):
+        norm = re.sub(r"\s+", " ", texts[i].lower())
+        u = int.from_bytes(hashlib.md5(norm.encode()).digest()[8:], "little")
+        assert int(out.loc[i, "fp64"]) == int(np.uint64(u).astype(np.int64))
+
+
 def test_jaccard_pairs_vs_bruteforce(dup_docs):
     got = (
         jaccard_pairs(dup_docs, threshold=0.5)
