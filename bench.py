@@ -40,10 +40,16 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_embedding_pairs",
     "gaussian_scaler",
-    # round 3 additions: the de-quadraticized text-quality path and the
-    # k-means-refined IVF search (2 Lloyd rounds + bucket probe)
+    # round 3 additions: the de-quadraticized text-quality path, the
+    # k-means-refined IVF search (2 Lloyd rounds + bucket probe), and the
+    # fit-free LSH ANN scale path
     "doc_quality_rules",
     "ann_ivf_kmeans",
+    "ann_lsh_topk",
+    "ann_lsh_arrow",
+    # the end-to-end training-corpus filter (quality + langid + exact
+    # dedup + minhash near-dup in ONE job)
+    "corpus_prep_pipeline",
 ]
 
 

@@ -116,6 +116,91 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return out
 
 
+def resize_box(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact integer box-average downsample of an (h, w, 3) uint8 image:
+    each output pixel is ``floor(mean)`` of its source block. Integer
+    arithmetic end-to-end — no float rounding mode to disagree about, so
+    any engine (numpy here, SQL in the oracle) reproduces every byte.
+    Requires integer shrink factors (h % out_h == w % out_w == 0)."""
+    h, w, ch = px.shape
+    if h % out_h or w % out_w:
+        raise ValueError(f"non-integer resize {h}x{w} -> {out_h}x{out_w}")
+    fh, fw = h // out_h, w // out_w
+    blocks = px.reshape(out_h, fh, out_w, fw, ch).astype(np.uint32)
+    return (blocks.sum(axis=(1, 3)) // (fh * fw)).astype(np.uint8)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("out_w", IntegerType(), False),
+        StructField("out_h", IntegerType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("r_mean", DoubleType(), False),
+        StructField("g_mean", DoubleType(), False),
+        StructField("b_mean", DoubleType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int = 4,
+    out_w: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Arrow-batched image resize stage: decode BMP → integer box-average
+    → re-encode BMP, plus per-channel means of the resized image. Input
+    rows must be images (filter ``mime == 0`` upstream); the batch
+    contract bounds per-task payload memory the same way decode_features
+    does."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                rp = resize_box(decode_bmp(bytes(p)), out_h, out_w)
+                enc = encode_bmp(rp)
+                rows.append(
+                    (
+                        int(i),
+                        out_w,
+                        out_h,
+                        len(enc),
+                        float(rp[:, :, 0].mean()),
+                        float(rp[:, :, 1].mean()),
+                        float(rp[:, :, 2].mean()),
+                        enc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "out_w",
+                    "out_h",
+                    "n_bytes",
+                    "r_mean",
+                    "g_mean",
+                    "b_mean",
+                    "payload",
+                ],
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "out_w": "int32",
+                    "out_h": "int32",
+                    "n_bytes": "int64",
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, RESIZE_SCHEMA
+    )
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """Encode int16 mono samples as a PCM WAV (RIFF/fmt/data)."""
     data = np.asarray(samples, dtype="<i2").tobytes()

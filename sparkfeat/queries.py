@@ -1394,6 +1394,79 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_prep_oracle() -> str:
+    """Compose the already-verified stage oracles (quality gate, language
+    ID, exact dedup, MinHash+LSH near-dup) as DuckDB subqueries-with-CTEs
+    — the oracle of the pipeline is the pipeline of the oracles."""
+    return f"""SELECT q.doc_id,
+    q.quality_pass,
+    l.lang_ok,
+    e.exact_keep,
+    COALESCE(d.neardup_drop, FALSE) AS neardup_drop,
+    (q.quality_pass AND l.lang_ok AND e.exact_keep
+     AND NOT COALESCE(d.neardup_drop, FALSE)) AS keep
+FROM (SELECT doc_id, quality_pass FROM ({_QRULES_ORACLE}) _q) q
+JOIN (
+    SELECT g.doc_id, g.lang_ngram = doc.lang AS lang_ok
+    FROM ({_lang_ngram_oracle()}) g JOIN documents doc USING (doc_id)
+) l USING (doc_id)
+JOIN (
+    SELECT doc_id, keep AS exact_keep FROM ({_EXACT_DEDUP_ORACLE}) _e
+) e USING (doc_id)
+LEFT JOIN (
+    SELECT DISTINCT id_b AS doc_id, TRUE AS neardup_drop
+    FROM ({_minhash_oracle()}) _m
+) d USING (doc_id)"""
+
+
+@register("corpus_prep_pipeline", _corpus_prep_oracle())
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation — the composition a real
+    pretraining data pipeline runs as ONE Spark job over the raw corpus:
+
+    1. Gopher-family quality gate (pure Column expressions, codegen);
+    2. char-trigram language ID, kept only when it confirms the claimed
+       ``lang`` (catches mislabeled/mixed documents);
+    3. exact dedup on the canonical bag fingerprint (keep = min doc_id);
+    4. MinHash(64)+LSH(16 bands) near-dup drop (est Jaccard ≥ 0.5 —
+       drop the higher doc_id of each candidate pair).
+
+    All four verdicts are returned per document plus the final ``keep``,
+    so the filter is auditable (why did doc X fall out?) — and the
+    DuckDB oracle replays every stage. One corpus scan feeds stages 1–2,
+    one fingerprint shuffle feeds 3, one signature+band shuffle feeds 4;
+    nothing is quadratic in the corpus."""
+    from sparkfeat import text as X
+    from sparkfeat.dedup import exact_dedup, minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flags = docs.select(
+        "doc_id",
+        X.gopher_quality_pass("text").alias("quality_pass"),
+        (X.lang_ngram_guess("text") == F.col("lang")).alias("lang_ok"),
+    )
+    ex = exact_dedup(docs).select("doc_id", F.col("keep").alias("exact_keep"))
+    drops = (
+        minhash_lsh_pairs(docs, num_perm=64, bands=16, shingle_n=2)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("neardup_drop", F.lit(True))
+    )
+    return (
+        flags.join(ex, "doc_id")
+        .join(drops, "doc_id", "left")
+        .withColumn("neardup_drop", F.coalesce("neardup_drop", F.lit(False)))
+        .withColumn(
+            "keep",
+            F.col("quality_pass")
+            & F.col("lang_ok")
+            & F.col("exact_keep")
+            & ~F.col("neardup_drop"),
+        )
+    )
+
+
 _SIMHASH_ORACLE = r"""WITH w AS (
     SELECT doc_id,
         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
@@ -1646,6 +1719,104 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_id", "vec_id", _r(F.col("cosine")).alias("cosine"), "rk")
 
 
+def _lsh_oracle(n_planes: int = 48, n_bands: int = 8, dim: int = 64) -> str:
+    """Replay the random-hyperplane multi-probe LSH in SQL: the
+    md5-derived planes are inlined as double literals (bit-identical —
+    repr round-trips), the sign bits use the same left-to-right
+    list_dot_product fold as Spark's aggregate, band packing is the same
+    little-endian slice, and the Hamming-1 probe expansion is the same
+    XOR-mask unnest."""
+    from sparkfeat.similarity import lsh_planes
+
+    planes = lsh_planes(dim, n_planes)
+    rb = n_planes // n_bands
+    masks = "[" + ",".join(str(m) for m in [0] + [1 << j for j in range(rb)]) + "]"
+
+    def arr(p):
+        return "[" + ",".join(repr(float(x)) for x in p) + "]"
+
+    bits = ",\n        ".join(
+        f"CASE WHEN list_dot_product(v, {arr(p)}) >= 0 THEN 1 ELSE 0 END"
+        for p in planes
+    )
+    key = " + ".join(f"bits[{rb}*band_idx + {j + 1}] * {1 << j}" for j in range(rb))
+    return f"""WITH c AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (
+    SELECT vec_id, [{bits}] AS bits FROM c
+),
+cb AS (
+    SELECT vec_id, band_idx, {key} AS band_key
+    FROM s, (SELECT unnest(generate_series(0, {n_bands - 1})) AS band_idx)
+),
+pb AS (
+    SELECT vec_id AS probe_id, band_idx, xor(band_key, m) AS band_key
+    FROM cb, (SELECT unnest({masks}) AS m)
+    WHERE vec_id < 10
+),
+cand AS (
+    SELECT DISTINCT pb.probe_id, cb.vec_id
+    FROM cb JOIN pb USING (band_idx, band_key)
+    WHERE cb.vec_id <> pb.probe_id
+),
+un AS (
+    SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+    FROM c
+),
+scored AS (
+    SELECT cand.probe_id, cand.vec_id, list_dot_product(pu.u, cu.u) AS cosine
+    FROM cand
+    JOIN un cu ON cand.vec_id = cu.vec_id
+    JOIN un pu ON cand.probe_id = pu.vec_id
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id)
+        AS rk
+    FROM scored
+)
+SELECT probe_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 5"""
+
+
+@register("ann_lsh_topk", _lsh_oracle())
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane multi-probe LSH ANN (48 md5-derived planes, 8
+    bands of 6 sign bits, Hamming-1 probe expansion): the
+    data-independent scale path — no fit pass, planes are constants,
+    candidates come from an equi-join on band keys. Complements IVF
+    (ann_ivf_topk) the way SimHash complements MinHash on the text
+    side; recall vs brute force is pytest-gated."""
+    from sparkfeat.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = lsh_topk(emb, probes, k=5, n_planes=48, n_bands=8, dim=64)
+    return out.select("probe_id", "vec_id", _r(F.col("cosine")).alias("cosine"), "rk")
+
+
+@register("ann_lsh_arrow", _lsh_oracle())
+def q_ann_lsh_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same multi-probe LSH ANN with ``sign_impl='arrow'``: band keys
+    from one BLAS matmul per Arrow batch instead of 48 interpreted JVM
+    folds per row — the throughput path for hashing a 10^8-row corpus.
+    Shares ann_lsh_topk's oracle: the band keys are pytest-asserted
+    identical to the expression path (a sign can differ only when
+    |v·p| < ~1e-13, absent in any non-adversarial corpus)."""
+    from sparkfeat.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = lsh_topk(
+        emb, probes, k=5, n_planes=48, n_bands=8, dim=64, sign_impl="arrow"
+    )
+    return out.select("probe_id", "vec_id", _r(F.col("cosine")).alias("cosine"), "rk")
+
+
 _MM_REAL_ORACLE = """WITH d AS (
     SELECT doc_id,
         list_transform(generate_series(0, 15), j ->
@@ -1689,6 +1860,67 @@ def q_multimodal_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.when(F.col("mime") == 1, F.element_at("features", 4))).alias(
             "audio_rms"
         ),
+    )
+
+
+def _resize_px(dy: int, dx: int) -> str:
+    """Source byte for resized pixel k (k = Y*12 + X*3 + c, 4×4×3
+    row-major) offset by (dy, dx) inside its 2×2 source block: source
+    pixel (2Y+dy, 2X+dx, c) lives at digest byte (y*24 + x*3 + c) mod 16
+    (the md5 digest is tiled across the 8×8 image row-major)."""
+    return (
+        f"db[(((k // 12) * 2 + {dy}) * 24"
+        f" + (((k % 12) // 3) * 2 + {dx}) * 3 + (k % 3)) % 16 + 1]"
+    )
+
+
+_MM_RESIZE_ORACLE = f"""WITH d AS (
+    SELECT doc_id,
+        list_transform(generate_series(0, 15), j ->
+            CAST((strpos('0123456789abcdef', substr(md5(text), j*2+1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(text), j*2+2, 1)) - 1)
+               AS DOUBLE)) AS db
+    FROM documents WHERE doc_id % 2 = 0
+),
+r AS (
+    SELECT doc_id,
+        list_transform(generate_series(0, 47), k ->
+            CAST({_resize_px(0, 0)} + {_resize_px(0, 1)}
+               + {_resize_px(1, 0)} + {_resize_px(1, 1)} AS BIGINT) // 4) AS rz
+    FROM d
+)
+SELECT doc_id AS media_id,
+    CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+    CAST(102 AS BIGINT) AS n_bytes,
+    ROUND(list_sum(list_transform(generate_series(0, 15), q -> rz[q*3 + 1]))
+        / 16.0, 6) AS r_mean,
+    ROUND(list_sum(list_transform(generate_series(0, 15), q -> rz[q*3 + 2]))
+        / 16.0, 6) AS g_mean,
+    ROUND(list_sum(list_transform(generate_series(0, 15), q -> rz[q*3 + 3]))
+        / 16.0, 6) AS b_mean
+FROM r"""
+
+
+@register("multimodal_resize", _MM_RESIZE_ORACLE)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize stage: the real 8×8 BMP payloads are decoded,
+    box-averaged to 4×4 with exact integer arithmetic (floor of block
+    mean — no float rounding mode to disagree about), re-encoded, and
+    summarized per channel. The oracle replays the whole
+    encode→decode→resize chain from the md5 digest bytes in SQL."""
+    from sparkfeat.multimodal import attach_real_payloads, resize_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = attach_real_payloads(docs).filter(F.col("mime") == 0)
+    out = resize_images(media, out_h=4, out_w=4)
+    return out.select(
+        "media_id",
+        "out_w",
+        "out_h",
+        "n_bytes",
+        _r(F.col("r_mean")).alias("r_mean"),
+        _r(F.col("g_mean")).alias("g_mean"),
+        _r(F.col("b_mean")).alias("b_mean"),
     )
 
 

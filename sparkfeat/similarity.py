@@ -10,12 +10,21 @@
   ``nprobe`` nearest centroid buckets — the candidate set shrinks by
   ~C/nprobe. Same scoring expressions; recall measured in tests against
   the brute-force baseline.
+* :func:`lsh_topk` — the other scale path: random-hyperplane (sign)
+  LSH with Hamming-1 multi-probe (Lv et al., VLDB'07). Hyperplanes are
+  derived from md5 so they exist without touching the data (no fit
+  pass at all, unlike IVF); vectors sharing any band of sign bits —
+  exactly, or within one flipped bit on the probe side — become
+  candidates. Data-independent bucketing — the right trade when the
+  corpus churns faster than a centroid fit is worth re-running.
 
 All math widens float32 → double first so results are reproducible
 across engines (and the DuckDB oracle agrees)."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -163,6 +172,190 @@ def kmeans_centroids(
             )
         )
     return cents
+
+
+def lsh_planes(dim: int, n_planes: int = 16, tag: str = "lsh") -> np.ndarray:
+    """Deterministic random hyperplanes, component (h, d) = uniform in
+    [-1, 1) derived from ``md5_lower64(f"{tag}:{h}:{d}")``. No data, no
+    RNG state — any engine (the DuckDB oracle inlines the same values)
+    and any executor regenerates the identical planes."""
+    from sparkfeat.text import md5_lower64_np
+
+    keys = [f"{tag}:{h}:{d}" for h in range(n_planes) for d in range(dim)]
+    u = md5_lower64_np(keys).astype(np.float64)
+    return (u / 9223372036854775808.0 - 1.0).reshape(n_planes, dim)
+
+
+def _lsh_bands(vec_sql: str, planes: np.ndarray, n_bands: int):
+    """Array-of-band-keys expression for one vector column (given as a
+    SQL fragment): bit_h = (v·plane_h ≥ 0), band b packs bits
+    [rb·b, rb·(b+1)) little-endian. Pure JVM folds — same left-to-right
+    order as DuckDB's list_dot_product, so the oracle reproduces every
+    bit. Built as ONE ``F.expr`` SQL string: per-element ``F.lit`` /
+    lambda-HOF construction costs ~55 ms of py4j round-trips *per
+    plane* (≈5 s at 48×64); one string is a single driver call. The
+    ``D`` suffix makes every literal a DoubleType (shortest-repr
+    round-trips exactly); plain decimals would parse as DECIMAL under
+    ANSI mode and lose precision."""
+    n_planes = len(planes)
+    rb = n_planes // n_bands
+
+    def dot(p):
+        arr = "array(" + ",".join(repr(float(w)) + "D" for w in p) + ")"
+        return (
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+
+    bit = [f"(CASE WHEN {dot(p)} >= 0 THEN 1 ELSE 0 END)" for p in planes]
+    keys = [
+        " + ".join(f"{bit[b * rb + j]} * {1 << j}" for j in range(rb))
+        for b in range(n_bands)
+    ]
+    return F.expr("array(" + ", ".join(keys) + ")")
+
+
+def _lsh_bands_arrow(
+    df: DataFrame,
+    key: str,
+    planes: "np.ndarray",
+    n_bands: int,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow/BLAS twin of the :func:`_lsh_bands` expression: one
+    ``V @ planes.T`` matmul per Arrow batch instead of n_planes
+    interpreted folds per row (~1000× per-row at 48×64). The scale path
+    for hashing a large corpus; the dot products can differ from the
+    sequential fold only in the last ulp (pairwise vs left-to-right
+    summation), which flips a sign bit only when |v·p| is within ~1e-13
+    of zero — the equality is pytest-asserted on the fixture corpus."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    key_field = df.schema[key]
+    schema = StructType(
+        [
+            StructField(key, key_field.dataType, key_field.nullable),
+            StructField("band_idx", IntegerType(), False),
+            StructField("band_key", IntegerType(), False),
+        ]
+    )
+    n_planes = len(planes)
+    rb = n_planes // n_bands
+    pt = planes.T.copy()
+    pows = (1 << np.arange(rb)).astype(np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            bits = (v @ pt) >= 0
+            bk = (bits.reshape(len(v), n_bands, rb) * pows).sum(axis=2)
+            ids = np.repeat(pdf[key].to_numpy(), n_bands)
+            bidx = np.tile(np.arange(n_bands, dtype=np.int32), len(v))
+            yield pd.DataFrame(
+                {key: ids, "band_idx": bidx, "band_key": bk.reshape(-1).astype(np.int32)}
+            )
+
+    return df.select(key, vec_col).mapInPandas(run, schema)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_planes: int = 48,
+    n_bands: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "probe_id",
+    dim: int | None = None,
+    tag: str = "lsh",
+    sign_impl: str = "expr",
+) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k: corpus and probes are
+    hashed into ``n_bands`` sign-bit band buckets (collision probability
+    per bit = 1 − θ/π); candidates = pairs sharing ANY band bucket,
+    then exact cosine + window rank on the (small) candidate set only.
+
+    ``probe_hamming=1`` enables multi-probe LSH (Lv et al., VLDB'07):
+    each probe also visits every band key at Hamming distance 1 (one
+    sign bit flipped), which multiplies per-band neighbour recall by
+    roughly (1 + rb·(1−p)/p) at the cost of rb extra probe keys per
+    band — the published trade of probes-for-tables that keeps index
+    storage flat at corpus scale. Only the (tiny) probe side expands;
+    the corpus is still hashed exactly once per band.
+
+    Scale shape: one narrow (id, band_idx, band_key) table per side,
+    an equi-join on the band key (hash shuffle, no cartesian), distinct,
+    then a candidate-sized scoring join. Unlike IVF there is no fit
+    pass — the planes are constants — so the corpus is touched exactly
+    once before the join.
+
+    ``sign_impl='expr'`` (default) computes the sign bits with JVM
+    folds in the exact left-to-right order the DuckDB oracle replays;
+    ``'arrow'`` swaps in :func:`_lsh_bands_arrow` (one BLAS matmul per
+    Arrow batch — the throughput path for hashing 10^8-row corpora,
+    ~1000× less per-row sign cost, same results on any non-degenerate
+    input)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = lsh_planes(dim, n_planes, tag)
+    rb = n_planes // n_bands
+
+    def units(df, key):
+        d = df.select(F.col(key), _as_double(F.col(vec_col)).alias("_v"))
+        d = d.withColumn("_n", _norm(F.col("_v")))
+        return d.select(
+            key, F.transform("_v", lambda x: x / F.col("_n")).alias("_u")
+        )
+
+    key_array = _lsh_bands(
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE))", planes, n_bands
+    )
+
+    def bands(df, key, hamming=0):
+        # posexplode first: the Generate node is a projection barrier, so
+        # the 48 dot-product folds are planned exactly once per row — the
+        # mask expansion below XORs the *exploded* key attribute instead
+        # of duplicating the fold expression tree 7x (which multiplies
+        # Catalyst analysis cost by the mask count).
+        if sign_impl == "arrow":
+            out = _lsh_bands_arrow(df, key, planes, n_bands, vec_col)
+        else:
+            out = df.select(
+                F.col(key), F.posexplode(key_array).alias("band_idx", "band_key")
+            )
+        if hamming:
+            masks = F.array(*[F.lit(m) for m in [0] + [1 << j for j in range(rb)]])
+            out = out.select(
+                key, "band_idx", F.col("band_key").alias("_k"),
+                F.explode(masks).alias("_m"),
+            ).select(
+                key, "band_idx", F.col("_k").bitwiseXOR(F.col("_m")).alias("band_key")
+            )
+        return out
+
+    cb = bands(corpus, id_col)
+    pb = bands(probes, probe_id, hamming=probe_hamming)
+    cand = (
+        cb.join(pb, ["band_idx", "band_key"])
+        .filter(F.col(id_col) != F.col(probe_id))
+        .select(probe_id, id_col)
+        .distinct()
+    )
+    scored = (
+        cand.join(units(corpus, id_col), id_col)
+        .join(F.broadcast(units(probes, probe_id).withColumnRenamed("_u", "_pu")), probe_id)
+        .withColumn("cosine", _dot(F.col("_pu"), F.col("_u")))
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(probe_id, id_col, "cosine", "rk")
+    )
 
 
 def ivf_topk(
