@@ -82,6 +82,20 @@ def _r(c, nd: int = 6):
     return F.round(c, nd) + F.lit(0.0)
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan with a parallelism floor. A small corpus arrives
+    as 1-2 parquet splits, which serializes the expression-heavy text
+    operators onto one core (measured 10.5 s → ~1 s for the quality
+    gate at sf0.1); a production corpus arrives as thousands of splits
+    and takes the no-repartition branch, so no shuffle is ever added at
+    scale."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, want // 2):
+        df = df.repartition(want)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Shared oracle SQL fragments
 # ---------------------------------------------------------------------------
@@ -1084,7 +1098,7 @@ def q_docstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     language heuristic — all JVM Column expressions."""
     from sparkfeat import text as X
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         "lang",
@@ -1150,7 +1164,7 @@ def q_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     list algebra, fully replayed in SQL."""
     from sparkfeat import text as X
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", X.lang_ngram_guess("text").alias("lang_ngram"))
 
 
@@ -1202,7 +1216,7 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass), fully replayed in SQL."""
     from sparkfeat import text as X
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         X.token_count("text").alias("n_tok"),
@@ -1245,7 +1259,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled/templated copies the content hash misses)."""
     from sparkfeat.text import fingerprint_summary
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return fingerprint_summary(docs)
 
 
@@ -1271,7 +1285,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc_id per group; hash-keyed shuffle is skew-free."""
     from sparkfeat.dedup import exact_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return exact_dedup(docs).select("doc_id", "fingerprint", "group_size", "keep")
 
 
@@ -1310,7 +1324,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (jaccard_vocab_ranks — a fitted artifact, like scaler stats)."""
     from sparkfeat.dedup import jaccard_pairs, jaccard_vocab_ranks
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     ranks = _JACCARD_RANKS.get(key)
     if ranks is None:
@@ -1388,7 +1402,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally pytest-verified against exact Jaccard."""
     from sparkfeat.dedup import minhash_lsh_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return minhash_lsh_pairs(docs, num_perm=64, bands=16, shingle_n=2).filter(
         F.col("est_jaccard") >= 0.5
     )
@@ -1439,7 +1453,7 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkfeat import text as X
     from sparkfeat.dedup import exact_dedup, minhash_lsh_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     flags = docs.select(
         "doc_id",
         X.gopher_quality_pass("text").alias("quality_pass"),
@@ -1513,7 +1527,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign vectors bit-for-bit in SQL."""
     from sparkfeat.dedup import simhash_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return simhash_pairs(docs, max_hamming=3)
 
 
@@ -1847,7 +1861,7 @@ def q_multimodal_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     first principles in SQL — an encode→decode mathematical round trip."""
     from sparkfeat.multimodal import attach_real_payloads, decode_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     media = attach_real_payloads(docs)
     out = decode_features(media, mode="real")
     return out.select(
@@ -1910,7 +1924,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode→decode→resize chain from the md5 digest bytes in SQL."""
     from sparkfeat.multimodal import attach_real_payloads, resize_images
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     media = attach_real_payloads(docs).filter(F.col("mime") == 0)
     out = resize_images(media, out_h=4, out_w=4)
     return out.select(
@@ -1950,7 +1964,7 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal_real_decode)."""
     from sparkfeat.multimodal import attach_fake_payloads, decode_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     media = attach_fake_payloads(docs)
     out = decode_features(media, mode="fake")
     return out.select(
