@@ -471,3 +471,64 @@ def embedding_pairs_bucketed(
 
     pairs = normed.groupBy("cent_id").applyInPandas(bucket_pairs, out_schema)
     return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def embedding_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 48,
+    n_bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    tag: str = "lsh",
+) -> DataFrame:
+    """Fit-free embedding near-dup: candidates = pairs whose sign-LSH
+    band keys collide in ANY band (the SimHash recipe applied to dense
+    vectors — random-hyperplane bits instead of token-hash majorities),
+    then an exact unit-cosine verify ≥ threshold. Complements
+    :func:`embedding_pairs_bucketed` the way SimHash complements
+    MinHash on the text side: no centroid fit, so it works on a corpus
+    that churns faster than a k-means pass is worth re-running.
+
+    Recall at cosine c per band = p^(n_planes/n_bands) with
+    p = 1 − arccos(c)/π (≈0.98 over 8×6-bit bands at c=0.9); random
+    pairs collide w.p. ≈ n_bands/2^(bits/band), so RAISE bits-per-band
+    with log₂(corpus) (e.g. 16 bands × 12 bits at 10⁸ rows) to keep
+    within-bucket pair counts bounded — the standard LSH memory/recall
+    dial. The band self-join is an equi-join (hash shuffle, no
+    CartesianProduct); the verify is one fold per surviving pair on
+    pre-normalized vectors."""
+    from sparkfeat.similarity import _as_double, _dot, _lsh_bands, _norm, lsh_planes
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = lsh_planes(dim, n_planes, tag)
+    key_array = _lsh_bands(
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE))", planes, n_bands
+    )
+    b = emb.select(
+        F.col(id_col), F.posexplode(key_array).alias("band_idx", "band_key")
+    )
+    cand = (
+        b.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+        .join(
+            b.select(F.col(id_col).alias("id_b"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    normed = emb.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", _norm(F.col("_v"))).select(
+        id_col, F.transform("_v", lambda x: x / F.col("_n")).alias("_u")
+    )
+    return (
+        cand.join(normed.select(F.col(id_col).alias("id_a"), F.col("_u").alias("_ua")), "id_a")
+        .join(normed.select(F.col(id_col).alias("id_b"), F.col("_u").alias("_ub")), "id_b")
+        .withColumn("cosine", _dot(F.col("_ua"), F.col("_ub")))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )

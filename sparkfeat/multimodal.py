@@ -3,14 +3,15 @@ decode / feature-extract / frame-sample as Arrow ``mapInPandas`` stages.
 
 Decode kernels, by honesty level:
 
-* ``mode='real'`` — REAL decoders for the two container-less formats:
+* ``mode='real'`` — REAL decoders for the three container-less formats:
   24-bit uncompressed **BMP** (file+info header, bottom-up padded BGR
-  rows) and 16-bit PCM **WAV** (RIFF/fmt/data chunks) — pure
-  struct+numpy, no codec library, byte-level round-trip tested against
-  the matching encoders below. Video (mime=2) raises
-  ``NotImplementedError`` at the exact seam where an ffmpeg keyframe
-  decoder would drop in (compressed codecs genuinely need external
-  libs).
+  rows), 16-bit PCM **WAV** (RIFF/fmt/data chunks), and the **RVID**
+  raw-video container (header + uncompressed RGB frames, with
+  O(frame) seek-decode for keyframe sampling) — pure struct+numpy, no
+  codec library, byte-level round-trip tested against the matching
+  encoders below. COMPRESSED video raises ``NotImplementedError`` at
+  the exact seam where an ffmpeg keyframe decoder would drop in
+  (compressed codecs genuinely need external libs).
 * ``mode='fake'`` — a deterministic stand-in (byte histogram) kept for
   plumbing tests and as the driver-oracle query kernel.
 
@@ -307,6 +308,132 @@ def attach_real_payloads(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, media_schema)
 
 
+RAWVIDEO_MAGIC = b"RVID"
+
+
+def encode_rawvideo(frames: np.ndarray) -> bytes:
+    """Encode (n_frames, h, w, 3) uint8 RGB as an uncompressed container:
+    ``RVID | u32 n_frames | u32 h | u32 w | frames...`` (row-major).
+    The honest video format this environment CAN decode natively —
+    compressed codecs (H.264 etc.) remain behind the ffmpeg seam."""
+    n, h, w, ch = frames.shape
+    assert ch == 3
+    return (
+        RAWVIDEO_MAGIC
+        + struct.pack("<III", n, h, w)
+        + np.ascontiguousarray(frames, dtype=np.uint8).tobytes()
+    )
+
+
+def decode_rawvideo_header(payload: bytes) -> tuple[int, int, int]:
+    """(n_frames, h, w) from the 16-byte header — no frame bytes touched."""
+    if payload[:4] != RAWVIDEO_MAGIC:
+        raise ValueError("not a RVID payload")
+    return struct.unpack("<III", payload[4:16])
+
+
+def decode_rawvideo_frame(payload: bytes, idx: int) -> np.ndarray:
+    """Seek-decode ONE frame: header → offset arithmetic → one slice.
+    The access pattern of keyframe sampling — cost is O(frame), not
+    O(video), which is what makes frame-sampling a map-side operation
+    on multi-GB payloads."""
+    n, h, w = decode_rawvideo_header(payload)
+    if not 0 <= idx < n:
+        raise IndexError(idx)
+    fsz = h * w * 3
+    off = 16 + idx * fsz
+    return (
+        np.frombuffer(payload[off : off + fsz], dtype=np.uint8)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def decode_rawvideo(payload: bytes) -> np.ndarray:
+    """Full decode: (n_frames, h, w, 3) uint8."""
+    n, h, w = decode_rawvideo_header(payload)
+    return np.stack([decode_rawvideo_frame(payload, i) for i in range(n)])
+
+
+def attach_video_payloads(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_frames: int = 6,
+    h: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Deterministic REAL raw-video payloads per doc: frame f's pixel
+    byte k (row-major) = md5(text) digest byte ``(7*f + k) mod 16`` —
+    the per-frame offset 7 (coprime to 16) makes every frame distinct
+    while staying SQL-replayable from the digest."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        fsz = h * w * 3
+        for pdf in batches:
+            ids, mimes, payloads, sizes = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                digest = hashlib.md5(str(t).encode()).digest()
+                tiled = np.frombuffer(digest * (2 * fsz // 16 + 2), dtype=np.uint8)
+                frames = np.stack(
+                    [tiled[(7 * f) % 16 :][:fsz].reshape(h, w, 3) for f in range(n_frames)]
+                )
+                p = encode_rawvideo(frames)
+                ids.append(int(i))
+                mimes.append(2)
+                payloads.append(p)
+                sizes.append(len(p))
+            yield pd.DataFrame(
+                {"media_id": ids, "mime": mimes, "payload": payloads, "n_bytes": sizes}
+            ).astype({"media_id": "int64", "mime": "int32", "n_bytes": "int64"})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("r_mean", DoubleType(), False),
+        StructField("g_mean", DoubleType(), False),
+        StructField("b_mean", DoubleType(), False),
+    ]
+)
+
+
+def frame_sample_rawvideo(df: DataFrame, k: int = 3) -> DataFrame:
+    """REAL frame sampling over the RVID container: per payload, read
+    the 16-byte header, pick ``k`` evenly spaced frame indices
+    (floor(j·(n−1)/(k−1))), seek-decode ONLY those frames, and emit
+    per-frame channel means. One row per (media_id, sampled frame);
+    unsampled frame bytes are never touched — the map-side cost model
+    of keyframe extraction at scale."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, rs, gs, bs = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                p = bytes(p)
+                n, _, _ = decode_rawvideo_header(p)
+                picks = (
+                    [int(j * (n - 1) / (k - 1)) for j in range(k)] if k > 1 else [0]
+                )
+                for idx in picks:
+                    fr = decode_rawvideo_frame(p, idx).astype(np.float64)
+                    ids.append(int(mid))
+                    idxs.append(idx)
+                    rs.append(float(fr[:, :, 0].mean()))
+                    gs.append(float(fr[:, :, 1].mean()))
+                    bs.append(float(fr[:, :, 2].mean()))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "r_mean": rs, "g_mean": gs, "b_mean": bs}
+            ).astype({"media_id": "int64", "frame_idx": "int32"})
+
+    return df.select("media_id", "payload").mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
 def _byte_histogram(payload: bytes, bins: int = 16) -> list[float]:
     a = np.frombuffer(payload, dtype=np.uint8)
     if a.size == 0:
@@ -341,9 +468,11 @@ def decode_features(
                         feats.append(_audio_features(bytes(p)))
                     else:
                         raise NotImplementedError(
-                            "video decode requires ffmpeg — not available in "
-                            "this environment; images (BMP) and audio (WAV) "
-                            "decode natively"
+                            "compressed-video decode requires ffmpeg — not "
+                            "available in this environment; images (BMP), "
+                            "audio (WAV), and raw video (RVID — see "
+                            "decode_rawvideo/frame_sample_rawvideo) decode "
+                            "natively"
                         )
             else:
                 feats = [

@@ -1938,6 +1938,58 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _video_frames_oracle(n_frames: int = 6, h: int = 4, w: int = 4, k: int = 3) -> str:
+    """Replay the RVID frame sampling from the md5 digest bytes: frame
+    f's pixel byte j = digest[(7f + j) mod 16]; sampled frame indices
+    are floor(j·(n−1)/(k−1)) — inlined as literals."""
+    picks = [int(j * (n_frames - 1) / (k - 1)) for j in range(k)] if k > 1 else [0]
+    npx = h * w
+
+    def mean(f, c):
+        terms = " + ".join(f"db[(({7 * f} + {q * 3 + c}) % 16) + 1]" for q in range(npx))
+        return f"ROUND(({terms}) / {npx}.0, 6)"
+
+    rows = ",\n    ".join(
+        f"({f}, {mean(f, 0)}, {mean(f, 1)}, {mean(f, 2)})" for f in picks
+    )
+    return f"""WITH d AS (
+    SELECT doc_id,
+        list_transform(generate_series(0, 15), j ->
+            CAST((strpos('0123456789abcdef', substr(md5(text), j*2+1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(text), j*2+2, 1)) - 1)
+               AS DOUBLE)) AS db
+    FROM documents
+)
+SELECT doc_id AS media_id, CAST(f.frame_idx AS INT) AS frame_idx,
+    f.r_mean, f.g_mean, f.b_mean
+FROM d, LATERAL (VALUES
+    {rows}
+) f(frame_idx, r_mean, g_mean, b_mean)"""
+
+
+@register("multimodal_video_frames", _video_frames_oracle())
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL raw-video frame sampling: every doc gets an uncompressed
+    RVID container (6 frames of 4×4 RGB derived from the text's md5),
+    and the sampler reads the 16-byte header, seek-decodes ONLY the 3
+    evenly spaced sample frames (offset arithmetic, O(frame) not
+    O(video)), and emits per-frame channel means. The oracle replays
+    the whole encode→seek→decode chain from the digest bytes. Only
+    COMPRESSED video stays behind the ffmpeg seam."""
+    from sparkfeat.multimodal import attach_video_payloads, frame_sample_rawvideo
+
+    docs = _docs(spark, sf_dir)
+    media = attach_video_payloads(docs)
+    out = frame_sample_rawvideo(media, k=3)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        _r(F.col("r_mean")).alias("r_mean"),
+        _r(F.col("g_mean")).alias("g_mean"),
+        _r(F.col("b_mean")).alias("b_mean"),
+    )
+
+
 _MM_FAKE_ORACLE = """WITH c AS (
     SELECT doc_id, LENGTH(text) AS n,
         list_transform(
@@ -2371,6 +2423,68 @@ SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM normed a JOIN normed b
   ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.nv, b.nv) >= 0.4"""
+
+
+def _emb_lsh_oracle(
+    threshold: float = 0.4, n_planes: int = 48, n_bands: int = 8, dim: int = 64
+) -> str:
+    """Replay the fit-free sign-LSH near-dup in SQL: same inlined plane
+    literals, same left-to-right fold for the sign bits, same band
+    self-join + unit-cosine verify."""
+    from sparkfeat.similarity import lsh_planes
+
+    planes = lsh_planes(dim, n_planes)
+    rb = n_planes // n_bands
+
+    def arr(p):
+        return "[" + ",".join(repr(float(x)) for x in p) + "]"
+
+    bits = ",\n        ".join(
+        f"CASE WHEN list_dot_product(v, {arr(p)}) >= 0 THEN 1 ELSE 0 END"
+        for p in planes
+    )
+    key = " + ".join(f"bits[{rb}*band_idx + {j + 1}] * {1 << j}" for j in range(rb))
+    return f"""WITH c AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (
+    SELECT vec_id, [{bits}] AS bits FROM c
+),
+cb AS (
+    SELECT vec_id, band_idx, {key} AS band_key
+    FROM s, (SELECT unnest(generate_series(0, {n_bands - 1})) AS band_idx)
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM cb a JOIN cb b USING (band_idx, band_key)
+    WHERE a.vec_id < b.vec_id
+),
+un AS (
+    SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+    FROM c
+)
+SELECT id_a, id_b, ROUND(list_dot_product(ua.u, ub.u), 6) AS cosine
+FROM cand
+JOIN un ua ON cand.id_a = ua.vec_id
+JOIN un ub ON cand.id_b = ub.vec_id
+WHERE list_dot_product(ua.u, ub.u) >= {threshold}"""
+
+
+@register("dedup_embedding_lsh", _emb_lsh_oracle())
+def q_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via fit-free sign-LSH banding (48
+    md5-derived planes, 8 bands of 6 bits) + exact unit-cosine verify —
+    the no-fit-pass alternative to the IVF route (dedup_embedding_pairs)
+    for corpora that churn faster than a centroid fit amortizes. At this
+    fixture's moderate-similarity pairs (max cosine 0.51) the banding
+    keeps ~half the brute-force pairs — by design; the c≥0.9 near-dup
+    design point measures ≥0.9 recall on planted duplicates in pytest.
+    The oracle replays the full LSH, so engine parity is exact."""
+    from sparkfeat.dedup import embedding_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_pairs_lsh(emb, threshold=0.4, n_planes=48, n_bands=8, dim=64)
+    return out.select("id_a", "id_b", _r(F.col("cosine")).alias("cosine"))
 
 
 @register("dedup_embedding_pairs", _EMB_PAIRS_ORACLE)

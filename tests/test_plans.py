@@ -110,6 +110,28 @@ def test_embedding_pairs_bucketed_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p, p
 
 
+def test_embedding_pairs_lsh_no_cartesian(spark, sf_dir):
+    """The fit-free LSH near-dup: candidates from a band-key equi-join,
+    verify via id equi-joins — no CartesianProduct anywhere."""
+    from sparkfeat.dedup import embedding_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_pairs_lsh(emb, threshold=0.9, dim=64)
+    p = plan_of(out)
+    assert "CartesianProduct" not in p, p
+
+
+def test_corpus_prep_pipeline_no_cartesian(spark, sf_dir):
+    """The end-to-end corpus filter composes four stages and must stay
+    free of corpus-level CartesianProduct — every join is an equi-join
+    on doc_id, fingerprint, or a band key."""
+    from sparkfeat.queries import QUERIES
+
+    out = QUERIES["corpus_prep_pipeline"](spark, sf_dir)
+    p = plan_of(out)
+    assert "CartesianProduct" not in p, p
+
+
 def test_interval_filter_is_broadcast_semi_join(spark, transcripts):
     """filter_by_intervals must stream the fact side through a broadcast
     semi join — no exchange of the big table for the filter."""

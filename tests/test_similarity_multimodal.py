@@ -287,6 +287,53 @@ def test_resize_images_spark_matches_numpy(spark, sf_dir):
         assert _np.array_equal(decode_bmp(bytes(row["payload"])), want)
 
 
+def test_rawvideo_codec_round_trip_and_seek():
+    import numpy as _np
+
+    from sparkfeat.multimodal import (
+        decode_rawvideo,
+        decode_rawvideo_frame,
+        decode_rawvideo_header,
+        encode_rawvideo,
+    )
+
+    frames = (_np.arange(6 * 4 * 4 * 3, dtype=_np.uint8) % 251).reshape(6, 4, 4, 3)
+    p = encode_rawvideo(frames)
+    assert decode_rawvideo_header(p) == (6, 4, 4)
+    _np.testing.assert_array_equal(decode_rawvideo(p), frames)
+    # seek-decode touches only one frame and matches the full decode
+    _np.testing.assert_array_equal(decode_rawvideo_frame(p, 4), frames[4])
+    with pytest.raises(ValueError):
+        decode_rawvideo_header(b"XXXX" + p[4:])
+    with pytest.raises(IndexError):
+        decode_rawvideo_frame(p, 6)
+
+
+def test_frame_sample_rawvideo_matches_numpy(spark, sf_dir):
+    import hashlib
+
+    import numpy as _np
+
+    from sparkfeat.multimodal import attach_video_payloads, frame_sample_rawvideo
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    out = (
+        frame_sample_rawvideo(attach_video_payloads(docs), k=3)
+        .toPandas()
+        .sort_values(["media_id", "frame_idx"])
+    )
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert set(out["frame_idx"]) == {0, 2, 5}  # floor(j*5/2), j=0..2
+    assert len(out) == 3 * len(texts)
+    for (mid, fidx), row in out.set_index(["media_id", "frame_idx"]).iterrows():
+        digest = hashlib.md5(texts[mid].encode()).digest()
+        fsz = 4 * 4 * 3
+        tiled = _np.frombuffer(digest * (2 * fsz // 16 + 2), dtype=_np.uint8)
+        fr = tiled[(7 * fidx) % 16 :][:fsz].reshape(4, 4, 3).astype(_np.float64)
+        _np.testing.assert_allclose(row["r_mean"], fr[:, :, 0].mean(), rtol=1e-12)
+        _np.testing.assert_allclose(row["b_mean"], fr[:, :, 2].mean(), rtol=1e-12)
+
+
 def test_real_decode_end_to_end(spark, sf_dir):
     """attach_real_payloads → decode_features(mode='real'): BMP images
     report exact 8×8 geometry and md5-derived channel means; WAV audio
@@ -367,6 +414,49 @@ def test_embedding_pairs_bucketed_recall_and_exactness(spark, sf_dir):
         assert abs(v - brute[k]) < 1e-12  # identical scoring
     recall = len(buck) / max(len(brute), 1)
     assert recall >= 0.5, f"recall {recall:.2f} ({len(buck)}/{len(brute)})"
+
+
+def test_embedding_pairs_lsh_design_point(spark, emb, emb_np):
+    """The fit-free sign-LSH near-dup at its c≥0.9 design point: plant
+    true near-duplicates (small perturbations of corpus vectors) and
+    require ≥0.9 recall on them, zero false positives vs brute force,
+    and exact cosines on everything emitted."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    from sparkfeat.dedup import embedding_pairs_lsh
+
+    ids, mat = emb_np
+    rng = np.random.RandomState(7)
+    base = mat[:40]
+    dup = base + 0.02 * rng.standard_normal(base.shape)  # cosine ≈ 0.998
+    rows = [(int(ids[i]), base[i].astype(np.float32).tolist()) for i in range(40)]
+    rows += [(int(1_000_000 + i), dup[i].astype(np.float32).tolist()) for i in range(40)]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), False),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = embedding_pairs_lsh(df, threshold=0.9, n_planes=48, n_bands=8, dim=64).toPandas()
+    planted = {(int(ids[i]), int(1_000_000 + i)) for i in range(40)}
+    # brute truth over the 80-vector corpus
+    m = np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
+    n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    S = n @ n.T
+    rid = [r[0] for r in rows]
+    truth = {}
+    for i in range(len(rid)):
+        for j in range(i + 1, len(rid)):
+            a, b = sorted((rid[i], rid[j]))
+            if S[i, j] >= 0.9:
+                truth[(a, b)] = S[i, j]
+    got_pairs = {(int(r.id_a), int(r.id_b)): r.cosine for r in got.itertuples()}
+    assert set(got_pairs) <= set(truth)  # no false positives
+    hits = len(set(got_pairs) & planted)
+    assert hits >= 0.9 * len(planted), f"LSH near-dup recall {hits}/{len(planted)}"
+    for k, v in got_pairs.items():
+        assert abs(v - truth[k]) < 1e-9
 
 
 def test_kmeans_centroids_improve_assignment_objective(spark, sf_dir):
