@@ -1,0 +1,184 @@
+#!/usr/bin/env python3
+"""Scaling evidence for the DOCUMENT pipeline (corpus_prep_flags): the
+same N→4N two-parallelism protocol as scripts/scaling_bench.py, applied
+to the LLM-data path (quality gate + language ID + exact dedup +
+MinHash near-dup) instead of the transcript feature job.
+
+Input: the sf documents table replicated R times. Each replica prefixes
+every token with a replica salt (``q<j>``), so replicas share NO tokens
+— duplicate structure stays per-replica (R × the original dup groups)
+instead of exploding into cross-replica near-dup cliques, which is the
+realistic shape (a crawler's corpus is mostly unique docs, not R copies
+of itself).
+
+Protocol (same as the transcript bench): fresh JVM per measurement,
+interleaved L,H,L,H,… ordering, median of N with min..max spread,
+shuffle scratch on tmpfs.
+
+Usage: python scripts/corpus_scaling_bench.py [--low 2 --high 8]
+       [--replicate 10] [--repeats 3]
+Markdown rows on stdout + machine-readable JSON last line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import textwrap
+
+SCRATCH = "/dev/shm/sparkfeat-corpus-scratch"
+
+PREP = textwrap.dedent(
+    """
+    import sys
+    from functools import reduce
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import functions as F
+    from sparkfeat.session import get_spark
+
+    out, sf_dir, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    spark = get_spark("corpus-prep-data", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{{sf_dir}}/documents.parquet")
+    parts = [
+        docs.select(
+            (F.col("doc_id") + j * 10_000_000).alias("doc_id"),
+            F.regexp_replace("text", r"(^|\\s)", "$1q%d" % j).alias("text"),
+            "lang",
+            "source",
+        )
+        for j in range(reps)
+    ]
+    big = reduce(lambda a, b: a.unionByName(b), parts)
+    big.repartition(64).write.mode("overwrite").parquet(out)
+    print(spark.read.parquet(out).count())
+    spark.stop()
+    """
+)
+
+RUNNER = textwrap.dedent(
+    """
+    import json, os, sys, time
+    sys.path.insert(0, {repo!r})
+    os.environ.setdefault("SPARKFEAT_DRIVER_MEM", "48g")
+    from sparkfeat.session import get_spark
+    from sparkfeat.corpus import corpus_prep_flags
+
+    cores, data = int(sys.argv[1]), sys.argv[2]
+    os.makedirs({scratch!r}, exist_ok=True)
+    spark = get_spark(
+        "corpus-scaling", master=f"local[{{cores}}]", shuffle_partitions=64,
+        extra_conf={{"spark.local.dir": {scratch!r}}},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(data)
+    n = docs.count()  # footer warm-up outside the timer
+    out = corpus_prep_flags(docs)
+    t0 = time.perf_counter()
+    out.write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    print(json.dumps({{"cores": cores, "docs": n, "times": [elapsed]}}))
+    spark.stop()
+    """
+)
+
+
+def _run_py(code: str, args: list[str], timeout: int = 3600) -> str:
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(code)
+        path = f.name
+    try:
+        out = subprocess.run(
+            [sys.executable, path, *args], capture_output=True, text=True, timeout=timeout
+        )
+        if out.returncode != 0:
+            raise RuntimeError(out.stderr[-2000:])
+        return out.stdout.strip().splitlines()[-1]
+    finally:
+        os.unlink(path)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--replicate", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
+    ap.add_argument("--data", default="/tmp/sparkfeat_corpus_scaling")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.isdir(args.data):
+        n = _run_py(
+            PREP.format(repo=repo), [args.data, args.sf_dir, str(args.replicate)]
+        )
+        print(f"prepared {n} docs at {args.data}", file=sys.stderr)
+
+    runner = RUNNER.format(repo=repo, scratch=SCRATCH)
+    times: dict[int, list[float]] = {args.low: [], args.high: []}
+    docs = 0
+    # interleaved L,H,L,H,… — drift penalizes neither level (see
+    # scripts/scaling_bench.py for the rationale)
+    for _ in range(args.repeats):
+        for cores in (args.low, args.high):
+            shutil.rmtree(SCRATCH, ignore_errors=True)
+            r = json.loads(_run_py(runner, [str(cores), args.data]))
+            times[cores].extend(r["times"])
+            docs = r["docs"]
+
+    rows = {}
+    for cores in (args.low, args.high):
+        med = statistics.median(times[cores])
+        rows[cores] = {
+            "median_sec": round(med, 3),
+            "min_sec": round(min(times[cores]), 3),
+            "max_sec": round(max(times[cores]), 3),
+            "times": [round(t, 3) for t in times[cores]],
+            "docs_per_sec": round(docs / med, 1),
+        }
+    scale = args.high / args.low
+    eff = rows[args.low]["median_sec"] / (scale * rows[args.high]["median_sec"])
+    env = [
+        rows[args.low]["min_sec"] / (scale * rows[args.high]["max_sec"]),
+        rows[args.low]["max_sec"] / (scale * rows[args.high]["min_sec"]),
+    ]
+    print("| parallelism | median sec (min..max) | docs/sec |")
+    print("|---|---|---|")
+    for cores in (args.low, args.high):
+        r = rows[cores]
+        print(
+            f"| local[{cores}] | {r['median_sec']} ({r['min_sec']}..{r['max_sec']}) "
+            f"| {r['docs_per_sec']} |"
+        )
+    print(
+        f"\ndocs: {docs}; corpus-prep scaling efficiency "
+        f"local[{args.low}]→local[{args.high}]: **{eff:.3f}** "
+        f"(envelope {env[0]:.3f}..{env[1]:.3f}, interleaved, median of {args.repeats})"
+    )
+    print(
+        json.dumps(
+            {
+                "low": rows[args.low],
+                "high": rows[args.high],
+                "levels": [args.low, args.high],
+                "scale_factor": scale,
+                "efficiency": round(eff, 3),
+                "efficiency_envelope": [round(env[0], 3), round(env[1], 3)],
+                "interleaved": True,
+                "docs": docs,
+                "sf_dir": args.sf_dir,
+                "replicate": args.replicate,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

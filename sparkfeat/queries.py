@@ -1456,36 +1456,11 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the filter is auditable (why did doc X fall out?) — and the
     DuckDB oracle replays every stage. One corpus scan feeds stages 1–2,
     one fingerprint shuffle feeds 3, one signature+band shuffle feeds 4;
-    nothing is quadratic in the corpus."""
-    from sparkfeat import text as X
-    from sparkfeat.dedup import exact_dedup, minhash_lsh_pairs
+    nothing is quadratic in the corpus. The composition lives in
+    sparkfeat.corpus (shared with the corpus scaling bench)."""
+    from sparkfeat.corpus import corpus_prep_flags
 
-    docs = _docs(spark, sf_dir)
-    flags = docs.select(
-        "doc_id",
-        X.gopher_quality_pass("text").alias("quality_pass"),
-        (X.lang_ngram_guess("text") == F.col("lang")).alias("lang_ok"),
-    )
-    ex = exact_dedup(docs).select("doc_id", F.col("keep").alias("exact_keep"))
-    drops = (
-        minhash_lsh_pairs(docs, num_perm=64, bands=16, shingle_n=2)
-        .filter(F.col("est_jaccard") >= 0.5)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-        .withColumn("neardup_drop", F.lit(True))
-    )
-    return (
-        flags.join(ex, "doc_id")
-        .join(drops, "doc_id", "left")
-        .withColumn("neardup_drop", F.coalesce("neardup_drop", F.lit(False)))
-        .withColumn(
-            "keep",
-            F.col("quality_pass")
-            & F.col("lang_ok")
-            & F.col("exact_keep")
-            & ~F.col("neardup_drop"),
-        )
-    )
+    return corpus_prep_flags(_docs(spark, sf_dir))
 
 
 _SIMHASH_ORACLE = r"""WITH w AS (

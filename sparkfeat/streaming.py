@@ -123,6 +123,32 @@ def stream_ewma(
     )
 
 
+def stream_corpus_filter(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ingest_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of the corpus-prep front half for a document
+    INGESTION stream: the Gopher-family quality gate runs as a
+    stateless codegen filter, then streaming exact dedup drops any doc
+    whose bag fingerprint was already admitted within the watermark
+    (``dropDuplicatesWithinWatermark`` — state is O(unique fingerprints
+    per window), the bound that keeps a perpetual crawler's dedup state
+    from growing with history). Near-dup (MinHash) stays batch: its
+    candidate join is not expressible as per-key streaming state, which
+    is the honest seam between the two modes (run it on the daily
+    compaction, as production pipelines do)."""
+    from sparkfeat.text import bag_fingerprint, gopher_quality_pass
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .filter(gopher_quality_pass(text_col))
+        .withColumn("fingerprint", bag_fingerprint(text_col))
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def run_stream_once(
     spark,
     input_path: str,

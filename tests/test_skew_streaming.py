@@ -237,3 +237,56 @@ def test_stream_ewma_state_carries_across_invocations(spark, transcripts, tmp_pa
     )
     assert len(got) == len(want)
     np.testing.assert_allclose(got["e"], want["e"], rtol=1e-9)
+
+
+def test_stream_corpus_filter_quality_and_dedup(spark, tmp_path):
+    """Streaming ingestion filter: quality-fail docs never emit, a
+    fingerprint re-sent in a later microbatch within the watermark is
+    dropped, and fresh docs pass — state-store dedup matching the batch
+    exact-dedup verdicts on the same data."""
+    import pandas as pd
+
+    from sparkfeat.streaming import stream_corpus_filter
+
+    good = "the quick brown fox jumps over the lazy dog again and again in the morning"
+    good2 = "a different and perfectly reasonable document about the weather in the old town"
+    bad = "### ### ### ###"  # symbol-ratio + stopword fail
+    indir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    outdir = str(tmp_path / "out")
+
+    def batch(rows, name):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ingest_ts"])
+        pdf["ingest_ts"] = pd.to_datetime(pdf["ingest_ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(indir)
+
+    def run_once():
+        st = spark.readStream.schema(
+            "doc_id BIGINT, text STRING, ingest_ts TIMESTAMP"
+        ).parquet(indir)
+        q = (
+            stream_corpus_filter(st, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch(
+        [(1, good, "2024-03-01 10:00:00"), (2, bad, "2024-03-01 10:01:00")],
+        "b1",
+    )
+    run_once()
+    batch(
+        [(3, good, "2024-03-01 10:05:00"), (4, good2, "2024-03-01 10:06:00")],
+        "b2",
+    )
+    run_once()
+
+    got = spark.read.parquet(outdir).toPandas().sort_values("doc_id")
+    # doc 2 fails quality; doc 3 is a within-watermark duplicate of doc 1
+    assert list(got["doc_id"]) == [1, 4], got
+    assert got["fingerprint"].nunique() == 2
