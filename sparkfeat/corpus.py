@@ -21,6 +21,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def hash_bucket(key, start: int = 25, buckets: int = 1000):
+    """Deterministic uniform bucket in [0, buckets) from 8 hex digits of
+    ``md5(cast(key as string))`` starting at 1-based hex position
+    ``start`` — pure JVM expression (no UDF), replayable byte-for-byte
+    in any engine with md5. Different ``start`` values give independent
+    buckets (e.g. one for the split, one for stratified keep), which is
+    what makes hash sampling composable: membership is a property of
+    the KEY, not of an RNG state, so every rerun, every engine, and
+    every downstream join sees the same subset."""
+    col = key if not isinstance(key, str) else F.col(key)
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), start, 8), 16, 10)
+        .cast("bigint")
+        % buckets
+    )
+
+
+def sample_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    train: float = 0.8,
+    val: float = 0.1,
+    lang_rates: dict[str, float] | None = None,
+) -> DataFrame:
+    """Reproducible train/val/test assignment + stratified downsampling
+    for a training corpus:
+
+    * ``split``: hash-bucket the id into train/val/test by the given
+      fractions — stable under corpus growth (a doc never changes
+      split when new docs arrive; the leakage-safety property random
+      splits lose on incremental corpora);
+    * ``strat_keep``: a SECOND independent hash bucket thresholded by a
+      per-language rate (e.g. downsample over-represented languages) —
+      the standard rebalancing move, deterministic and auditable.
+    """
+    b_split = hash_bucket(id_col, start=25)
+    b_keep = hash_bucket(id_col, start=17)
+    split = (
+        F.when(b_split < int(train * 1000), "train")
+        .when(b_split < int((train + val) * 1000), "val")
+        .otherwise("test")
+    )
+    if lang_rates:
+        keep = F.lit(False)
+        expr = None
+        for lang, rate in sorted(lang_rates.items()):
+            cond = (F.col(lang_col) == lang) & (b_keep < int(rate * 1000))
+            expr = cond if expr is None else (expr | cond)
+        keep = expr
+    else:
+        keep = F.lit(True)
+    return docs.select(
+        id_col,
+        lang_col,
+        b_split.cast("int").alias("split_bucket"),
+        split.alias("split"),
+        b_keep.cast("int").alias("keep_bucket"),
+        keep.alias("strat_keep"),
+    )
+
+
 def corpus_prep_flags(
     docs: DataFrame,
     text_col: str = "text",

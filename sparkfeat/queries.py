@@ -1463,6 +1463,67 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_prep_flags(_docs(spark, sf_dir))
 
 
+def _sample_split_oracle(
+    train: float = 0.8, val: float = 0.1, lang_rates: dict[str, float] | None = None
+) -> str:
+    """Replay hash_bucket in SQL: the same 8 hex digits of
+    md5(CAST(doc_id AS VARCHAR)) expanded positionally."""
+    lang_rates = lang_rates or {}
+
+    def bucket(start):
+        terms = " + ".join(
+            f"(strpos('0123456789abcdef', substr(h, {start + j}, 1)) - 1) * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+        return f"({terms}) % 1000"
+
+    keep = (
+        "("
+        + " OR ".join(
+            f"(lang = '{lang}' AND kb < {int(rate * 1000)})"
+            for lang, rate in sorted(lang_rates.items())
+        )
+        + ")"
+        if lang_rates
+        else "TRUE"
+    )
+    return f"""WITH h AS (
+    SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+),
+b AS (
+    SELECT doc_id, lang,
+        {bucket(25)} AS sb,
+        {bucket(17)} AS kb
+    FROM h
+)
+SELECT doc_id, lang,
+    CAST(sb AS INT) AS split_bucket,
+    CASE WHEN sb < {int(train * 1000)} THEN 'train'
+         WHEN sb < {int((train + val) * 1000)} THEN 'val'
+         ELSE 'test' END AS split,
+    CAST(kb AS INT) AS keep_bucket,
+    {keep} AS strat_keep
+FROM b"""
+
+
+_SAMPLE_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
+
+
+@register("corpus_sample_split", _sample_split_oracle(lang_rates=_SAMPLE_RATES))
+def q_corpus_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + stratified per-language
+    downsampling via independent md5 hash buckets — membership is a
+    property of the doc id, not an RNG state, so every engine, rerun,
+    and incremental corpus refresh agrees on the subset (the
+    leakage-safety property random sampling loses when the corpus
+    grows). Pure JVM expressions; the oracle replays the hex-digit
+    bucket math positionally."""
+    from sparkfeat.corpus import sample_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_split(docs, train=0.8, val=0.1, lang_rates=_SAMPLE_RATES)
+
+
 _SIMHASH_ORACLE = r"""WITH w AS (
     SELECT doc_id,
         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws

@@ -215,6 +215,94 @@ def _lsh_bands(vec_sql: str, planes: np.ndarray, n_bands: int):
     return F.expr("array(" + ", ".join(keys) + ")")
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    kmeans_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fit-and-persist the IVF index — the build/serve separation a
+    production ANN deployment runs: centroids (tiny) and the
+    pre-normalized assigned corpus written ``partitionBy('cent_id')``,
+    so a probe's ``nprobe`` buckets are whole parquet partitions and
+    serving reads ONLY those (dynamic partition pruning against the
+    broadcast probe-bucket set — at 10^9 vectors a search touches
+    nprobe/C of the files, not nprobe/C of the rows of every file).
+    ``kmeans_iters > 0`` refines the deterministic first-C seed with
+    distributed Lloyd rounds before assignment."""
+    cents = (
+        kmeans_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+        if kmeans_iters
+        else ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    )
+    assigned = (
+        ivf_assign(corpus, cents, id_col, vec_col)
+        .withColumn("_cn", _norm(F.col("_cv")))
+        .select(
+            id_col,
+            "cent_id",
+            F.transform("_cv", lambda x: x / F.col("_cn")).alias("_cu"),
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(
+        f"{path}/assignments"
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """Serve top-k from a persisted :func:`build_ivf_index` — no fit, no
+    corpus pass: probes rank the stored centroids, and the bucket join
+    against the partitioned assignments broadcast-prunes to the probed
+    ``cent_id`` partitions. Scores are identical to :func:`ivf_topk`
+    with the same centroids (same pre-normalized dot)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    assigned = spark.read.parquet(f"{path}/assignments")
+
+    p = probes.select(F.col(probe_id), _as_double(F.col(vec_col)).alias("_pv"))
+    probe_w = Window.partitionBy(probe_id).orderBy(
+        F.col("_sim").desc(), F.col("cent_id")
+    )
+    probe_cents = (
+        p.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_sim",
+            _dot(F.col("_pv"), F.col("_centv"))
+            / (_norm(F.col("_pv")) * _norm(F.col("_centv"))),
+        )
+        .withColumn("_r", F.row_number().over(probe_w))
+        .filter(F.col("_r") <= nprobe)
+        .withColumn("_pn", _norm(F.col("_pv")))
+        .select(
+            probe_id,
+            "cent_id",
+            F.transform("_pv", lambda x: x / F.col("_pn")).alias("_pu"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(probe_cents), "cent_id")
+        .filter(F.col(id_col) != F.col(probe_id))
+        .withColumn("cosine", _dot(F.col("_pu"), F.col("_cu")))
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(probe_id, id_col, "cosine", "rk")
+    )
+
+
 def _lsh_bands_arrow(
     df: DataFrame,
     key: str,

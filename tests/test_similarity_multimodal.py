@@ -459,6 +459,48 @@ def test_embedding_pairs_lsh_design_point(spark, emb, emb_np):
         assert abs(v - truth[k]) < 1e-9
 
 
+def test_ivf_index_build_serve_matches_direct(spark, sf_dir, tmp_path, emb):
+    """Persisted-index serving: build writes cent_id-partitioned
+    assignments, and serving from disk returns exactly what the direct
+    (fit-inline) ivf_topk returns with the same centroids; the bucket
+    join prunes to the probed partitions."""
+    from sparkfeat.similarity import (
+        build_ivf_index,
+        ivf_centroids,
+        ivf_topk,
+        ivf_topk_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    import os
+
+    parts = [d for d in os.listdir(f"{path}/assignments") if d.startswith("cent_id=")]
+    assert len(parts) == 8, parts
+
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    served = (
+        ivf_topk_index(spark, path, probes, k=5, nprobe=3)
+        .toPandas()
+        .sort_values(["probe_id", "rk"])
+        .reset_index(drop=True)
+    )
+    cents = ivf_centroids(emb, 8)
+    direct = (
+        ivf_topk(emb, probes, k=5, nprobe=3, centroids=cents)
+        .toPandas()
+        .sort_values(["probe_id", "rk"])
+        .reset_index(drop=True)
+    )
+    assert list(served["vec_id"]) == list(direct["vec_id"])
+    np.testing.assert_allclose(served["cosine"], direct["cosine"], rtol=0, atol=1e-12)
+    # serving plan prunes the partitioned assignments to the probed buckets
+    plan = ivf_topk_index(spark, path, probes, k=5, nprobe=3)._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan, plan[:2000]
+
+
 def test_kmeans_centroids_improve_assignment_objective(spark, sf_dir):
     """Lloyd refinement: the mean cosine between vectors and their
     assigned centroid must improve over the first-C seed, and IVF recall

@@ -341,3 +341,33 @@ def test_long_doc_counters_bounded_time(spark):
     best = max(sorted(scores.items()), key=lambda kv: (kv[1], kv[0]))
     want_lang = best[0] if best[1] >= 3 else "unknown"
     assert row["lang"] == want_lang
+
+
+def test_sample_split_deterministic_and_stratified(spark, sf_dir):
+    """Hash sampling: assignments are a pure function of the id (stable
+    when the corpus grows), split fractions land near the requested
+    80/10/10, and per-language keep rates track the stratified targets."""
+    from pyspark.sql import functions as F
+
+    from sparkfeat.corpus import sample_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
+    full = sample_split(docs, train=0.8, val=0.1, lang_rates=rates).toPandas()
+    half = sample_split(
+        docs.filter(F.col("doc_id") % 2 == 0), train=0.8, val=0.1, lang_rates=rates
+    ).toPandas()
+    # growth-stability: the half-corpus rows agree exactly with the full run
+    merged = half.merge(full, on="doc_id", suffixes=("_h", "_f"))
+    assert (merged["split_h"] == merged["split_f"]).all()
+    assert (merged["strat_keep_h"] == merged["strat_keep_f"]).all()
+    # fractions near targets (binomial noise at n=500)
+    frac = full["split"].value_counts(normalize=True)
+    assert abs(frac.get("train", 0) - 0.8) < 0.06
+    assert abs(frac.get("val", 0) - 0.1) < 0.05
+    # stratified keep rate per language tracks its target
+    for lang, rate in rates.items():
+        sub = full[full["lang"] == lang]
+        if len(sub) >= 30:
+            got = sub["strat_keep"].mean()
+            assert abs(got - rate) < 0.2, (lang, rate, got)
