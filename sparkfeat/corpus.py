@@ -17,7 +17,7 @@ tests/test_plans.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -80,6 +80,60 @@ def sample_split(
         split.alias("split"),
         b_keep.cast("int").alias("keep_bucket"),
         keep.alias("strat_keep"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block: int = 4096,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents in ``id_col`` order
+    are laid end-to-end on a global token axis and cut into training
+    sequences of ``budget`` tokens (``seq_id`` = which sequence a doc
+    STARTS in, ``seq_offset`` = its start position inside it) — the
+    deterministic packing step that turns a filtered corpus into
+    fixed-length pretraining samples.
+
+    The global prefix sum is computed WITHOUT a single-task window: docs
+    group into ``floor(id / block)`` blocks, per-block token sums
+    (thousands of rows, not corpus-sized) come to the driver for a
+    python cumsum, and the broadcast block offsets + a per-block window
+    give every doc its exact global position in parallel. Derived from
+    the id, not the physical partitioning, so the layout is identical on
+    any cluster — and the oracle is one plain global window cumsum."""
+    from sparkfeat.text import token_count
+
+    d = docs.select(
+        F.col(id_col),
+        token_count(text_col).cast("bigint").alias("n_tok"),
+        (F.col(id_col) / block).cast("bigint").alias("_blk"),
+    )
+    sums = {
+        r["_blk"]: r["s"]
+        for r in d.groupBy("_blk").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for blk in sorted(sums):
+        offsets[blk] = acc
+        acc += sums[blk]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = (
+        Window.partitionBy("_blk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_excl = off[F.col("_blk")] + F.sum("n_tok").over(w) - F.col("n_tok")
+    return d.select(
+        id_col,
+        "n_tok",
+        cum_excl.alias("tok_start"),
+        (cum_excl / budget).cast("bigint").alias("seq_id"),
+        (cum_excl % budget).alias("seq_offset"),
     )
 
 

@@ -1506,6 +1506,38 @@ SELECT doc_id, lang,
 FROM b"""
 
 
+_PACK_ORACLE = r"""WITH t AS (
+    SELECT doc_id,
+        CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+             AS BIGINT) AS n_tok
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tok,
+        SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) - n_tok AS tok_start
+    FROM t
+)
+SELECT doc_id, n_tok, tok_start,
+    tok_start // 512 AS seq_id,
+    tok_start % 512 AS seq_offset
+FROM c"""
+
+
+@register("corpus_pack_sequences", _PACK_ORACLE)
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (budget 512): each doc's
+    global token-axis start, the training sequence it starts in, and
+    its offset inside it — computed with a two-level distributed prefix
+    sum (block sums to the driver, per-block windows in parallel; no
+    single-task global window). The oracle is the plain global cumsum
+    the distributed plan must equal."""
+    from sparkfeat.corpus import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, budget=512)
+
+
 _SAMPLE_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
 
 

@@ -371,3 +371,24 @@ def test_sample_split_deterministic_and_stratified(spark, sf_dir):
         if len(sub) >= 30:
             got = sub["strat_keep"].mean()
             assert abs(got - rate) < 0.2, (lang, rate, got)
+
+
+def test_pack_sequences_matches_global_cumsum(spark, sf_dir):
+    """The two-level distributed prefix sum equals the plain global
+    cumsum, and the layout is independent of physical partitioning."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sparkfeat.corpus import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = pack_sequences(docs, budget=512).toPandas().sort_values("doc_id")
+    pdf = docs.select("doc_id", "text").toPandas().sort_values("doc_id")
+    ntok = pdf["text"].str.split().str.len().to_numpy(dtype="int64")
+    start = np.cumsum(ntok) - ntok
+    np.testing.assert_array_equal(got["n_tok"].to_numpy(), ntok)
+    np.testing.assert_array_equal(got["tok_start"].to_numpy(), start)
+    np.testing.assert_array_equal(got["seq_id"].to_numpy(), start // 512)
+    # partition-independence: a different physical layout packs identically
+    re = pack_sequences(docs.repartition(17), budget=512).toPandas().sort_values("doc_id")
+    np.testing.assert_array_equal(re["tok_start"].to_numpy(), start)
