@@ -1556,6 +1556,58 @@ def q_corpus_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_split(docs, train=0.8, val=0.1, lang_rates=_SAMPLE_RATES)
 
 
+def _training_manifest_oracle() -> str:
+    """The capstone composition: corpus filter → hash split/stratify →
+    pack the surviving train docs — each stage's oracle is already
+    verified standalone; this nests them as subqueries, with the packing
+    cumsum running over exactly the filtered+sampled train subset."""
+    return f"""WITH kept AS (
+    SELECT p.doc_id
+    FROM ({_corpus_prep_oracle()}) p
+    JOIN ({_sample_split_oracle(lang_rates=_SAMPLE_RATES)}) s USING (doc_id)
+    WHERE p.keep AND s.strat_keep AND s.split = 'train'
+),
+t AS (
+    SELECT doc_id,
+        CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+             AS BIGINT) AS n_tok
+    FROM documents WHERE doc_id IN (SELECT doc_id FROM kept)
+),
+c AS (
+    SELECT doc_id, n_tok,
+        SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) - n_tok AS tok_start
+    FROM t
+)
+SELECT doc_id, n_tok, tok_start,
+    tok_start // 512 AS seq_id,
+    tok_start % 512 AS seq_offset
+FROM c"""
+
+
+@register("training_dataset_manifest", _training_manifest_oracle())
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole journey as ONE job — what 'turn this crawl into
+    training data' actually runs: the 4-stage corpus filter picks
+    survivors, the deterministic hash split + stratified language
+    downsampling picks the train subset, and sequence packing lays the
+    result into fixed 512-token training sequences. Emits the packing
+    manifest (doc → sequence/offset) a sample-writer would consume.
+    Every stage is the already-oracle-verified library op; the oracle
+    composes their SQL replays."""
+    from sparkfeat.corpus import corpus_prep_flags, pack_sequences, sample_split
+
+    docs = _docs(spark, sf_dir)
+    flags = corpus_prep_flags(docs).filter(F.col("keep")).select("doc_id")
+    split = (
+        sample_split(docs, train=0.8, val=0.1, lang_rates=_SAMPLE_RATES)
+        .filter(F.col("strat_keep") & (F.col("split") == "train"))
+        .select("doc_id")
+    )
+    kept = docs.join(flags, "doc_id").join(split, "doc_id")
+    return pack_sequences(kept, budget=512)
+
+
 _SIMHASH_ORACLE = r"""WITH w AS (
     SELECT doc_id,
         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
