@@ -45,6 +45,13 @@ for name in sorted(qs):
         else:
             eq = (a[c]==b[c]) | (a[c].isna()&b[c].isna())
         if not eq.all(): mismatches.append((c,int((~eq).sum())))
+    # dtype-aware pass: the driver's value hash distinguishes 42 from 42.0,
+    # so a float column on one side vs integer on the other (the DuckDB
+    # HUGEINT->float64 hazard for SUM(BIGINT) OVER) is a hash fail even
+    # when every value compares equal. Treat it as a mismatch here too.
+    for c in a.columns:
+        fa = pd.api.types.is_float_dtype(a[c]); fb = pd.api.types.is_float_dtype(b[c])
+        if fa != fb: mismatches.append((c, f"dtype {a[c].dtype} vs {b[c].dtype}"))
     status = "MATCH" if (ok_cols and ok_rows and not mismatches) else "MISMATCH"
     if status=="MISMATCH": fail+=1
     print(f"{name}: {status} rows={len(sdf)}/{len(odf)} cols_ok={ok_cols} diffs={mismatches}")

@@ -65,12 +65,16 @@ def sample_split(
         .otherwise("test")
     )
     if lang_rates:
-        keep = F.lit(False)
-        expr = None
+        # Languages absent from the rates map (and NULL lang) default to
+        # rate 1.0 — an incomplete map must never silently drop whole
+        # languages from the corpus; listing a language is an explicit
+        # decision to downsample it.
+        w = None
         for lang, rate in sorted(lang_rates.items()):
-            cond = (F.col(lang_col) == lang) & (b_keep < int(rate * 1000))
-            expr = cond if expr is None else (expr | cond)
-        keep = expr
+            cond = F.col(lang_col) == lang
+            thr = b_keep < int(rate * 1000)
+            w = F.when(cond, thr) if w is None else w.when(cond, thr)
+        keep = w.otherwise(F.lit(True))
     else:
         keep = F.lit(True)
     return docs.select(
@@ -97,43 +101,114 @@ def pack_sequences(
     deterministic packing step that turns a filtered corpus into
     fixed-length pretraining samples.
 
-    The global prefix sum is computed WITHOUT a single-task window: docs
-    group into ``floor(id / block)`` blocks, per-block token sums
-    (thousands of rows, not corpus-sized) come to the driver for a
-    python cumsum, and the broadcast block offsets + a per-block window
-    give every doc its exact global position in parallel. Derived from
-    the id, not the physical partitioning, so the layout is identical on
-    any cluster — and the oracle is one plain global window cumsum."""
+    The global prefix sum is computed WITHOUT a single-task window and
+    WITHOUT anything corpus-sized touching the driver: docs group into
+    ``id div block`` blocks; the tiny block-sum table gets its own
+    exclusive prefix sum via one more level of the same decomposition
+    (superblocks of ``block`` blocks), so the only single-task window
+    runs over ``D / block²`` superblock rows (~60k rows at 10¹² docs
+    with the default block) — then the block offsets broadcast-join
+    back on ``_blk``. No ``collect()``, no literal maps in the plan, so
+    Catalyst never sees a corpus-dependent expression tree. Derived
+    from the id, not the physical partitioning, so the layout is
+    identical on any cluster — and the oracle is one plain global
+    window cumsum. All index math is integer (``div``/``%`` on
+    bigint): exact at any corpus size, no 2^53 double ceiling. Doc ids
+    must be non-negative (``div`` truncation == floor there)."""
     from sparkfeat.text import token_count
 
     d = docs.select(
         F.col(id_col),
         token_count(text_col).cast("bigint").alias("n_tok"),
-        (F.col(id_col) / block).cast("bigint").alias("_blk"),
+        F.expr(f"CAST({id_col} AS BIGINT) div {block}").alias("_blk"),
     )
-    sums = {
-        r["_blk"]: r["s"]
-        for r in d.groupBy("_blk").agg(F.sum("n_tok").alias("s")).collect()
-    }
-    offsets, acc = {}, 0
-    for blk in sorted(sums):
-        offsets[blk] = acc
-        acc += sums[blk]
-    off = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    # Level 1: per-block sums (D/block rows). Level 2: superblock sums
+    # (D/block² rows) take the one global-ordered window — tiny by
+    # construction at any realistic corpus size.
+    blocks = d.groupBy("_blk").agg(F.sum("n_tok").alias("_bsum"))
+    blocks = blocks.withColumn("_sblk", F.expr(f"_blk div {block}"))
+    w_blk = (
+        Window.partitionBy("_sblk")
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blocks = blocks.withColumn(
+        "_cum_in_sblk", F.sum("_bsum").over(w_blk) - F.col("_bsum")
+    )
+    supers = blocks.groupBy("_sblk").agg(F.sum("_bsum").alias("_ssum"))
+    w_sup = (
+        Window.orderBy("_sblk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    supers = supers.select(
+        "_sblk", (F.sum("_ssum").over(w_sup) - F.col("_ssum")).alias("_soff")
+    )
+    offsets = (
+        blocks.join(F.broadcast(supers), "_sblk")
+        .select("_blk", (F.col("_soff") + F.col("_cum_in_sblk")).alias("_boff"))
     )
     w = (
         Window.partitionBy("_blk")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum_excl = off[F.col("_blk")] + F.sum("n_tok").over(w) - F.col("n_tok")
-    return d.select(
+    cum = d.join(F.broadcast(offsets), "_blk").withColumn(
+        "tok_start", F.col("_boff") + F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    return cum.select(
         id_col,
         "n_tok",
-        cum_excl.alias("tok_start"),
-        (cum_excl / budget).cast("bigint").alias("seq_id"),
-        (cum_excl % budget).alias("seq_offset"),
+        "tok_start",
+        F.expr(f"tok_start div {budget}").alias("seq_id"),
+        (F.col("tok_start") % budget).alias("seq_offset"),
+    )
+
+
+def pack_spans(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block: int = 4096,
+) -> DataFrame:
+    """The full packing manifest a sample-writer consumes: one row per
+    (document, training sequence) the document TOUCHES, not just the
+    sequence it starts in. A doc longer than the remaining budget of
+    its first sequence spans several; each span row carries the in-doc
+    token slice ``[tok_from, tok_to)`` that lands in ``seq_id`` and the
+    position ``seq_offset`` where it lands. Invariants (pytest): spans
+    of a doc tile ``[0, n_tok)`` exactly, and spans of a sequence sum
+    to exactly ``budget`` tokens (except the final partial sequence).
+
+    One ``sequence()`` + ``explode`` over ``tok_start div budget ..
+    (tok_start+n_tok-1) div budget`` on top of :func:`pack_sequences` —
+    fan-out is ceil(n_tok/budget)+1 per doc, so the explode is linear
+    in total corpus tokens, never quadratic."""
+    p = pack_sequences(
+        docs, budget=budget, text_col=text_col, id_col=id_col, block=block
+    )
+    spans = p.filter(F.col("n_tok") > 0).select(
+        id_col,
+        "n_tok",
+        "tok_start",
+        F.explode(
+            F.sequence(
+                F.expr(f"tok_start div {budget}"),
+                F.expr(f"(tok_start + n_tok - 1) div {budget}"),
+            )
+        ).alias("seq_id"),
+    )
+    seq_base = F.col("seq_id") * budget
+    return spans.select(
+        id_col,
+        "n_tok",
+        "tok_start",
+        "seq_id",
+        F.greatest(seq_base - F.col("tok_start"), F.lit(0)).alias("tok_from"),
+        F.least(
+            seq_base + budget - F.col("tok_start"), F.col("n_tok")
+        ).alias("tok_to"),
+        F.greatest(F.col("tok_start") - seq_base, F.lit(0)).alias("seq_offset"),
     )
 
 
@@ -155,16 +230,21 @@ def corpus_prep_flags(
        ``neardup_est_jaccard`` — drop the higher id of each pair).
     """
     from sparkfeat import text as X
-    from sparkfeat.dedup import exact_dedup, minhash_lsh_pairs
+    from sparkfeat.dedup import minhash_lsh_pairs
+    from sparkfeat.text import bag_fingerprint
 
-    flags = docs.select(
+    # Stage fusion: the quality/lang verdicts and the content fingerprint
+    # come out of ONE projection over the corpus scan, and the two boolean
+    # flags ride through the fingerprint shuffle of the exact-dedup window
+    # — no flags⋈exact equi-join on the doc id (that join re-shuffled the
+    # corpus twice for columns this stage already had in hand).
+    w = Window.partitionBy("fingerprint")
+    flagged = docs.select(
         id_col,
         X.gopher_quality_pass(text_col).alias("quality_pass"),
         (X.lang_ngram_guess(text_col) == F.col(lang_col)).alias("lang_ok"),
-    )
-    ex = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
-        id_col, F.col("keep").alias("exact_keep")
-    )
+        bag_fingerprint(text_col).alias("fingerprint"),
+    ).withColumn("exact_keep", F.col(id_col) == F.min(id_col).over(w))
     drops = (
         minhash_lsh_pairs(docs, num_perm=64, bands=16, shingle_n=2)
         .filter(F.col("est_jaccard") >= neardup_est_jaccard)
@@ -173,7 +253,7 @@ def corpus_prep_flags(
         .withColumn("neardup_drop", F.lit(True))
     )
     return (
-        flags.join(ex, id_col)
+        flagged.drop("fingerprint")
         .join(drops, id_col, "left")
         .withColumn("neardup_drop", F.coalesce("neardup_drop", F.lit(False)))
         .withColumn(

@@ -55,6 +55,20 @@ def compare(spark_df, oracle_df: pd.DataFrame, float_tol: float = 1e-9) -> list[
         problems.append(f"row count differs: spark={len(got)} oracle={len(want)}")
         return problems
     for c in got.columns:
+        # the driver's value hash distinguishes 42 from 42.0: a float
+        # column on one side vs integer on the other (DuckDB's
+        # SUM(BIGINT) OVER → HUGEINT → float64 hazard) is a hash fail
+        # even when every value compares equal, so fail it here first.
+        gf = pd.api.types.is_float_dtype(got[c])
+        wf = pd.api.types.is_float_dtype(want[c])
+        if gf != wf:
+            problems.append(
+                f"{c}: float/integer dtype mismatch (hash hazard): "
+                f"spark={got[c].dtype} oracle={want[c].dtype}"
+            )
+    if problems:
+        return problems
+    for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g):
             gn, wn = g.isna(), w.isna()
@@ -82,12 +96,16 @@ def compare(spark_df, oracle_df: pd.DataFrame, float_tol: float = 1e-9) -> list[
 
 
 def check_query(spark, name: str, sf_dir: str, float_tol: float = 1e-9) -> list[str]:
+    """Check one query — driver-facing or pytest-only (EXTRA_*) — against
+    its DuckDB oracle."""
     from sparkfeat import queries as q
 
-    if name not in q.ORACLES:
-        df = q.QUERIES[name](spark, sf_dir)
+    queries = {**q.QUERIES, **q.EXTRA_QUERIES}
+    oracles = {**q.ORACLES, **q.EXTRA_ORACLES}
+    if name not in oracles:
+        df = queries[name](spark, sf_dir)
         n = df.count()
         return [] if n >= 0 else [f"{name}: query failed"]
-    spark_df = q.QUERIES[name](spark, sf_dir)
-    oracle_df = run_oracle(q.ORACLES[name], sf_dir)
+    spark_df = queries[name](spark, sf_dir)
+    oracle_df = run_oracle(oracles[name], sf_dir)
     return compare(spark_df, oracle_df, float_tol)

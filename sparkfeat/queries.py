@@ -27,6 +27,10 @@ from sparkfeat.windows import sessionize
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# Strategy twins / folded variants: oracle-checked in pytest only, so the
+# driver registry stays ≤50 and its 50-row sample covers everything.
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EXTRA_ORACLES: dict[str, str] = {}
 
 
 def _canon_signed_zero(sql: str) -> str:
@@ -40,37 +44,78 @@ def _canon_signed_zero(sql: str) -> str:
     NULL, and every ROUND site here is a terminal double-typed projection
     (verified: no CAST-of-ROUND in any oracle), so the rewrite is
     value- and schema-neutral apart from the zero sign.
+
+    The scanner is SQL-aware where it matters: single-quoted string
+    literals (with ``''`` escapes) are copied verbatim both while
+    looking for ``ROUND(`` and while walking to its matching close
+    paren, and a match must start at an identifier boundary — so a
+    literal containing ``ROUND(``, an identifier ending in ``ROUND``,
+    or an unbalanced paren inside a quoted argument can never be
+    silently mangled (regression-tested in tests/test_oracle_parity).
     """
+
+    def _skip_str(k: int) -> int:
+        """Given k at an opening quote, return index just past the
+        closing quote ('' escapes handled)."""
+        k += 1
+        while k < n:
+            if sql[k] == "'":
+                if k + 1 < n and sql[k + 1] == "'":
+                    k += 2
+                    continue
+                return k + 1
+            k += 1
+        return n
+
     out: list[str] = []
     i = 0
     n = len(sql)
     while i < n:
-        j = sql.find("ROUND(", i)
-        if j < 0:
-            out.append(sql[i:])
-            break
-        out.append(sql[i:j])
-        # walk to the matching close paren
-        depth = 0
-        k = j + len("ROUND(") - 1  # index of the opening paren
-        while k < n:
-            if sql[k] == "(":
-                depth += 1
-            elif sql[k] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            k += 1
-        out.append("(" + sql[j : k + 1] + " + 0.0)")
-        i = k + 1
+        ch = sql[i]
+        if ch == "'":
+            j = _skip_str(i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if sql.startswith("ROUND(", i) and (
+            i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+        ):
+            depth = 0
+            k = i + len("ROUND(") - 1  # index of the opening paren
+            while k < n:
+                c = sql[k]
+                if c == "'":
+                    k = _skip_str(k)
+                    continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            out.append("(" + sql[i : k + 1] + " + 0.0)")
+            i = k + 1
+            continue
+        out.append(ch)
+        i += 1
     return "".join(out)
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, driver: bool = True):
+    """Register a query. ``driver=True`` entries go to the driver-facing
+    registry (capped at 50 so the driver's 50-row correctness sample
+    covers EVERY query each round); ``driver=False`` entries are
+    physical-strategy twins / trivial variants that stay fully
+    oracle-checked in pytest (tests/test_oracle_parity.py runs both
+    dicts) without consuming a driver slot."""
+
     def deco(fn):
-        QUERIES[name] = fn
+        target_q = QUERIES if driver else EXTRA_QUERIES
+        target_o = ORACLES if driver else EXTRA_ORACLES
+        target_q[name] = fn
         if oracle is not None:
-            ORACLES[name] = _canon_signed_zero(oracle)
+            target_o[name] = _canon_signed_zero(oracle)
         return fn
 
     return deco
@@ -278,7 +323,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ewma_grouped", _EWMA_ORACLE)
+@register("ewma_grouped", _EWMA_ORACLE, driver=False)
 def q_ewma_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 EWMA via per-conversation Arrow applyInPandas — the simple
     strategy, kept oracle-covered to prove all physical strategies agree
@@ -790,7 +835,7 @@ rn AS (
 SELECT conv_id, turn_idx, role, text, ts FROM rn WHERE r <= 5"""
 
 
-@register("slice_head", _SLICE_ORACLE)
+@register("slice_head", _SLICE_ORACLE, driver=False)
 def q_slice_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 positional head slice (first 5 turns per conversation) —
     carries text through to exercise the per-turn text-equality
@@ -1454,10 +1499,13 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All four verdicts are returned per document plus the final ``keep``,
     so the filter is auditable (why did doc X fall out?) — and the
-    DuckDB oracle replays every stage. One corpus scan feeds stages 1–2,
-    one fingerprint shuffle feeds 3, one signature+band shuffle feeds 4;
-    nothing is quadratic in the corpus. The composition lives in
-    sparkfeat.corpus (shared with the corpus scaling bench)."""
+    DuckDB oracle replays every stage. ONE projection over the corpus
+    scan computes the stage-1/2 verdicts AND the stage-3 fingerprint,
+    and the boolean flags ride the fingerprint shuffle through the
+    exact-dedup window (stage fusion: no flags⋈exact equi-join
+    re-shuffling the corpus on the doc id); one signature+band shuffle
+    feeds 4; nothing is quadratic in the corpus. The composition lives
+    in sparkfeat.corpus (shared with the corpus scaling bench)."""
     from sparkfeat.corpus import corpus_prep_flags
 
     return corpus_prep_flags(_docs(spark, sf_dir))
@@ -1477,13 +1525,16 @@ def _sample_split_oracle(
         )
         return f"({terms}) % 1000"
 
+    # Mirrors sample_split: listed languages are thresholded, everything
+    # else (incl. NULL lang) defaults to keep — an incomplete rates map
+    # must not drop whole languages.
     keep = (
-        "("
-        + " OR ".join(
-            f"(lang = '{lang}' AND kb < {int(rate * 1000)})"
+        "CASE "
+        + " ".join(
+            f"WHEN lang = '{lang}' THEN kb < {int(rate * 1000)}"
             for lang, rate in sorted(lang_rates.items())
         )
-        + ")"
+        + " ELSE TRUE END"
         if lang_rates
         else "TRUE"
     )
@@ -1506,21 +1557,25 @@ SELECT doc_id, lang,
 FROM b"""
 
 
-_PACK_ORACLE = r"""WITH t AS (
+# n_tok mirrors text.token_count (size(split(text, '\s+')) — unfiltered,
+# the repo-wide _TOKS convention); the CASTs keep DuckDB's HUGEINT window
+# sum from surfacing as float64 in the driver's value hash.
+_PACK_CUMSUM_CTE = r"""t AS (
     SELECT doc_id,
-        CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
-             AS BIGINT) AS n_tok
+        CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok
     FROM documents
 ),
 c AS (
     SELECT doc_id, n_tok,
-        SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-                         AND CURRENT ROW) - n_tok AS tok_start
+        CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_tok AS BIGINT) AS tok_start
     FROM t
-)
+)"""
+
+_PACK_ORACLE = f"""WITH {_PACK_CUMSUM_CTE}
 SELECT doc_id, n_tok, tok_start,
-    tok_start // 512 AS seq_id,
-    tok_start % 512 AS seq_offset
+    CAST(tok_start // 512 AS BIGINT) AS seq_id,
+    CAST(tok_start % 512 AS BIGINT) AS seq_offset
 FROM c"""
 
 
@@ -1536,6 +1591,36 @@ def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return pack_sequences(docs, budget=512)
+
+
+_SPANS_ORACLE = f"""WITH {_PACK_CUMSUM_CTE},
+x AS (
+    SELECT doc_id, n_tok, tok_start,
+        unnest(generate_series(tok_start // 512,
+                               (tok_start + n_tok - 1) // 512)) AS sq
+    FROM c WHERE n_tok > 0
+)
+SELECT doc_id, n_tok, tok_start,
+    CAST(sq AS BIGINT) AS seq_id,
+    CAST(GREATEST(sq * 512 - tok_start, 0) AS BIGINT) AS tok_from,
+    CAST(LEAST(sq * 512 + 512 - tok_start, n_tok) AS BIGINT) AS tok_to,
+    CAST(GREATEST(tok_start - sq * 512, 0) AS BIGINT) AS seq_offset
+FROM x"""
+
+
+@register("corpus_span_manifest", _SPANS_ORACLE)
+def q_corpus_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full packing manifest a sample-writer consumes: one row per
+    (doc, sequence) the doc TOUCHES — a doc longer than its first
+    sequence's remaining budget spans several, and each span row carries
+    the in-doc token slice [tok_from, tok_to) plus where it lands
+    (seq_offset). sequence()+explode over the doc's covered seq range on
+    top of the distributed prefix sum; the oracle replays it with a
+    per-row generate_series."""
+    from sparkfeat.corpus import pack_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_spans(docs, budget=512)
 
 
 _SAMPLE_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
@@ -1569,19 +1654,18 @@ def _training_manifest_oracle() -> str:
 ),
 t AS (
     SELECT doc_id,
-        CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
-             AS BIGINT) AS n_tok
+        CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok
     FROM documents WHERE doc_id IN (SELECT doc_id FROM kept)
 ),
 c AS (
     SELECT doc_id, n_tok,
-        SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-                         AND CURRENT ROW) - n_tok AS tok_start
+        CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_tok AS BIGINT) AS tok_start
     FROM t
 )
 SELECT doc_id, n_tok, tok_start,
-    tok_start // 512 AS seq_id,
-    tok_start % 512 AS seq_offset
+    CAST(tok_start // 512 AS BIGINT) AS seq_id,
+    CAST(tok_start % 512 AS BIGINT) AS seq_offset
 FROM c"""
 
 
@@ -1767,6 +1851,30 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_id", "vec_id", _r(F.col("cosine")).alias("cosine"), "rk")
 
 
+@register("ann_ivf_served", _IVF_ORACLE)
+def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build/serve split a production ANN deployment runs: fit the
+    IVF index ONCE (centroids + pre-normalized assignments persisted
+    ``partitionBy('cent_id')``), then answer probes from the persisted
+    index with no corpus pass — the bucket join broadcast-prunes to the
+    probed cent_id partitions, so a search reads nprobe/C of the FILES.
+    Same centroids/params as ``ann_ivf_topk``, so the oracle is the
+    identical in-plan IVF replay — a green row here proves the
+    persisted-index path, not just the in-plan path."""
+    import tempfile
+
+    from sparkfeat.similarity import build_ivf_index, ivf_topk_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="sparkfeat_ivf_")
+    build_ivf_index(emb, path, n_centroids=16)
+    out = ivf_topk_index(spark, path, probes, k=5, nprobe=4)
+    return out.select("probe_id", "vec_id", _r(F.col("cosine")).alias("cosine"), "rk")
+
+
 def _lloyd_round(prev: str, nxt: str) -> str:
     """One Lloyd iteration as SQL CTEs: nearest-centroid assignment
     (cosine, ties → lower cent_id) → element-wise mean per cluster →
@@ -1936,7 +2044,7 @@ SELECT probe_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
 FROM r WHERE rk <= 5"""
 
 
-@register("ann_lsh_topk", _lsh_oracle())
+@register("ann_lsh_topk", _lsh_oracle(), driver=False)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane multi-probe LSH ANN (48 md5-derived planes, 8
     bands of 6 sign bits, Hamming-1 probe expansion): the
@@ -2149,7 +2257,7 @@ SELECT doc_id AS media_id,
 FROM c"""
 
 
-@register("multimodal_decode", _MM_FAKE_ORACLE)
+@register("multimodal_decode", _MM_FAKE_ORACLE, driver=False)
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: deterministic binary payloads →
     Arrow mapInPandas feature extraction (byte-histogram stand-in
@@ -2460,7 +2568,7 @@ def _q_image(spark: SparkSession, sf_dir: str, kind: str, use_abs: bool) -> Data
     )
 
 
-@register("gasf_window_images", _GASF_ORACLE)
+@register("gasf_window_images", _GASF_ORACLE, driver=False)
 def q_gasf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 GASF image features over trailing 16-turn windows (image 4×4,
     Arrow pandas UDF, float64 for the checksum path); the oracle rebuilds
@@ -2468,7 +2576,7 @@ def q_gasf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_image(spark, sf_dir, "gasf", use_abs=False)
 
 
-@register("gadf_window_images", _GADF_ORACLE)
+@register("gadf_window_images", _GADF_ORACLE, driver=False)
 def q_gadf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T9 GADF (difference field): per-row sum of |field| — the plain sum
     is identically zero by antisymmetry, so |·| makes the checksum
@@ -2519,7 +2627,7 @@ SELECT conv_id, turn_idx, CAST(16 AS INT) AS img_len,
 FROM rs"""
 
 
-@register("mtf_window_images", _MTF_ORACLE)
+@register("mtf_window_images", _MTF_ORACLE, driver=False)
 def q_mtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T10 Markov transition field over trailing 16-turn windows
     (7 quantile bins, PAA to 4×4): the oracle rebuilds np.quantile's
@@ -2529,7 +2637,41 @@ def q_mtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_image(spark, sf_dir, "mtf", use_abs=False)
 
 
-@register("ewma_chunked_scan", _EWMA_ORACLE)  # same closed-form oracle
+# The driver-facing consolidation of T8/T9/T10: all three window-image
+# encodings in one row per (conv_id, turn_idx), so one driver slot covers
+# the whole family while each encoding keeps its standalone pytest oracle.
+_WINDOW_IMAGES_ORACLE = f"""SELECT conv_id, turn_idx, g.img_len,
+    g.img_sum AS gasf_sum, d.img_sum AS gadf_sum, m.img_sum AS mtf_sum
+FROM ({_GASF_ORACLE}) g
+JOIN ({_GADF_ORACLE}) d USING (conv_id, turn_idx)
+JOIN ({_MTF_ORACLE}) m USING (conv_id, turn_idx)"""
+
+
+@register("window_images", _WINDOW_IMAGES_ORACLE)
+def q_window_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8+T9+T10 in one result: GASF / GADF(|·|) / MTF checksums per
+    trailing 16-turn window, joined on the (conv_id, turn_idx) key all
+    three share. Each encoding's full SQL replay stays standalone in
+    pytest (gasf/gadf/mtf_window_images, driver=False); this row is the
+    driver's one-slot umbrella for the family."""
+    keys = ["conv_id", "turn_idx"]
+    g = _q_image(spark, sf_dir, "gasf", use_abs=False).withColumnRenamed(
+        "img_sum", "gasf_sum"
+    )
+    d = (
+        _q_image(spark, sf_dir, "gadf", use_abs=True)
+        .withColumnRenamed("img_sum", "gadf_sum")
+        .drop("img_len")
+    )
+    m = (
+        _q_image(spark, sf_dir, "mtf", use_abs=False)
+        .withColumnRenamed("img_sum", "mtf_sum")
+        .drop("img_len")
+    )
+    return g.join(d, keys).join(m, keys)
+
+
+@register("ewma_chunked_scan", _EWMA_ORACLE, driver=False)  # same closed-form oracle
 def q_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 EWMA via the distributed chunk scan (mega-conversation skew
     strategy: per-chunk local state + decayed carry broadcast back) —

@@ -173,3 +173,18 @@ def test_checkpoint_write_partitions_by_bucket(spark, transcripts, tmp_path):
     # one scan node in the filtered write plan
     p = plan_of(df.filter(F.col("_bucket").isin(list(range(8)))))
     assert p.count("Scan ") <= 1 or p.count("InMemoryTableScan") <= 1
+
+
+def test_pack_sequences_offsets_broadcast_not_literal(spark, sf_dir):
+    """The pack_sequences block-offset mechanism must be a broadcast
+    equi-join on _blk, NOT a literal create_map built from a driver
+    collect() — a corpus-sized literal bloats the Catalyst expression
+    tree at 10^8 docs and OOMs the driver at 10^12."""
+    from sparkfeat.corpus import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_sequences(docs, budget=512)
+    p = plan_of(out)
+    assert "BroadcastHashJoin" in p, p
+    logical = plan_of(out, extended=True)
+    assert "create_map" not in logical and "map_from_arrays" not in logical, logical

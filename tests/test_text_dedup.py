@@ -392,3 +392,56 @@ def test_pack_sequences_matches_global_cumsum(spark, sf_dir):
     # partition-independence: a different physical layout packs identically
     re = pack_sequences(docs.repartition(17), budget=512).toPandas().sort_values("doc_id")
     np.testing.assert_array_equal(re["tok_start"].to_numpy(), start)
+
+
+def test_pack_sequences_many_blocks_exact(spark):
+    """10^5 blocks (block=1 over 10^5 docs): the two-level prefix sum
+    stays exact with a block table far past what a literal-map broadcast
+    could carry, and integer div keeps tok_start exact."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sparkfeat.corpus import pack_sequences
+
+    n = 100_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    got = (
+        pack_sequences(docs, budget=512, block=1)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ids = got["doc_id"].to_numpy()
+    np.testing.assert_array_equal(got["n_tok"].to_numpy(), np.full(n, 3))
+    np.testing.assert_array_equal(got["tok_start"].to_numpy(), 3 * ids)
+    np.testing.assert_array_equal(got["seq_id"].to_numpy(), (3 * ids) // 512)
+
+
+def test_pack_spans_tile_docs_and_fill_sequences(spark, sf_dir):
+    """Span-manifest invariants a sample-writer depends on: each doc's
+    spans tile [0, n_tok) contiguously, and every non-final sequence is
+    filled to exactly `budget` tokens."""
+    from sparkfeat.corpus import pack_spans
+
+    budget = 128
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = pack_spans(docs, budget=budget).toPandas()
+    for doc_id, g in spans.groupby("doc_id"):
+        g = g.sort_values("seq_id")
+        assert g["tok_from"].iloc[0] == 0
+        assert g["tok_to"].iloc[-1] == g["n_tok"].iloc[0]
+        # contiguous tiling of the doc
+        assert (g["tok_from"].iloc[1:].to_numpy() == g["tok_to"].iloc[:-1].to_numpy()).all()
+        # consecutive sequence ids
+        assert (g["seq_id"].diff().iloc[1:] == 1).all()
+        # span lands where the offset says
+        assert (
+            g["seq_offset"] == (g["tok_start"] + g["tok_from"]) - g["seq_id"] * budget
+        ).all()
+    fill = spans.groupby("seq_id").apply(
+        lambda g: (g["tok_to"] - g["tok_from"]).sum(), include_groups=False
+    )
+    assert (fill.iloc[:-1] == budget).all()
+    assert 0 < fill.iloc[-1] <= budget
