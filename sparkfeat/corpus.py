@@ -264,3 +264,160 @@ def corpus_prep_flags(
             & ~F.col("neardup_drop"),
         )
     )
+
+
+def token_ngram_hashes(text_col, n: int = 8):
+    """md5 hashes of all word ``n``-grams of the lowercased text — the
+    contamination key. Linear Column algebra: n shifted-slice zips (an
+    outer-array ``slice`` inside a transform lambda re-evaluates the
+    split per element and goes quadratic; the zip chain doesn't).
+    Returns an empty array for docs shorter than ``n`` tokens."""
+    c = F.lower(text_col if not isinstance(text_col, str) else F.col(text_col))
+    toks = F.split(c, r"\s+")
+    m = F.size(toks) - (n - 1)
+    grams = F.slice(toks, 1, m)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, k + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    hashed = F.transform(grams, F.md5)
+    return F.when(m >= 1, hashed).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document sharing at
+    least one word ``n``-gram with a benchmark/eval set (the standard
+    n-gram-overlap test-set-leakage check run before pretraining; n=8
+    for English prose — pass a smaller n for tiny-vocabulary corpora).
+
+    Scale shape: the benchmark side is eval sets — MBs, not TBs — so its
+    distinct n-gram hashes BROADCAST; the corpus side explodes its
+    per-doc distinct n-grams (≈ one row per corpus token, linear) into a
+    broadcast left-semi-style hit count and re-aggregates on the doc id
+    with map-side combine. The 100 TB corpus is never shuffled on the
+    gram — only the (doc_id, n_hit) pairs move. Plan-asserted: broadcast
+    join, no sort-merge on the corpus side.
+
+    Output: one row per corpus doc — ``n_grams`` (distinct), ``n_hit``
+    (distinct grams also in the benchmark), ``contaminated``.
+    """
+    bench_grams = (
+        bench.select(
+            F.explode(token_ngram_hashes(text_col, n=n)).alias("gram")
+        ).distinct()
+    )
+    corpus_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(token_ngram_hashes(text_col, n=n))).alias("gram"),
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.array_distinct(token_ngram_hashes(text_col, n=n))).alias(
+            "n_grams"
+        ),
+    )
+    return base.join(hits, id_col, "left").select(
+        id_col,
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def global_shuffle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    shards: int = 64,
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministic global shuffle for training-example ordering:
+    every doc gets a pseudo-random ``shuffle_key`` (md5 of seed‖id), a
+    ``shard`` (uniform hash bucket of the key), and its rank ``pos``
+    inside the shard (ordered by key, id-tie-broken). Reading shards in
+    ``(shard, pos)`` order IS the shuffled epoch order; changing
+    ``seed`` reshuffles, same seed replays byte-identically on any
+    cluster — no RNG state, no ``orderBy(rand())``.
+
+    Scale shape: the ONLY wide op is the per-shard ``row_number`` — a
+    hash-partitioned window over ``corpus/shards`` rows each, never a
+    global sort. Pick ``shards`` so a shard fits an executor
+    (10⁹ docs / 4096 shards ≈ 250k rows per window partition)."""
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    d = docs.select(
+        F.col(id_col),
+        key.alias("shuffle_key"),
+        (F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % shards)
+        .cast("int")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return d.withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+
+
+def mixture_sample(
+    docs: DataFrame,
+    targets: dict[str, float],
+    frac: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Domain/language mixture sampling: choose per-group hash-sampling
+    rates so the kept corpus approximates the ``targets`` proportions at
+    overall budget ``frac`` of the corpus, then keep each doc by a
+    deterministic hash threshold (same md5-bucket machinery as
+    ``sample_split`` — membership is a property of the id, stable under
+    corpus growth and replayable in any engine).
+
+    Rate math (waterfilling without iteration): group g with observed
+    count n_g gets ``rate_g = min(1, targets[g] · frac · N / n_g)`` — a
+    group too small to fill its target share is kept whole (capped at
+    1.0; no upsampling). ``targets`` is a whitelist BY DESIGN: a mixture
+    spec enumerates what goes in the training set, so groups absent from
+    it get ``default_rate`` (default 0.0 = excluded) — the opposite
+    default from :func:`sample_split`'s rebalancing map, where listing a
+    language is an opt-in to downsample it.
+
+    Scale shape: one tiny groupBy-count (|groups| rows) broadcast back;
+    the keep decision is a pure map-side expression."""
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_group"))
+    total = docs.count()  # one scalar; the count job is metadata-cheap on parquet
+    rate_expr = None
+    for g, p in sorted(targets.items()):
+        cond = F.col(group_col) == g
+        r = F.least(
+            F.lit(1.0), F.lit(p) * (F.lit(frac) * total) / F.col("n_group")
+        )
+        rate_expr = F.when(cond, r) if rate_expr is None else rate_expr.when(cond, r)
+    rate_expr = (
+        rate_expr.otherwise(F.lit(float(default_rate)))
+        if rate_expr is not None
+        else F.lit(float(default_rate))
+    )
+    b_keep = hash_bucket(id_col, start=13, buckets=1_000_000)
+    return (
+        docs.select(id_col, group_col)
+        .join(F.broadcast(counts), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("n_group").cast("bigint").alias("n_group"),
+            rate_expr.alias("rate"),
+            # floor, not cast: DuckDB CAST(double AS BIGINT) rounds while
+            # Spark's cast truncates — FLOOR is the portable threshold.
+            (b_keep < F.floor(rate_expr * 1_000_000).cast("bigint")).alias(
+                "keep"
+            ),
+        )
+    )

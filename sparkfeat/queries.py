@@ -702,7 +702,7 @@ def _daily_intervals(sig: DataFrame, with_entity: bool) -> DataFrame:
     )
 
 
-@register("trading_hours_filter", _HOURS_ORACLE)
+@register("trading_hours_filter", _HOURS_ORACLE, driver=False)
 def q_trading_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4/J4 calendar-hours membership: broadcast interval semi-join of
     the fact table against a small (open, close) schedule (09:00–17:00
@@ -812,7 +812,7 @@ FROM sig s JOIN keep k ON s.conv_id = k.conv_id
 GROUP BY s.conv_id"""
 
 
-@register("entity_ceiling_filter", _CEIL_ORACLE)
+@register("entity_ceiling_filter", _CEIL_ORACLE, driver=False)
 def q_ceiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 select_below_ceiling (documented semantics — the reference's
     dispatcher bug at cleaning.py:190-194 is deliberately not ported)."""
@@ -1626,7 +1626,7 @@ def q_corpus_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
 
 
-@register("corpus_sample_split", _sample_split_oracle(lang_rates=_SAMPLE_RATES))
+@register("corpus_sample_split", _sample_split_oracle(lang_rates=_SAMPLE_RATES), driver=False)
 def q_corpus_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split + stratified per-language
     downsampling via independent md5 hash buckets — membership is a
@@ -1833,7 +1833,7 @@ SELECT probe_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
 FROM r WHERE rk <= 5"""
 
 
-@register("ann_ivf_topk", _IVF_ORACLE)
+@register("ann_ivf_topk", _IVF_ORACLE, driver=False)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (16 deterministic centroids, nprobe=4): the
     scale path — each probe scans ~nprobe/16 of the corpus. The oracle
@@ -2394,7 +2394,7 @@ SELECT id_a, id_b, corr_r AS corr, n_buckets,
 FROM flt QUALIFY rk <= 20"""
 
 
-@register("corr_pairs_topk", _CORR_ORACLE)
+@register("corr_pairs_topk", _CORR_ORACLE, driver=False)
 def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 correlation dedup: Pearson corr of 6-hour text_len sums across
     co-observed buckets, top-20 pairs (rank on the rounded value so both
@@ -2784,3 +2784,308 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = embedding_pairs_bucketed(emb, threshold=0.4, n_centroids=8, n_assign=4)
     return out.select("id_a", "id_b", _r(F.col("cosine")).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Round 4: PII scrubbing, n-gram repetition, decontamination, global
+# shuffle, mixture sampling — the remaining corpus-prep primitives a
+# trillion-token pipeline runs that had no driver slot yet.
+# ---------------------------------------------------------------------------
+
+
+def _hex_bucket_sql(col: str, start: int, buckets: int, hexpr: str | None = None) -> str:
+    """The SQL replay of corpus.hash_bucket: 8 hex digits of md5(col)
+    starting at 1-based position ``start``, expanded positionally.
+    Pass ``hexpr`` to bucket an existing hex-string expression instead
+    of md5-ing the column."""
+    h = hexpr or f"md5(CAST({col} AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, "
+        f"{start + j}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"(({terms}) % {buckets})"
+
+
+# Deterministic PII enrichment: the synthetic corpus carries no PII, so
+# the query plants typed contacts derived from the doc id — mirrored
+# byte-for-byte in the oracle — and then scrubs them. The scrub itself
+# is the operator under test; the enrichment just makes it fire.
+_PII_AUG_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.0.' ||"
+    " CAST(doc_id % 255 AS VARCHAR) ELSE '' END"
+)
+
+
+def _pii_oracle() -> str:
+    """Stepwise CTE chain mirroring scrub_pii: each kind's count runs on
+    the PREVIOUS kind's scrub output, so a span is attributed to exactly
+    one kind on both engines."""
+    from sparkfeat.text import PII_PATTERNS
+
+    steps, acc = [], []
+    prev_tbl, prev_txt = "a", "t0"
+    for i, (kind, pat, rep) in enumerate(PII_PATTERNS):
+        carried = (", " + ", ".join(acc)) if acc else ""
+        steps.append(
+            f"s{i} AS (SELECT doc_id{carried}, "
+            f"CAST(len(regexp_extract_all({prev_txt}, '{pat}')) AS INT) AS n_{kind}, "
+            f"regexp_replace({prev_txt}, '{pat}', '{rep}', 'g') AS t{i + 1} "
+            f"FROM {prev_tbl})"
+        )
+        acc.append(f"n_{kind}")
+        prev_tbl, prev_txt = f"s{i}", f"t{i + 1}"
+    return (
+        f"WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS t0 FROM documents),\n"
+        + ",\n".join(steps)
+        + f"\nSELECT doc_id, {', '.join(acc)}, "
+        f"CAST(LENGTH({prev_txt}) AS INT) AS red_len, md5({prev_txt}) AS red_fp "
+        f"FROM {prev_tbl}"
+    )
+
+
+@register("doc_pii_scrub", _pii_oracle())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails, SSNs, phone numbers, IPv4 addresses
+    replaced by typed placeholders with stepwise per-kind counts (each
+    span attributed to exactly one kind). Pure regexp_replace/
+    regexp_count Column chain in the Java∩RE2 regex subset — map-only,
+    whole-stage codegen, fuses into the corpus scan at 100 TB. The
+    corpus is synthetic and PII-free, so the query first plants
+    deterministic doc_id-derived contacts (mirrored in the oracle);
+    emits the redacted text's length+md5 rather than the text itself."""
+    from sparkfeat.text import scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" host 10.0.0."), (F.col("doc_id") % 255).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = scrub_pii(aug)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ip",
+        F.length("red_text").alias("red_len"),
+        F.md5("red_text").alias("red_fp"),
+    )
+
+
+_REPETITION_ORACLE = r"""WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents
+),
+g AS (
+    SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(ws) - 2),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+    FROM t WHERE len(ws) >= 3
+),
+c AS (
+    SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram
+),
+d AS (
+    SELECT doc_id,
+        CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        CAST(COUNT(*) AS BIGINT) AS n_dist_grams,
+        CAST(MAX(cnt) AS BIGINT) AS max_ngram_rep,
+        CAST(SUM(cnt - 1) AS BIGINT) AS n_excess
+    FROM c GROUP BY doc_id
+)
+SELECT doc_id,
+    COALESCE(n_grams, 0) AS n_grams,
+    COALESCE(n_dist_grams, 0) AS n_dist_grams,
+    COALESCE(max_ngram_rep, 0) AS max_ngram_rep,
+    ROUND(CASE WHEN n_grams > 0
+               THEN CAST(n_excess AS DOUBLE) / n_grams ELSE 0.0 END, 6)
+        AS dup_ngram_frac
+FROM documents LEFT JOIN d USING (doc_id)"""
+
+
+@register("doc_repetition", _REPETITION_ORACLE)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document word-trigram repetition profile (duplicate-gram
+    fraction, max repeat count) via the explode→groupBy shape: per-task
+    memory is bounded by the aggregate hash map, not the document
+    length, so heavy-tailed docs (a 1 GB pathological page) can't blow
+    a task — the scale-out twin of the in-row list-algebra repetition
+    signals in doc_quality_rules."""
+    from sparkfeat.text import ngram_repetition
+
+    docs = _docs(spark, sf_dir)
+    out = ngram_repetition(docs, n=3)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_dist_grams",
+        "max_ngram_rep",
+        _r(F.col("dup_ngram_frac")).alias("dup_ngram_frac"),
+    )
+
+
+def _decontaminate_oracle(n: int = 3, bench_pct: int = 20) -> str:
+    gram = " || ' ' || ".join(f"ws[i+{k}]" if k else "ws[i]" for k in range(n))
+    return f"""WITH h AS (
+    SELECT doc_id, lower(text) AS lc, {_hex_bucket_sql("doc_id", 9, 1000)} AS bb
+    FROM documents
+),
+w AS (
+    SELECT doc_id, bb, regexp_split_to_array(lc, '\\s+') AS ws FROM h
+),
+gr AS (
+    SELECT doc_id, bb,
+        list_distinct(list_transform(generate_series(1, len(ws) - {n - 1}),
+                                     i -> md5({gram}))) AS grams
+    FROM w
+),
+bg AS (
+    SELECT DISTINCT unnest(grams) AS gram FROM gr WHERE bb < {bench_pct}
+),
+corp AS (
+    SELECT doc_id, grams FROM gr WHERE bb >= {bench_pct}
+),
+x AS (
+    SELECT doc_id, unnest(grams) AS gram FROM corp
+),
+hit AS (
+    SELECT doc_id, COUNT(*) AS n_hit FROM x JOIN bg USING (gram) GROUP BY doc_id
+)
+SELECT corp.doc_id,
+    CAST(len(grams) AS BIGINT) AS n_grams,
+    CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+    COALESCE(n_hit, 0) > 0 AS contaminated
+FROM corp LEFT JOIN hit USING (doc_id)"""
+
+
+@register("corpus_decontaminate", _decontaminate_oracle())
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    n-gram with a held-out benchmark set (the test-set-leakage sweep run
+    before pretraining; n=3 here for the tiny synthetic vocabulary, n=8
+    for English prose — pytest covers n=8 on planted contamination).
+    The benchmark slice is a deterministic 2% md5 bucket of the corpus.
+    Scale shape: eval sets are MBs, so their distinct gram hashes
+    BROADCAST; the corpus side explodes per-doc distinct grams into a
+    broadcast semi-join + doc-keyed count — the 100 TB side is never
+    shuffled on the gram (plan-asserted)."""
+    from sparkfeat.corpus import decontaminate, hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    bb = hash_bucket("doc_id", start=9, buckets=1000)
+    bench = docs.filter(bb < 20)
+    corpus = docs.filter(bb >= 20)
+    return decontaminate(corpus, bench, n=3)
+
+
+def _global_shuffle_oracle(shards: int = 64, seed: str = "0") -> str:
+    return f"""WITH k AS (
+    SELECT doc_id, md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS skey
+    FROM documents
+),
+s AS (
+    SELECT doc_id, skey,
+        CAST({_hex_bucket_sql("doc_id", 1, shards, hexpr="skey")} AS INT) AS shard
+    FROM k
+)
+SELECT doc_id, skey AS shuffle_key, shard,
+    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1
+         AS BIGINT) AS pos
+FROM s"""
+
+
+@register("corpus_global_shuffle", _global_shuffle_oracle())
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-example order: every
+    doc gets an md5(seed‖id) shuffle key, a uniform shard, and its rank
+    within the shard — reading shards in (shard, pos) order IS the
+    shuffled epoch; same seed replays byte-identically on any cluster,
+    no orderBy(rand()). The only wide op is the per-shard row_number
+    (hash-partitioned window over corpus/shards rows), never a global
+    sort."""
+    from sparkfeat.corpus import global_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return global_shuffle(docs, shards=64, seed="0")
+
+
+_MIXTURE_TARGETS = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}
+_MIXTURE_FRAC = 0.5
+
+
+def _mixture_oracle(
+    targets: dict[str, float] = _MIXTURE_TARGETS, frac: float = _MIXTURE_FRAC
+) -> str:
+    cases = " ".join(
+        f"WHEN lang = '{g}' THEN LEAST(1.0, ({p!r} * ({frac!r} * tot)) / n_group)"
+        for g, p in sorted(targets.items())
+    )
+    return f"""WITH c AS (
+    SELECT lang, COUNT(*) AS n_group FROM documents GROUP BY lang
+),
+t AS (
+    SELECT COUNT(*) AS tot FROM documents
+),
+r AS (
+    SELECT lang, n_group,
+        CASE {cases} ELSE 0.0 END AS rate
+    FROM c, t
+),
+h AS (
+    SELECT doc_id, lang, {_hex_bucket_sql("doc_id", 13, 1_000_000)} AS kb
+    FROM documents
+)
+SELECT doc_id, h.lang,
+    CAST(n_group AS BIGINT) AS n_group,
+    ROUND(rate, 6) AS rate,
+    kb < CAST(FLOOR(rate * 1000000) AS BIGINT) AS keep
+FROM h JOIN r ON h.lang = r.lang"""
+
+
+@register("corpus_mixture_sample", _mixture_oracle())
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixture sampling: per-group hash-keep rates
+    chosen so the kept corpus hits the target mixture proportions at an
+    overall 50% budget (rate_g = min(1, p_g·frac·N/n_g) — waterfilling
+    without iteration; undersized groups kept whole). Membership is a
+    property of the doc id (md5 bucket), so the sample is stable under
+    corpus growth and byte-replayable in any engine. One tiny
+    groupBy-count broadcast back; the keep decision is map-side."""
+    from sparkfeat.corpus import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mixture_sample(docs, _MIXTURE_TARGETS, frac=_MIXTURE_FRAC)
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_group",
+        _r(F.col("rate")).alias("rate"),
+        "keep",
+    )

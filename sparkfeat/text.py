@@ -430,3 +430,98 @@ def rolling_fingerprint(df: DataFrame, text_col: str, out_col: str = "fp64") -> 
         return pd.Series(fnv1a64_np(texts).astype(np.int64))
 
     return df.withColumn(out_col, fp(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction, whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+#: (kind, pattern, replacement) in scrub ORDER — email first (its local
+#: part can contain digit runs a later pattern would eat), then SSN
+#: before phone (3-2-4 vs 3-3-4 digit shapes are disjoint, but order is
+#: part of the contract), then phone before IP (a dotted phone like
+#: 555.123.4567 must become <PHONE>, not half an <IP>). Patterns stay in
+#: the Java-regex ∩ RE2 common subset (no lookaround, no backrefs) so
+#: the DuckDB oracle replays them byte-for-byte.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII redaction pass for a pretraining corpus: emails, SSNs, phone
+    numbers, IPv4 addresses replaced by typed placeholder tokens, with a
+    per-kind match count. Counting is STEPWISE on the progressively
+    scrubbed text (count emails on the original, scrub, count SSNs on
+    the result, …) so a span is attributed to exactly one kind — the
+    counts always sum to the number of placeholders in the output.
+
+    Pure ``regexp_replace``/``regexp_count`` Column chain: whole-stage
+    codegen, no UDF, no shuffle — at 100 TB this is a map-only pass that
+    fuses into whatever scan feeds it. Returns ``red_text`` plus
+    ``n_email/n_ssn/n_phone/n_ip``.
+    """
+    cur = F.col(text_col)
+    out: list[Column] = [F.col(id_col)]
+    for kind, pat, rep in PII_PATTERNS:
+        out.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, rep)
+    out.append(cur.alias("red_text"))
+    return docs.select(*out)
+
+
+def ngram_repetition(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Within-document word n-gram repetition profile via the
+    explode → groupBy shape: duplicate-n-gram fraction
+    (1 − distinct/total) and max single-n-gram repeat count — the
+    Rae et al. (Gopher §A1.1) repetition-filter family.
+
+    Unlike the in-row list-algebra variant (``top_bigram_fraction``),
+    the counting here happens in a ``groupBy(doc, gram)`` aggregate:
+    per-task memory is bounded by the aggregate hash map, not by the
+    document length, so a pathological 1 GB document cannot blow a task
+    — the shape you want when the corpus has heavy-tailed doc sizes.
+    The n-gram build itself is linear Column algebra (zip of n shifted
+    slices — never ``element_at`` in a lambda, which goes quadratic).
+    """
+    c = F.lower(F.col(text_col))
+    toks = F.split(c, r"\s+")
+    m = F.size(toks) - (n - 1)  # number of n-grams
+    grams = F.slice(toks, 1, m)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, k + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    grams = F.when(m >= 1, grams).otherwise(F.array().cast("array<string>"))
+    g = (
+        docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = g.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_dist_grams"),
+        F.max("cnt").alias("max_ngram_rep"),
+        F.sum(F.col("cnt") - 1).alias("n_excess"),
+    )
+    base = docs.select(id_col)
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dist_grams", F.lit(0)).alias("n_dist_grams"),
+            F.coalesce("max_ngram_rep", F.lit(0)).alias("max_ngram_rep"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_excess").cast("double") / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_ngram_frac"),
+        )
+    )

@@ -1,0 +1,220 @@
+"""Round-4 corpus-prep primitives: PII scrubbing, n-gram repetition,
+benchmark decontamination, deterministic global shuffle, mixture
+sampling. Semantics on crafted fixtures here; engine parity vs DuckDB
+runs in test_oracle_parity (all five are driver queries)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from sparkfeat.corpus import decontaminate, global_shuffle, mixture_sample
+from sparkfeat.text import ngram_repetition, scrub_pii
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_pii_each_kind(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "mail me at jo.doe+x@sub.example.org today"),
+            (2, "ssn is 123-45-6789 ok"),
+            (3, "call 555-123-4567 or 555.123.4567"),
+            (4, "server at 10.0.0.1 and 192.168.1.255"),
+            (5, "clean document with no pii at all"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(d).collect()}
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["red_text"]
+    assert "jo.doe" not in out[1]["red_text"]
+    assert out[2]["n_ssn"] == 1 and "<SSN>" in out[2]["red_text"]
+    assert out[3]["n_phone"] == 2 and out[3]["red_text"].count("<PHONE>") == 2
+    assert out[4]["n_ip"] == 2 and out[4]["red_text"].count("<IP>") == 2
+    assert out[5]["red_text"] == "clean document with no pii at all"
+    assert all(out[5][f"n_{k}"] == 0 for k in ("email", "ssn", "phone", "ip"))
+
+
+def test_scrub_pii_attribution_order(spark):
+    """A dotted phone must become <PHONE>, not half an <IP>; an SSN must
+    not be eaten by the phone pattern; counts sum to the number of
+    placeholders (stepwise attribution)."""
+    d = _docs(spark, [(1, "dial 555.123.4567 then ssn 123-45-6789 at 1.2.3.4")])
+    r = scrub_pii(d).collect()[0]
+    assert r["n_phone"] == 1 and r["n_ssn"] == 1 and r["n_ip"] == 1
+    assert r["red_text"] == "dial <PHONE> then ssn <SSN> at <IP>"
+    n_placeholders = sum(
+        r["red_text"].count(t) for t in ("<EMAIL>", "<SSN>", "<PHONE>", "<IP>")
+    )
+    assert n_placeholders == r["n_email"] + r["n_ssn"] + r["n_phone"] + r["n_ip"]
+
+
+# ---------------------------------------------------------------------------
+# n-gram repetition
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_repetition_counts(spark):
+    # "a b c" appears 3x among the 7 trigrams of doc 1
+    d = _docs(
+        spark,
+        [
+            (1, "a b c a b c a b c"),  # 7 trigrams, 'a b c' x3, 'b c a' x2, 'c a b' x2
+            (2, "all words here are distinct okay"),
+            (3, "too short"),  # < 3 tokens -> zero grams
+        ],
+    )
+    out = {r["doc_id"]: r for r in ngram_repetition(d, n=3).collect()}
+    assert out[1]["n_grams"] == 7 and out[1]["max_ngram_rep"] == 3
+    assert out[1]["n_dist_grams"] == 3
+    assert out[1]["dup_ngram_frac"] == pytest.approx((7 - 3) / 7)
+    assert out[2]["max_ngram_rep"] == 1 and out[2]["dup_ngram_frac"] == 0.0
+    assert out[3]["n_grams"] == 0 and out[3]["dup_ngram_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_n8_planted(spark):
+    """Real-world n=8: a corpus doc embedding a verbatim 8-gram from the
+    benchmark is flagged; rephrased/partial overlap below 8 tokens is
+    not."""
+    bench = _docs(
+        spark, [(100, "the quick brown fox jumps over the lazy dog tonight")]
+    )
+    corpus = _docs(
+        spark,
+        [
+            # contains 'the quick brown fox jumps over the lazy' (8-gram)
+            (1, "xx the quick brown fox jumps over the lazy yy"),
+            # only a 7-token overlap
+            (2, "xx quick brown fox jumps over the lazy yy"),
+            (3, "completely unrelated text about something else entirely here now"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=8).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hit"] >= 1
+    assert not out[2]["contaminated"]
+    assert not out[3]["contaminated"]
+    assert out[3]["n_hit"] == 0 and out[3]["n_grams"] > 0
+
+
+def test_decontaminate_is_broadcast_no_corpus_shuffle_on_gram(spark):
+    """The benchmark grams broadcast; the corpus side must never
+    sort-merge on the gram (that would shuffle the 100 TB side)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from sparkfeat.corpus import hash_bucket
+
+    bb = hash_bucket("doc_id", start=9, buckets=1000)
+    out = decontaminate(docs.filter(bb >= 20), docs.filter(bb < 20), n=3)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+# ---------------------------------------------------------------------------
+# global shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_global_shuffle_deterministic_and_dense(spark):
+    d = _docs(spark, [(i, "x") for i in range(500)])
+    a = global_shuffle(d, shards=8, seed="s1").collect()
+    b = global_shuffle(d, shards=8, seed="s1").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # replayable
+    # positions are dense 0..k-1 within each shard
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    assert len(by_shard) == 8  # 500 docs spread over all 8 shards
+    # a different seed produces a different order
+    c = global_shuffle(d, shards=8, seed="s2").collect()
+    key_a = {r["doc_id"]: (r["shard"], r["pos"]) for r in a}
+    key_c = {r["doc_id"]: (r["shard"], r["pos"]) for r in c}
+    assert key_a != key_c
+
+
+def test_global_shuffle_no_global_sort(spark):
+    """The only exchange is the hash partition for the per-shard window
+    — never a rangepartitioning (global sort)."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = global_shuffle(d, shards=16)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in p.lower(), p
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_sample_rates_and_proportions(spark):
+    rows = (
+        [(i, "en") for i in range(6000)]
+        + [(i + 10000, "de") for i in range(3000)]
+        + [(i + 20000, "rare") for i in range(50)]
+        + [(i + 30000, "junk") for i in range(1000)]
+    )
+    d = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = mixture_sample(
+        d, {"en": 0.5, "de": 0.4, "rare": 0.1}, frac=0.4, group_col="lang"
+    )
+    agg = {
+        r["lang"]: r
+        for r in out.groupBy("lang")
+        .agg(
+            F.first("rate").alias("rate"),
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    total = 10050
+    budget = 0.4 * total
+    # en target: 0.5*budget = 2010 of 6000 -> rate .335
+    assert agg["en"]["rate"] == pytest.approx(0.5 * budget / 6000)
+    # rare group too small to fill 0.1*budget=402 -> capped at 1.0, kept whole
+    assert agg["rare"]["rate"] == 1.0 and agg["rare"]["kept"] == 50
+    # junk absent from targets -> excluded entirely
+    assert agg["junk"]["kept"] == 0
+    # kept counts land within hash-sampling noise of the target
+    assert agg["en"]["kept"] == pytest.approx(2010, rel=0.1)
+    assert agg["de"]["kept"] == pytest.approx(0.4 * budget, rel=0.1)
+
+
+def test_mixture_sample_stable_under_corpus_growth(spark):
+    """A doc's keep verdict depends only on its id and its group's rate
+    — adding docs to ANOTHER group never flips it (the incremental-
+    refresh property RNG sampling loses)."""
+    base = [(i, "en") for i in range(1000)] + [(i + 5000, "de") for i in range(500)]
+    grown = base + [(i + 9000, "fr") for i in range(400)]
+    t = {"en": 0.6, "de": 0.4}
+    a = {
+        r["doc_id"]: r["keep"]
+        for r in mixture_sample(
+            spark.createDataFrame(base, "doc_id bigint, lang string"), t, frac=0.5
+        ).collect()
+    }
+    # same targets, same absolute budget: frac scaled so frac*N is constant
+    n0, n1 = len(base), len(grown)
+    b = {
+        r["doc_id"]: r["keep"]
+        for r in mixture_sample(
+            spark.createDataFrame(grown, "doc_id bigint, lang string"),
+            t,
+            frac=0.5 * n0 / n1,
+        ).collect()
+    }
+    assert all(b[k] == v for k, v in a.items())
