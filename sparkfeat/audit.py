@@ -1,0 +1,111 @@
+"""Zero-temporal-leakage audit as a first-class distributed operator.
+
+The north rule gates throughput on an explicit *zero-leakage audit*: no
+feature at ts_t may read turns > t. The audit here is the truncation
+test run AS A SPARK JOB — for each cutoff c, the pipeline's output on
+the full table restricted to ts ≤ c must equal, bit-for-bit, the
+pipeline's output on the table truncated at c BEFORE any feature is
+computed (trailing windows only ⇒ identical; any lookahead ⇒ a
+violation row). Everything is joins + aggregates: no collect, no
+driver-side compare, so the audit runs at the same scale as the
+pipeline it audits and lands in the run manifest next to the metrics.
+
+The flagship audit is oracle-replayed end-to-end in DuckDB
+(queries.flagship_leakage_audit): both engines compute full-vs-truncated
+feature frames and must agree the violation count is zero — the audit
+itself is engine-checked, not just the pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def truncation_leakage_audit(
+    build_fn: Callable[[DataFrame], DataFrame],
+    df: DataFrame,
+    cutoffs: Sequence[str],
+    compare_cols: Sequence[str],
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    ts_col: str = "ts",
+    atol: float = 0.0,
+) -> DataFrame:
+    """Audit ``build_fn`` (a point-in-time feature pipeline) for
+    temporal leakage at each cutoff.
+
+    Per cutoff, emits one row:
+
+    * ``n_rows`` — full-outer-joined row count (both sides at ts ≤ c);
+    * ``n_only_full`` / ``n_only_trunc`` — keys present on one side
+      only (a leak of *existence*: the pipeline created or dropped rows
+      depending on future data);
+    * ``n_viol`` — keys present on both sides whose compared values
+      differ (null-status or |Δ| > atol);
+    * ``max_abs_diff`` — the largest numeric divergence (0.0 when
+      leak-free).
+
+    A leak-free pipeline returns all-zero violation columns for every
+    cutoff. The full side is computed ONCE and re-filtered per cutoff;
+    each truncated side is an independent run of ``build_fn`` on the
+    prefix, exactly the data that existed at time c.
+    """
+    full = build_fn(df)
+    keys = list(key_cols)
+    parts = []
+    for c in cutoffs:
+        a = full.filter(F.col(ts_col) <= F.lit(c)).select(
+            *keys,
+            F.lit(True).alias("_in_a"),
+            *[F.col(x).alias(f"_a_{x}") for x in compare_cols],
+        )
+        b = build_fn(df.filter(F.col(ts_col) <= F.lit(c))).select(
+            *keys,
+            F.lit(True).alias("_in_b"),
+            *[F.col(x).alias(f"_b_{x}") for x in compare_cols],
+        )
+        j = a.join(b, keys, "full_outer")
+        both = F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull()
+        viol = F.lit(False)
+        diffs = []
+        for x in compare_cols:
+            av, bv = F.col(f"_a_{x}"), F.col(f"_b_{x}")
+            null_skew = av.isNull() != bv.isNull()
+            field = j.schema[f"_a_{x}"].dataType.typeName()
+            if field in ("double", "float", "decimal"):
+                d = F.abs(av - bv)
+                diffs.append(F.when(av.isNotNull() & bv.isNotNull(), d))
+                viol = viol | null_skew | (
+                    av.isNotNull() & bv.isNotNull() & (d > atol)
+                )
+            else:
+                viol = viol | null_skew | (
+                    av.isNotNull() & bv.isNotNull() & (av != bv)
+                )
+        if not diffs:
+            max_diff = F.lit(0.0)
+        elif len(diffs) == 1:
+            max_diff = F.max(diffs[0])
+        else:
+            max_diff = F.max(F.greatest(*diffs))
+        agg = (
+            j.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("_in_b").isNull().cast("bigint")).alias(
+                    "n_only_full"
+                ),
+                F.sum(F.col("_in_a").isNull().cast("bigint")).alias(
+                    "n_only_trunc"
+                ),
+                F.sum((both & viol).cast("bigint")).alias("n_viol"),
+                F.coalesce(max_diff, F.lit(0.0)).alias("max_abs_diff"),
+            )
+            .select(F.lit(str(c)).alias("cutoff"), "*")
+        )
+        parts.append(agg)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -3089,3 +3089,90 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.col("rate")).alias("rate"),
         "keep",
     )
+
+
+# ---------------------------------------------------------------------------
+# Zero-leakage audit as an operator (north rule: "allclose feature
+# parity + zero-leakage audit" gates the throughput metric)
+# ---------------------------------------------------------------------------
+
+_AUDIT_CUTOFFS = ["2024-01-10 00:00:00", "2024-01-20 00:00:00"]
+_AUDIT_FLOATS = ["text_len_lr", "text_len_vol", "text_len_stoch_k", "token_est_ker"]
+
+
+def _flagship_sql_truncated(cutoff: str | None) -> str:
+    """The flagship oracle computed over transcripts truncated at
+    ``cutoff`` BEFORE any feature math — the 'data as it existed at
+    time c' side of the truncation audit."""
+    if cutoff is None:
+        return _FLAGSHIP_ORACLE
+    needle = "FROM transcripts\n)"
+    assert _FLAGSHIP_ORACLE.count(needle) == 1
+    return _FLAGSHIP_ORACLE.replace(
+        needle, f"FROM transcripts WHERE ts <= TIMESTAMP '{cutoff}'\n)", 1
+    )
+
+
+def _leakage_audit_oracle() -> str:
+    def one(c: str) -> str:
+        null_skew = " OR ".join(
+            f"((a.{f} IS NULL) <> (b.{f} IS NULL))" for f in _AUDIT_FLOATS
+        )
+        num_diff = " OR ".join(
+            f"(a.{f} IS NOT NULL AND b.{f} IS NOT NULL AND ABS(a.{f} - b.{f}) > 0)"
+            for f in _AUDIT_FLOATS
+        )
+        diffs = ", ".join(
+            f"CASE WHEN a.{f} IS NOT NULL AND b.{f} IS NOT NULL "
+            f"THEN ABS(a.{f} - b.{f}) END"
+            for f in _AUDIT_FLOATS
+        )
+        viol = f"(a.session_idx <> b.session_idx) OR {null_skew} OR {num_diff}"
+        return f"""SELECT '{c}' AS cutoff,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN b.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_full,
+    CAST(SUM(CASE WHEN a.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_trunc,
+    CAST(SUM(CASE WHEN a.ts IS NOT NULL AND b.ts IS NOT NULL AND ({viol})
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+    COALESCE(MAX(GREATEST({diffs})), 0.0) AS max_abs_diff
+FROM (SELECT * FROM ({_flagship_sql_truncated(None)})
+      WHERE ts <= TIMESTAMP '{c}') a
+FULL JOIN ({_flagship_sql_truncated(c)}) b USING (conv_id, turn_idx)"""
+
+    return "\nUNION ALL\n".join(one(c) for c in _AUDIT_CUTOFFS)
+
+
+@register("flagship_leakage_audit", _leakage_audit_oracle(), driver=False)
+def q_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's zero-leakage audit RUN AS A SPARK JOB: for each
+    cutoff c, the flagship features computed on the full table and
+    restricted to ts ≤ c must equal the features computed on the table
+    truncated at c before any feature math (trailing windows only ⇒
+    bit-identical; any lookahead ⇒ violation rows). Full-outer join +
+    aggregate — no collect, audits at pipeline scale. The oracle
+    replays BOTH sides and the comparison in DuckDB, so the audit
+    itself is engine-checked: both engines must agree the violation
+    count is zero."""
+    from sparkfeat.audit import truncation_leakage_audit
+    from sparkfeat.pipeline import flagship_features
+
+    def build(df: DataFrame) -> DataFrame:
+        out = flagship_features(df)
+        return out.select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            "session_idx",
+            _r(F.col("text_len_log-return")).alias("text_len_lr"),
+            _r(F.col("text_len_volatility")).alias("text_len_vol"),
+            _r(F.col("text_len_stochastic_k")).alias("text_len_stoch_k"),
+            _r(F.col("token_est_ker")).alias("token_est_ker"),
+        )
+
+    df = transcripts_from_events(spark, sf_dir)
+    return truncation_leakage_audit(
+        build,
+        df,
+        cutoffs=_AUDIT_CUTOFFS,
+        compare_cols=["session_idx", *_AUDIT_FLOATS],
+    )

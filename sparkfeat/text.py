@@ -359,26 +359,35 @@ def fingerprint_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document fingerprint panel: canonical content md5, the compact
     signed-64 key, the duplicate-group size under the content key, and a
     flag for docs that are duplicates only under the word-order-insensitive
-    bag key (shuffled/templated copies the content hash misses). Two
-    hash-keyed window partitions — skew-free at corpus scale."""
-    from pyspark.sql import Window
+    bag key (shuffled/templated copies the content hash misses).
 
+    Group sizes come from ``groupBy``-count + equi-join-back, NOT a
+    ``Window.partitionBy(fp)``: a boilerplate document repeated 10⁸×
+    makes one degenerate duplicate group, and a window materializes the
+    whole group in one un-splittable task, while the groupBy combines
+    map-side (the hot key arrives at the reducer as a handful of
+    partial counts) and the join-back is an equi-join AQE's skew-join
+    CAN split. Same shuffle count (one per key), no hot partition."""
     d = docs.select(
         "doc_id",
         content_fingerprint(text_col).alias("content_fp"),
         content_fp64(text_col).alias("fp64"),
         bag_fingerprint(text_col).alias("bag_fp"),
     )
-    wc = Window.partitionBy("content_fp")
-    wb = Window.partitionBy("bag_fp")
-    return d.select(
-        "doc_id",
-        "content_fp",
-        "fp64",
-        F.count(F.lit(1)).over(wc).alias("content_group"),
-        (F.count(F.lit(1)).over(wb) > F.count(F.lit(1)).over(wc)).alias(
-            "reorder_only_dup"
-        ),
+    cg = d.groupBy("content_fp").agg(F.count(F.lit(1)).alias("content_group"))
+    bg = d.groupBy("bag_fp").agg(F.count(F.lit(1)).alias("_bag_group"))
+    return (
+        d.join(cg, "content_fp")
+        .join(bg, "bag_fp")
+        .select(
+            "doc_id",
+            "content_fp",
+            "fp64",
+            "content_group",
+            (F.col("_bag_group") > F.col("content_group")).alias(
+                "reorder_only_dup"
+            ),
+        )
     )
 
 

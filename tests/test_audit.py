@@ -1,0 +1,66 @@
+"""The truncation leakage audit: zero on the leak-free flagship (its
+DuckDB replay runs in test_oracle_parity), and — the power test — a
+deliberately leaky pipeline must be flagged."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from sparkfeat.audit import truncation_leakage_audit
+from sparkfeat.schema import with_turn_signals
+
+
+def test_audit_flags_lookahead(spark, transcripts):
+    """A lead() feature reads turn t+1 at turn t: the audit must report
+    violations at any cutoff that truncates a conversation mid-way."""
+    mid = transcripts.approxQuantile("turn_idx", [0.5], 0.0)[0]
+    cut = (
+        transcripts.filter(F.col("turn_idx") <= mid)
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+
+    def leaky(df):
+        sig = with_turn_signals(df)
+        w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+        return sig.select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            F.lead("text_len").over(w).alias("next_len"),
+        )
+
+    out = truncation_leakage_audit(
+        leaky, transcripts, cutoffs=[str(cut)], compare_cols=["next_len"]
+    ).collect()[0]
+    # the last surviving turn of every truncated conversation has a
+    # next_len on the full side but NULL on the truncated side
+    assert out["n_viol"] > 0
+
+
+def test_audit_zero_on_trailing_only(spark, transcripts):
+    """A trailing-window feature passes with all-zero violations."""
+
+    def clean(df):
+        sig = with_turn_signals(df)
+        w = (
+            Window.partitionBy("conv_id")
+            .orderBy("ts", "turn_idx")
+            .rowsBetween(-4, 0)
+        )
+        return sig.select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            F.avg("text_len").over(w).alias("trail_avg"),
+        )
+
+    cut = transcripts.selectExpr(
+        "timestamp_micros(cast(percentile(unix_micros(ts), 0.6) as bigint))"
+    ).collect()[0][0]
+    out = truncation_leakage_audit(
+        clean, transcripts, cutoffs=[str(cut)], compare_cols=["trail_avg"]
+    ).collect()[0]
+    assert out["n_viol"] == 0 and out["n_only_full"] == 0
+    assert out["max_abs_diff"] == 0.0

@@ -188,3 +188,17 @@ def test_pack_sequences_offsets_broadcast_not_literal(spark, sf_dir):
     assert "BroadcastHashJoin" in p, p
     logical = plan_of(out, extended=True)
     assert "create_map" not in logical and "map_from_arrays" not in logical, logical
+
+
+def test_fingerprint_summary_no_window_hot_partition(spark, sf_dir):
+    """Duplicate-group sizes must come from groupBy-count + equi-join,
+    never Window.partitionBy(fp): a boilerplate doc repeated 10^8 times
+    is one un-splittable window partition, while the groupBy combines
+    map-side and the join-back is AQE-skew-splittable."""
+    from sparkfeat.text import fingerprint_summary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = fingerprint_summary(docs)
+    p = plan_of(out)
+    assert "Window" not in p, p
+    assert "HashAggregate" in p, p
