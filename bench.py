@@ -51,9 +51,12 @@ BENCH_QUERIES = [
     # dedup + minhash near-dup in ONE job)
     "corpus_prep_pipeline",
     # round 4 additions: the full packing manifest (distributed prefix
-    # sum + span explode) and the persisted-index ANN serving path
+    # sum + span explode), the persisted-index ANN serving path, the
+    # map-only PII scrub, and the broadcast decontamination sweep
     "corpus_span_manifest",
     "ann_ivf_served",
+    "doc_pii_scrub",
+    "corpus_decontaminate",
 ]
 
 

@@ -214,26 +214,41 @@ def minhash_signatures(
     the source scan produced (a single-file corpus would otherwise hash
     in one task)."""
     a, b = _perm_params(num_perm, seed)
-    # explicit partition count: AQE would coalesce this tiny-by-bytes
-    # exchange back to one partition, serializing the CPU-bound hashing
+    # Signature hashing needs PARALLELISM, not key locality: only add
+    # the exchange when the scan arrived under-split (a small corpus in
+    # 1-2 files would otherwise hash on one core). An explicit partition
+    # count because AQE would coalesce this tiny-by-bytes exchange back
+    # to one partition, serializing the CPU-bound stage; an
+    # already-parallel input (any production corpus) skips the shuffle.
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(n_part, F.col(id_col))
+    if df.rdd.getNumPartitions() < max(2, n_part // 2):
+        df = df.repartition(n_part, F.col(id_col))
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            sh = _shingles(t, shingle_n)
-            if not sh:
-                out.append([int(_MERSENNE)] * num_perm)
-                continue
-            hv = (md5_lower64_np(sh) & np.uint64(0xFFFFFFFF)) % np.uint64(
+        # md5 is the batch bottleneck (per-string hashlib) and shingles
+        # are Zipfian: hash each DISTINCT shingle once per Arrow batch,
+        # then take per-doc column-mins over the shared permuted table.
+        # A doc's signature is min over its shingle SET, so deduping is
+        # semantics-free — the SQL oracle replay is unchanged.
+        doc_sh = [_shingles(t, shingle_n) for t in texts]
+        flat = sorted({s for sh in doc_sh for s in sh})
+        if flat:
+            pos = {s: i for i, s in enumerate(flat)}
+            hv = (md5_lower64_np(flat) & np.uint64(0xFFFFFFFF)) % np.uint64(
                 _MERSENNE
             )
-            # (n_shingles, num_perm) permuted hashes → column-min; pure
-            # uint64 SIMD (max product (2^31)² + b < 2^62, no overflow)
+            # (n_unique, num_perm) permuted hashes; pure uint64 SIMD
+            # (max product (2^31)² + b < 2^62, no overflow)
             perms = (hv[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-            out.append(perms.min(axis=0).astype(np.int64).tolist())
+        empty = [int(_MERSENNE)] * num_perm
+        out = []
+        for sh in doc_sh:
+            if not sh:
+                out.append(empty)
+                continue
+            rows = np.fromiter((pos[s] for s in set(sh)), dtype=np.int64)
+            out.append(perms[rows].min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("_id"), sig(F.col(text_col)).alias("sig"))

@@ -534,3 +534,44 @@ def ngram_repetition(
             .alias("dup_ngram_frac"),
         )
     )
+
+
+def lang_ngram_guess_arrow(
+    text: str | Column, top_k: int = 40, min_overlap: int = 3
+) -> Column:
+    """Arrow-kernel twin of :func:`lang_ngram_guess` — identical
+    Cavnar–Trenkle semantics (top-k trigrams by count desc / trigram
+    asc, profile overlap, (score, lang) struct max, min_overlap gate),
+    computed per Arrow batch in Python instead of interpreted Catalyst
+    list algebra. Higher-order-function expressions are NOT codegen-able
+    (the expr path runs interpreted), so the batch kernel is the
+    production path at corpus scale — same expr-vs-arrow split as the
+    EWMA and LSH operators. Equality with the expr path is
+    pytest-asserted; the SQL oracle replay is shared (it checks
+    semantics, not implementation). Tie-break parity holds exactly:
+    Python str comparison is codepoint order, which equals Spark's
+    binary UTF-8 ordering for all of Unicode."""
+    from collections import Counter
+
+    from pyspark.sql.types import StringType
+
+    profiles = [(lang, frozenset(prof)) for lang, prof in LANG_PROFILES.items()]
+
+    @F.pandas_udf(StringType())
+    def guess(texts: pd.Series) -> pd.Series:
+        res = []
+        for t in texts:
+            s = t.lower()
+            top = [
+                tri
+                for tri, _ in sorted(
+                    Counter(s[i : i + 3] for i in range(len(s) - 2)).items(),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[:top_k]
+            ]
+            tops = set(top)
+            score, lang = max((len(tops & p), lg) for lg, p in profiles)
+            res.append(lang if score >= min_overlap else "unknown")
+        return pd.Series(res)
+
+    return guess(text if not isinstance(text, str) else F.col(text))

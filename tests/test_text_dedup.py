@@ -445,3 +445,30 @@ def test_pack_spans_tile_docs_and_fill_sequences(spark, sf_dir):
     )
     assert (fill.iloc[:-1] == budget).all()
     assert 0 < fill.iloc[-1] <= budget
+
+
+def test_lang_ngram_arrow_equals_expr(spark, sf_dir):
+    """The Arrow kernel and the Catalyst list-algebra path implement the
+    SAME Cavnar-Trenkle semantics — equal on every testdata doc and on
+    the seed texts themselves (incl. accented chars, where Python's
+    codepoint ordering must match Spark's binary UTF-8 ordering)."""
+    import pyspark.sql.functions as F
+
+    from sparkfeat import text as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeds = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(X._LANG_SEEDS.values())]
+        + [(99, ""), (100, "ab"), (101, "the the the")],
+        "doc_id long, text string",
+    )
+    for d in (docs, seeds):
+        n = (
+            d.select(
+                X.lang_ngram_guess("text").alias("a"),
+                X.lang_ngram_guess_arrow("text").alias("b"),
+            )
+            .filter("a <> b")
+            .count()
+        )
+        assert n == 0
