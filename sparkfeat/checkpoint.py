@@ -152,3 +152,38 @@ def run_metrics(output_path: str) -> list[dict]:
             with open(os.path.join(mdir, f)) as fh:
                 out.append(json.load(fh))
     return out
+
+
+def publish_audit(
+    output_path: str, audit_df: DataFrame, name: str = "leakage"
+) -> dict:
+    """Publish an audit result (e.g. ``audit.truncation_leakage_audit``)
+    into the run's manifest directory, next to the per-bucket metrics —
+    the north rule gates throughput on the zero-leakage audit, so the
+    audit verdict is part of the run record, not a side channel.
+
+    The audit DataFrame is per-cutoff aggregates (a handful of rows by
+    construction), so the collect here is O(cutoffs), never O(data).
+    Atomic publish like the bucket manifests; ``run_metrics`` picks it
+    up with the rest."""
+    rows = [r.asDict() for r in audit_df.collect()]
+    payload = {
+        "audit": name,
+        "rows": rows,
+        "clean": all(
+            r.get("n_viol", 1) == 0
+            and r.get("n_only_full", 1) == 0
+            and r.get("n_only_trunc", 1) == 0
+            for r in rows
+        )
+        and bool(rows),
+        "written_at_unix": time.time(),
+    }
+    mdir = _manifest_dir(output_path)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".audit={name}.json.tmp")
+    final = os.path.join(mdir, f"audit={name}.json")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, default=str)
+    os.replace(tmp, final)
+    return payload

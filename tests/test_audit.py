@@ -64,3 +64,40 @@ def test_audit_zero_on_trailing_only(spark, transcripts):
     ).collect()[0]
     assert out["n_viol"] == 0 and out["n_only_full"] == 0
     assert out["max_abs_diff"] == 0.0
+
+
+def test_audit_published_into_run_manifest(spark, transcripts, tmp_path):
+    """The audit verdict lands in the run's manifest directory next to
+    the per-bucket metrics (run_metrics surfaces it)."""
+    from sparkfeat.checkpoint import publish_audit, run_checkpointed, run_metrics
+
+    out = str(tmp_path / "run")
+    run_checkpointed(
+        spark, lambda s: with_turn_signals(transcripts), out, num_buckets=4
+    )
+
+    def clean(df):
+        w = (
+            Window.partitionBy("conv_id")
+            .orderBy("ts", "turn_idx")
+            .rowsBetween(-4, 0)
+        )
+        return with_turn_signals(df).select(
+            "conv_id", "turn_idx", "ts",
+            F.avg("text_len").over(w).alias("trail_avg"),
+        )
+
+    cut = transcripts.selectExpr(
+        "timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as bigint))"
+    ).collect()[0][0]
+    payload = publish_audit(
+        out,
+        truncation_leakage_audit(
+            clean, transcripts, cutoffs=[str(cut)], compare_cols=["trail_avg"]
+        ),
+    )
+    assert payload["clean"] is True
+    recs = run_metrics(out)
+    audits = [r for r in recs if r.get("audit") == "leakage"]
+    assert len(audits) == 1 and audits[0]["clean"] is True
+    assert len([r for r in recs if "bucket" in r]) == 4
