@@ -338,6 +338,200 @@ def decontaminate(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate **span** statistics: the n-gram-
+    granularity distributed version of exact-substring dedup ("for each
+    position, is this n-token window repeated anywhere in the corpus?"
+    — the check Lee et al.'s *Deduplicating Training Data Makes
+    Language Models Better* runs with a suffix array on one machine; at
+    corpus scale the n-gram lattice is the shuffle-friendly
+    equivalent). A word n-gram occurring ≥ ``min_count`` times in the
+    whole corpus (same-doc repeats included) marks its n-token span
+    duplicated.
+
+    Per doc: ``n_grams``; ``n_dup_grams`` + ``dup_fraction`` (how much
+    of the gram lattice is repeated); ``covered_tokens`` +
+    ``coverage_fraction`` (union of duplicated [pos, pos+n) spans — the
+    fraction of the doc a span-level deduper would cut); and
+    ``max_dup_span`` (longest run of consecutive duplicated grams +
+    n-1 = length of the longest maximal duplicated substring, in
+    tokens).
+
+    Scale shape: one row per corpus token (posexplode of the gram
+    lattice); occurrence counts via ``groupBy(gram)`` — map-side
+    partial aggregation collapses hot boilerplate grams per task
+    BEFORE the corpus-wide shuffle, so the count stage has no hot key;
+    the gram⋈count equi-join back is the one skew-exposed stage and
+    rides AQE skew-join splitting (session default). Everything after
+    re-aggregates on the doc id; the span union and run-length math are
+    in-row HOF algebra (no second explode).
+
+    No reference counterpart (the reference has no corpus operators);
+    the oracle twin replays gram hashing positionally in DuckDB
+    (queries.py ``_dup_spans_oracle``).
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(token_ngram_hashes(text_col, n=n)).alias("pos", "gram"),
+    )
+    counts = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .select("gram")
+    )
+    per_doc = (
+        grams.join(counts, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sort_array(F.collect_list("pos")).alias("_ps"),
+        )
+        .withColumn(
+            "covered_tokens",
+            F.size(
+                F.array_distinct(
+                    F.flatten(
+                        F.expr(f"transform(_ps, p -> sequence(p, p + {n} - 1))")
+                    )
+                )
+            ),
+        )
+        .withColumn(
+            # gaps-and-islands over the sorted positions, in-row: the
+            # longest run of consecutive duplicated gram starts
+            "_max_run",
+            F.expr(
+                """aggregate(
+                    slice(_ps, 2, greatest(size(_ps) - 1, 0)),
+                    named_struct('cur', 1, 'best', 1, 'prev', _ps[0]),
+                    (acc, x) -> named_struct(
+                        'cur', IF(x = acc.prev + 1, acc.cur + 1, 1),
+                        'best', greatest(acc.best,
+                                         IF(x = acc.prev + 1, acc.cur + 1, 1)),
+                        'prev', x),
+                    acc -> acc.best)"""
+            ),
+        )
+    )
+    lc = F.lower(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(lc, r"\s+")).alias("_n_tok"),
+        F.greatest(
+            F.size(F.split(lc, r"\s+")) - (n - 1), F.lit(0)
+        ).alias("n_grams"),
+    )
+    nz = lambda c: F.coalesce(c, F.lit(0))  # noqa: E731
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        nz(F.col("n_dup_grams")).cast("bigint").alias("n_dup_grams"),
+        F.when(F.col("n_grams") > 0, nz(F.col("n_dup_grams")) / F.col("n_grams"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+        nz(F.col("covered_tokens")).cast("bigint").alias("covered_tokens"),
+        (nz(F.col("covered_tokens")) / F.col("_n_tok")).alias(
+            "coverage_fraction"
+        ),
+        F.when(nz(F.col("n_dup_grams")) > 0, F.col("_max_run") + (n - 1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("max_dup_span"),
+    )
+
+
+def cut_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Produce the span-deduplicated corpus: every duplicated n-gram
+    span (≥ ``min_count`` corpus-wide occurrences) is CUT from all but
+    its first occurrence — the action step on top of
+    :func:`duplicate_spans`'s statistics, i.e. the n-gram-granularity
+    distributed version of Lee et al.'s exact-substring dedup cut.
+
+    "First occurrence" is the lexicographic minimum ``(doc_id, pos)``
+    of the gram — deterministic on any cluster, no rand/row-order
+    dependence. Cut spans within a doc are unioned before cutting, so
+    overlapping duplicated grams never double-cut a token.
+
+    Scale shape: identical to :func:`duplicate_spans` (map-side
+    combined ``groupBy(gram)`` carrying ``min(struct(doc_id, pos))``,
+    AQE-skew-handled join back, per-doc union in-row). The rebuild
+    keeps token ``i`` iff ``i`` is outside every cut span: an in-row
+    filter over the token array against the sorted cut-position array
+    (binary containment on an array; per-doc cost
+    tokens × cut-spans — bounded because cut spans are ≤ tokens/n
+    after the union).
+
+    Output: ``doc_id``, ``text`` (rebuilt, single-space joined — the
+    tokenization this operator works at), ``n_tokens``,
+    ``n_cut_tokens``, ``kept_fraction``.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(token_ngram_hashes(text_col, n=n)).alias("pos", "gram"),
+    )
+    occ = (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
+        )
+        .filter(F.col("n_occ") >= min_count)
+        .select("gram", "first")
+    )
+    cuts = (
+        grams.join(occ, "gram")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"first.{id_col}"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("_cut_starts"))
+        .withColumn(
+            "_cut_pos",
+            F.array_distinct(
+                F.flatten(
+                    F.expr(
+                        f"transform(_cut_starts, p -> sequence(p, p + {n} - 1))"
+                    )
+                )
+            ),
+        )
+        .select(id_col, "_cut_pos")
+    )
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    out = docs.join(cuts, id_col, "left").withColumn(
+        "_toks", toks
+    )
+    kept = F.expr(
+        "filter(transform(_toks, (t, i) -> IF(_cut_pos IS NULL OR "
+        "NOT array_contains(_cut_pos, i), t, NULL)), t -> t IS NOT NULL)"
+    )
+    n_tok = F.size(F.col("_toks"))
+    n_cut = F.coalesce(F.size("_cut_pos"), F.lit(0))
+    return out.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("text"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_cut.cast("bigint").alias("n_cut_tokens"),
+        ((n_tok - n_cut) / n_tok).alias("kept_fraction"),
+    )
+
+
 def global_shuffle(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -3021,6 +3021,131 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, bench, n=3)
 
 
+def _dup_spans_oracle(n: int = 3, min_count: int = 2) -> str:
+    gram = " || ' ' || ".join(f"ws[i+{k + 1}]" for k in range(n))
+    return f"""WITH w AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+g AS (
+    SELECT doc_id, u.pos AS pos, u.gram AS gram
+    FROM (
+        SELECT doc_id,
+            unnest(list_transform(generate_series(0, len(ws) - {n}),
+                i -> {{'pos': i, 'gram': md5({gram})}})) AS u
+        FROM w WHERE len(ws) >= {n}
+    )
+),
+c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= {min_count}),
+d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+isl AS (
+    SELECT doc_id, pos,
+        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+    FROM d
+),
+runs AS (SELECT doc_id, COUNT(*) AS run FROM isl GROUP BY doc_id, k),
+mr AS (SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY doc_id),
+pd AS (
+    SELECT doc_id, COUNT(*) AS n_dup,
+        len(list_distinct(flatten(
+            list_transform(list(pos), p -> range(p, p + {n}))))) AS covered
+    FROM d GROUP BY doc_id
+)
+SELECT w.doc_id,
+    CAST(greatest(len(ws) - {n - 1}, 0) AS BIGINT) AS n_grams,
+    CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_grams,
+    ROUND(CASE WHEN len(ws) - {n - 1} > 0
+        THEN CAST(COALESCE(n_dup, 0) AS DOUBLE) / (len(ws) - {n - 1})
+        ELSE 0.0 END, 6) AS dup_fraction,
+    CAST(COALESCE(covered, 0) AS BIGINT) AS covered_tokens,
+    ROUND(CAST(COALESCE(covered, 0) AS DOUBLE) / len(ws), 6)
+        AS coverage_fraction,
+    CAST(CASE WHEN COALESCE(n_dup, 0) > 0 THEN max_run + {n - 1}
+        ELSE 0 END AS BIGINT) AS max_dup_span
+FROM w LEFT JOIN pd ON w.doc_id = pd.doc_id
+LEFT JOIN mr ON w.doc_id = mr.doc_id"""
+
+
+@register("doc_duplicate_spans", _dup_spans_oracle(), driver=False)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span sweep (n-gram-granularity exact
+    substring dedup): per doc, how much of it is repeated verbatim
+    anywhere in the corpus — dup-gram fraction, span token coverage,
+    and the longest duplicated substring. n=3 for the tiny synthetic
+    vocabulary (pytest covers n=4 on planted shared sentences).
+    Oracle replays the positional gram lattice, occurrence counts, the
+    span union, and the gaps-and-islands run length in DuckDB."""
+    from sparkfeat.corpus import duplicate_spans
+
+    out = duplicate_spans(_docs(spark, sf_dir), n=3)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        _r(F.col("dup_fraction")).alias("dup_fraction"),
+        "covered_tokens",
+        _r(F.col("coverage_fraction")).alias("coverage_fraction"),
+        "max_dup_span",
+    )
+
+
+def _cut_dup_spans_oracle(n: int = 3, min_count: int = 2) -> str:
+    gram = " || ' ' || ".join(f"ws[i+{k + 1}]" for k in range(n))
+    return f"""WITH w AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+g AS (
+    SELECT doc_id, u.pos AS pos, u.gram AS gram
+    FROM (
+        SELECT doc_id,
+            unnest(list_transform(generate_series(0, len(ws) - {n}),
+                i -> {{'pos': i, 'gram': md5({gram})}})) AS u
+        FROM w WHERE len(ws) >= {n}
+    )
+),
+r AS (
+    SELECT doc_id, pos,
+        COUNT(*) OVER (PARTITION BY gram) AS n_occ,
+        ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+    FROM g
+),
+cp AS (
+    SELECT doc_id,
+        list_distinct(flatten(
+            list_transform(list(pos), p -> range(p, p + {n})))) AS cut_pos
+    FROM r WHERE n_occ >= {min_count} AND rk > 1
+    GROUP BY doc_id
+)
+SELECT w.doc_id,
+    COALESCE(array_to_string(
+        list_filter(ws, (t, i) -> cut_pos IS NULL
+            OR NOT list_contains(cut_pos, i - 1)), ' '), '') AS text,
+    CAST(len(ws) AS BIGINT) AS n_tokens,
+    CAST(COALESCE(len(cut_pos), 0) AS BIGINT) AS n_cut_tokens,
+    ROUND(CAST(len(ws) - COALESCE(len(cut_pos), 0) AS DOUBLE) / len(ws), 6)
+        AS kept_fraction
+FROM w LEFT JOIN cp ON w.doc_id = cp.doc_id"""
+
+
+@register("corpus_cut_dup_spans", _cut_dup_spans_oracle(), driver=False)
+def q_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-deduplicated corpus rebuild: every duplicated n-gram span
+    is cut from all but its lexicographically-first (doc_id, pos)
+    occurrence; the oracle replays the gram lattice, the corpus-wide
+    occurrence window, the first-occurrence ranking, the span union,
+    and the index-lambda token filter in DuckDB — the rebuilt TEXT
+    itself is hash-compared, not just the counts."""
+    from sparkfeat.corpus import cut_duplicate_spans
+
+    out = cut_duplicate_spans(_docs(spark, sf_dir), n=3)
+    return out.select(
+        "doc_id",
+        "text",
+        "n_tokens",
+        "n_cut_tokens",
+        _r(F.col("kept_fraction")).alias("kept_fraction"),
+    )
+
+
 def _global_shuffle_oracle(shards: int = 64, seed: str = "0") -> str:
     return f"""WITH k AS (
     SELECT doc_id, md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS skey

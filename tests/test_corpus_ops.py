@@ -218,3 +218,133 @@ def test_mixture_sample_stable_under_corpus_growth(spark):
         ).collect()
     }
     assert all(b[k] == v for k, v in a.items())
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicate spans
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_planted_shared_sentence(spark):
+    """Two docs share an 8-token sentence; n=4 grams. Hand-computed:
+    the shared region contributes 5 duplicated gram starts per doc
+    (positions of the 8-token run), covering 8 tokens, longest
+    duplicated substring = 8 tokens."""
+    from sparkfeat.corpus import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    d = _docs(
+        spark,
+        [
+            (1, f"u1 v1 {shared} w1"),
+            (2, f"x2 {shared} y2 z2 q2"),
+            (3, "totally unique words only here nothing repeats ever"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(d, n=4).collect()}
+    # doc 1: 11 tokens -> 8 grams; shared block at positions 2..9 ->
+    # duplicated gram starts 2..6 (5 grams), covered tokens 2..9 (8)
+    assert out[1]["n_grams"] == 8
+    assert out[1]["n_dup_grams"] == 5
+    assert out[1]["covered_tokens"] == 8
+    assert out[1]["max_dup_span"] == 8
+    assert out[1]["dup_fraction"] == pytest.approx(5 / 8)
+    assert out[1]["coverage_fraction"] == pytest.approx(8 / 11)
+    # doc 2: 12 tokens -> 9 grams; shared block at 1..8 -> starts 1..5
+    assert out[2]["n_dup_grams"] == 5
+    assert out[2]["covered_tokens"] == 8
+    assert out[2]["max_dup_span"] == 8
+    # doc 3: clean
+    assert out[3]["n_dup_grams"] == 0
+    assert out[3]["covered_tokens"] == 0
+    assert out[3]["max_dup_span"] == 0
+    assert out[3]["coverage_fraction"] == 0.0
+
+
+def test_duplicate_spans_within_doc_repeat_counts(spark):
+    """Occurrence counting is corpus-wide INCLUDING same-doc repeats
+    (Lee et al. semantics: any repeated substring is cuttable), and a
+    doc shorter than n emits zeros, not nothing."""
+    from sparkfeat.corpus import duplicate_spans
+
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d x y z a b c d"),  # "a b c d" twice in ONE doc
+            (2, "tiny doc"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(d, n=4).collect()}
+    assert out[1]["n_dup_grams"] == 2  # gram "a b c d" at pos 0 and 7
+    assert out[1]["covered_tokens"] == 8
+    assert out[1]["max_dup_span"] == 4  # runs are length-1 each
+    assert out[2]["n_grams"] == 0 and out[2]["n_dup_grams"] == 0
+
+
+def test_duplicate_spans_disjoint_runs_merge_coverage(spark):
+    """Overlapping duplicated grams union their spans (no double
+    counting) and consecutive gram starts extend max_dup_span."""
+    from sparkfeat.corpus import duplicate_spans
+
+    d = _docs(
+        spark,
+        [
+            (1, "p q r s t m1 m2"),
+            (2, "p q r s t n1 n2"),  # 5-token shared prefix, n=3
+        ],
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(d, n=3).collect()}
+    # shared run: gram starts 0,1,2 (consecutive) -> covered 0..4 = 5
+    for i in (1, 2):
+        assert out[i]["n_dup_grams"] == 3
+        assert out[i]["covered_tokens"] == 5
+        assert out[i]["max_dup_span"] == 5
+
+
+def test_cut_duplicate_spans_keeps_first_occurrence(spark):
+    """The lexicographically-first (doc_id, pos) occurrence survives;
+    every other occurrence's span is cut; untouched docs come back
+    lowercased/space-normalized but token-identical."""
+    from sparkfeat.corpus import cut_duplicate_spans
+
+    shared = "alpha beta gamma delta"
+    d = _docs(
+        spark,
+        [
+            (1, f"u1 {shared} v1"),
+            (2, f"{shared} w2 x2"),
+            (3, "nothing here repeats at all"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in cut_duplicate_spans(d, n=4).collect()}
+    # doc 1 owns the first occurrence (doc_id 1 < 2): kept intact
+    assert out[1]["text"] == f"u1 {shared} v1"
+    assert out[1]["n_cut_tokens"] == 0
+    # doc 2 loses the shared block
+    assert out[2]["text"] == "w2 x2"
+    assert out[2]["n_cut_tokens"] == 4
+    assert out[2]["kept_fraction"] == pytest.approx(2 / 6)
+    assert out[3]["text"] == "nothing here repeats at all"
+    assert out[3]["n_cut_tokens"] == 0
+
+
+def test_cut_duplicate_spans_within_doc_and_overlap_union(spark):
+    """Same-doc repeats cut all but the first; overlapping duplicated
+    grams union before cutting (no token cut twice, counts exact)."""
+    from sparkfeat.corpus import cut_duplicate_spans
+
+    d = _docs(
+        spark,
+        [
+            (1, "a b c a b c tail"),  # "a b c" twice within one doc, n=3
+            (2, "p q r s p q r s"),  # "p q r s" grams overlap: starts 0..1 vs 4..5
+        ],
+    )
+    out = {r["doc_id"]: r for r in cut_duplicate_spans(d, n=3).collect()}
+    # doc 1: gram "a b c" at 0 and 3; first kept, cut span [3,6) -> "a b c tail"
+    assert out[1]["text"] == "a b c tail"
+    assert out[1]["n_cut_tokens"] == 3
+    # doc 2: grams "p q r"(0,4) "q r s"(1,5); firsts at 0,1 kept;
+    # cut starts {4,5} union span = positions 4..7 -> "p q r s"
+    assert out[2]["text"] == "p q r s"
+    assert out[2]["n_cut_tokens"] == 4
