@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -81,12 +82,18 @@ def main() -> None:
         # steady-state timing: one untimed execution first (whole-stage
         # codegen compilation + JIT warmup otherwise dominates the first
         # run and adds ±40% run-to-run noise at this input size), then
-        # the timed run. noop sink: full evaluation of every output
-        # column, no driver collect.
+        # the MEDIAN of 3 timed runs — this VM takes minutes-long bursts
+        # of external hypervisor load (measured: the same query 0.8 s
+        # quiet vs 9.9 s mid-burst), and a single timed run lands inside
+        # a burst often enough to corrupt a round's numbers. noop sink:
+        # full evaluation of every output column, no driver collect.
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(times), 3)
 
     flagship_sec = per_query.get("flagship_features", float("nan"))
     print(
