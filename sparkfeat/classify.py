@@ -41,6 +41,8 @@ def fit_bins(
     nbins: int,
     entity_col: str | None = "conv_id",
     centred: bool = False,
+    method: str = "exact",
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """A7/N4: per-entity (or global) bin-edge array.
 
@@ -48,22 +50,51 @@ def fit_bins(
     (classifier.py:73-74). ``centred=True`` — the ``use_centred_bins``
     branch (classifier.py:69-71): edges = unit-gaussian equal-probability
     edges × σ_pop, symmetric around 0 — constants scaled by one per-entity
-    aggregate, so the fit stays a single groupBy."""
+    aggregate, so the fit stays a single groupBy.
+
+    ``method`` — the physical strategy for the balanced-quantile path:
+
+    * ``'exact'`` (default): Spark's exact ``percentile`` — reference
+      edge parity (SURVEY.md §7 Stage 4), but the aggregate BUFFERS
+      every value of a group in executor memory, which is the real OOM
+      hazard when one entity holds 10^9+ turns.
+    * ``'approx'``: ``percentile_approx`` (Greenwald-Khanna sketch,
+      bounded memory O(accuracy·log n) per group regardless of group
+      size) — the 10^12-row strategy. Rank error ≤ n/``accuracy`` per
+      edge (pytest-bounded vs the exact path); bin_median moves to the
+      same sketch so the whole fit stays sketch-only.
+
+    ``centred=True`` ignores ``method`` (its only aggregate is a
+    constant-memory stddev)."""
     if centred:
         consts = [float(x) for x in unit_gaussian_edges(nbins + 1)]
         sd = F.stddev_pop(value_col)
         agg = F.transform(
             F.array(*[F.lit(c) for c in consts]), lambda e: e * sd
         ).alias("edges")
-    else:
+        med = F.percentile(F.col(value_col), F.lit(0.5))
+    elif method == "approx":
+        ps = [i / nbins for i in range(nbins + 1)]
+        agg = F.percentile_approx(
+            F.col(value_col),
+            F.array([F.lit(p) for p in ps]),
+            F.lit(accuracy),
+        ).cast("array<double>").alias("edges")
+        med = F.percentile_approx(
+            F.col(value_col), F.lit(0.5), F.lit(accuracy)
+        ).cast("double")
+    elif method == "exact":
         ps = [i / nbins for i in range(nbins + 1)]
         agg = F.percentile(F.col(value_col), F.array([F.lit(p) for p in ps])).alias(
             "edges"
         )
+        med = F.percentile(F.col(value_col), F.lit(0.5))
+    else:  # pragma: no cover - guard
+        raise ValueError(f"unknown fit_bins method {method!r}")
     stats = [
         agg,
         F.avg(value_col).alias("bin_mean"),
-        F.percentile(F.col(value_col), F.lit(0.5)).alias("bin_median"),
+        med.alias("bin_median"),
         F.stddev_pop(value_col).alias("bin_std"),
     ]
     return df.groupBy(entity_col).agg(*stats) if entity_col else df.agg(*stats)

@@ -228,3 +228,46 @@ def test_apply_scaler_left_join_passes_unseen_entities(spark, sig):
     assert b.count() == n_in
     ub = b.filter(F.col("conv_id") == held_out)
     assert ub.filter(F.col("bin_idx").isNotNull() | F.col("oh").isNotNull()).count() == 0
+
+
+def test_fit_bins_approx_rank_error_bounded(spark):
+    """The sketch strategy (method='approx', bounded memory per group —
+    the 10^12-row path) lands every edge within the Greenwald-Khanna
+    rank guarantee (n/accuracy) of the exact quantile's rank, per
+    entity, on a skewed distribution."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": np.repeat(["a", "b"], 10_000),
+            "v": np.concatenate(
+                [rng.lognormal(0, 1.0, 10_000), rng.normal(50, 5, 10_000)]
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    nbins, accuracy = 10, 100
+    out = (
+        fit_bins(df, "v", nbins, entity_col="conv_id", method="approx",
+                 accuracy=accuracy)
+        .toPandas()
+        .set_index("conv_id")
+    )
+    for conv, g in pdf.groupby("conv_id"):
+        x = np.sort(g["v"].to_numpy())
+        n = len(x)
+        edges = np.array(out.loc[conv, "edges"])
+        assert len(edges) == nbins + 1
+        assert (np.diff(edges) >= 0).all()
+        # GK guarantee: returned element's rank within n/accuracy of target
+        tol = n / accuracy + 1
+        for k, e in enumerate(edges):
+            target = k / nbins * (n - 1)
+            rank = np.searchsorted(x, e, side="left")
+            assert abs(rank - target) <= tol, (conv, k, rank, target)
+        # p=0 / p=1 are exact min/max in the sketch
+        assert edges[0] == x[0] and edges[-1] == x[-1]
+        # sketch median obeys the same bound
+        med_rank = np.searchsorted(x, out.loc[conv, "bin_median"], side="left")
+        assert abs(med_rank - 0.5 * (n - 1)) <= tol
