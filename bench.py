@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "ann_ivf_served",
     "doc_pii_scrub",
     "corpus_decontaminate",
+    # cross-doc duplicate-span cut (n-gram exact-substring dedup rebuild)
+    "corpus_cut_dup_spans",
 ]
 
 
