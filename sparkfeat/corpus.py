@@ -368,9 +368,14 @@ def duplicate_spans(
     partial aggregation collapses hot boilerplate grams per task
     BEFORE the corpus-wide shuffle, so the count stage has no hot key;
     the gram⋈count equi-join back is the one skew-exposed stage and
-    rides AQE skew-join splitting (session default). Everything after
-    re-aggregates on the doc id; the span union and run-length math are
-    in-row HOF algebra (no second explode).
+    rides AQE skew-join splitting (session default). The per-doc span
+    math is WINDOW-shaped, never a per-doc array: a lead()/islands
+    pass over the (doc, pos) rows (``WindowExec`` buffers spill to
+    disk, so a 10⁷-gram boilerplate doc is disk-bounded, not an
+    in-memory ``collect_list`` agg buffer) — covered tokens is
+    Σ min(next_pos − pos, n) over the sorted duplicated positions,
+    max run is the classic pos − row_number gaps-and-islands, both
+    then folded by ordinary partial-aggregating groupBys.
 
     No reference counterpart (the reference has no corpus operators);
     the oracle twin replays gram hashing positionally in DuckDB
@@ -386,39 +391,28 @@ def duplicate_spans(
         .filter(F.col("n_occ") >= min_count)
         .select("gram")
     )
-    per_doc = (
-        grams.join(counts, "gram")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_dup_grams"),
-            F.sort_array(F.collect_list("pos")).alias("_ps"),
-        )
-        .withColumn(
-            "covered_tokens",
-            F.size(
-                F.array_distinct(
-                    F.flatten(
-                        F.expr(f"transform(_ps, p -> sequence(p, p + {n} - 1))")
-                    )
-                )
-            ),
-        )
-        .withColumn(
-            # gaps-and-islands over the sorted positions, in-row: the
-            # longest run of consecutive duplicated gram starts
-            "_max_run",
-            F.expr(
-                """aggregate(
-                    slice(_ps, 2, greatest(size(_ps) - 1, 0)),
-                    named_struct('cur', 1, 'best', 1, 'prev', _ps[0]),
-                    (acc, x) -> named_struct(
-                        'cur', IF(x = acc.prev + 1, acc.cur + 1, 1),
-                        'best', greatest(acc.best,
-                                         IF(x = acc.prev + 1, acc.cur + 1, 1)),
-                        'prev', x),
-                    acc -> acc.best)"""
-            ),
-        )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    stepped = grams.join(counts, "gram").select(
+        F.col(id_col),
+        # union-of-spans contribution of this position: the next
+        # duplicated gram either overlaps (gap < n → count only the
+        # gap) or doesn't (count the full window n); the last position
+        # always contributes n.
+        F.least(
+            F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(n)),
+            F.lit(n),
+        ).alias("_cov"),
+        (F.col("pos") - F.row_number().over(w)).alias("_isl"),
+    )
+    # islands → runs → per-doc; hash(doc) clusters (doc, isl) too, so
+    # neither groupBy re-exchanges after the window's doc shuffle.
+    runs = stepped.groupBy(id_col, "_isl").agg(
+        F.count(F.lit(1)).alias("_run"), F.sum("_cov").alias("_covs")
+    )
+    per_doc = runs.groupBy(id_col).agg(
+        F.sum("_run").alias("n_dup_grams"),
+        F.sum("_covs").alias("covered_tokens"),
+        F.max("_run").alias("_max_run"),
     )
     lc = F.lower(F.col(text_col))
     base = docs.select(
@@ -465,14 +459,24 @@ def cut_duplicate_spans(
     dependence. Cut spans within a doc are unioned before cutting, so
     overlapping duplicated grams never double-cut a token.
 
-    Scale shape: identical to :func:`duplicate_spans` (map-side
-    combined ``groupBy(gram)`` carrying ``min(struct(doc_id, pos))``,
-    AQE-skew-handled join back, per-doc union in-row). The rebuild
-    keeps token ``i`` iff ``i`` is outside every cut span: an in-row
-    filter over the token array against the sorted cut-position array
-    (binary containment on an array; per-doc cost
-    tokens × cut-spans — bounded because cut spans are ≤ tokens/n
-    after the union).
+    Scale shape: identical to :func:`duplicate_spans` up to the cut
+    set (map-side combined ``groupBy(gram)`` carrying
+    ``min(struct(doc_id, pos))``, AQE-skew-handled join back). The cut
+    positions are then interval-MERGED before they ever touch a per-doc
+    array: a running-max window over the sorted (doc, pos) rows
+    (spill-to-disk ``WindowExec``, not an agg buffer) labels maximal
+    overlapping/adjacent span groups, a groupBy collapses each group to
+    one ``(start, end)`` struct — so the per-doc collected state is
+    O(merged spans) ≤ tokens/(n+1), and a boilerplate-heavy doc whose
+    duplicated grams run contiguously (the operator's target input)
+    collapses to a handful of spans, not 10⁷ positions. The rebuild is
+    LINEAR: the disjoint sorted spans flatten to the cut-position
+    array, ``array_except(sequence(0, n_tok−1), cut_pos)`` (hash-set
+    difference, order-preserving) yields the kept indices, and a
+    single ``transform`` gathers kept tokens by O(1) array index —
+    O(tokens + cuts) per doc, never the O(tokens × cuts)
+    per-token-containment probe (a fully-duplicated 200k-token doc is
+    bounded-time pytested).
 
     Output: ``doc_id``, ``text`` (rebuilt, single-space joined — the
     tokenization this operator works at), ``n_tokens``,
@@ -491,38 +495,53 @@ def cut_duplicate_spans(
         .filter(F.col("n_occ") >= min_count)
         .select("gram", "first")
     )
-    cuts = (
-        grams.join(occ, "gram")
-        .filter(
-            ~(
-                (F.col(id_col) == F.col(f"first.{id_col}"))
-                & (F.col("pos") == F.col("first.pos"))
-            )
+    cut_rows = grams.join(occ, "gram").filter(
+        ~(
+            (F.col(id_col) == F.col(f"first.{id_col}"))
+            & (F.col("pos") == F.col("first.pos"))
         )
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("pos")).alias("_cut_starts"))
-        .withColumn(
-            "_cut_pos",
-            F.array_distinct(
-                F.flatten(
-                    F.expr(
-                        f"transform(_cut_starts, p -> sequence(p, p + {n} - 1))"
-                    )
-                )
-            ),
-        )
-        .select(id_col, "_cut_pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # interval merge: a span [pos, pos+n) starts a new group iff it
+    # clears the running max end of everything before it (strict > :
+    # adjacency merges too, keeping groups disjoint so the flatten
+    # below needs no array_distinct).
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = cut_rows.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    grouped = flagged.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_grp"),
+    )
+    spans = grouped.groupBy(id_col, "_grp").agg(
+        F.min("pos").alias("_s"), (F.max("pos") + n).alias("_e")
+    )
+    cuts = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("_s", "_e"))).alias("_spans"),
+        F.sum(F.col("_e") - F.col("_s")).alias("_n_cut"),
     )
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    out = docs.join(cuts, id_col, "left").withColumn(
-        "_toks", toks
-    )
+    out = docs.join(cuts, id_col, "left").withColumn("_toks", toks)
     kept = F.expr(
-        "filter(transform(_toks, (t, i) -> IF(_cut_pos IS NULL OR "
-        "NOT array_contains(_cut_pos, i), t, NULL)), t -> t IS NOT NULL)"
+        "transform("
+        "  array_except("
+        "    sequence(0, size(_toks) - 1),"
+        "    flatten(transform(coalesce(_spans, array()),"
+        "                      s -> sequence(s._s, s._e - 1)))),"
+        "  i -> _toks[i])"
     )
     n_tok = F.size(F.col("_toks"))
-    n_cut = F.coalesce(F.size("_cut_pos"), F.lit(0))
+    n_cut = F.coalesce(F.col("_n_cut"), F.lit(0))
     return out.select(
         id_col,
         F.concat_ws(" ", kept).alias("text"),
@@ -587,14 +606,23 @@ def mixture_sample(
     language is an opt-in to downsample it.
 
     Scale shape: one tiny groupBy-count (|groups| rows) broadcast back;
-    the keep decision is a pure map-side expression."""
-    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_group"))
-    total = docs.count()  # one scalar; the count job is metadata-cheap on parquet
+    the keep decision is a pure map-side expression. Fully LAZY: the
+    corpus total N is derived in-plan from the same group-counts
+    aggregate (a second tiny agg cross-joined as a broadcast one-row
+    table), not an eager ``docs.count()`` — building the plan fires no
+    job, composes under further laziness, and never forces a second
+    scan of a non-parquet source."""
+    counts_raw = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_group")
+    )
+    total_df = counts_raw.agg(F.sum("n_group").alias("_total"))
+    counts = counts_raw.crossJoin(F.broadcast(total_df))
     rate_expr = None
     for g, p in sorted(targets.items()):
         cond = F.col(group_col) == g
         r = F.least(
-            F.lit(1.0), F.lit(p) * (F.lit(frac) * total) / F.col("n_group")
+            F.lit(1.0),
+            F.lit(p) * (F.lit(frac) * F.col("_total")) / F.col("n_group"),
         )
         rate_expr = F.when(cond, r) if rate_expr is None else rate_expr.when(cond, r)
     rate_expr = (

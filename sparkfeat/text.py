@@ -350,7 +350,15 @@ def content_fp64(text: str | Column) -> Column:
 
     @F.pandas_udf(LongType())
     def fp(texts: pd.Series) -> pd.Series:
-        return pd.Series(md5_lower64_np(texts).astype(np.int64))
+        # null-preserving: hash only the non-null slots (None.encode()
+        # would otherwise kill the batch — same hazard class as the
+        # lang-ID kernel's null guard).
+        mask = texts.notna()
+        out = pd.Series([None] * len(texts), dtype="object")
+        if mask.any():
+            vals = md5_lower64_np(texts[mask]).astype(np.int64)
+            out[mask] = list(vals)
+        return out
 
     return fp(norm)
 
@@ -367,26 +375,33 @@ def fingerprint_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     whole group in one un-splittable task, while the groupBy combines
     map-side (the hot key arrives at the reducer as a handful of
     partial counts) and the join-back is an equi-join AQE's skew-join
-    CAN split. Same shuffle count (one per key), no hot partition."""
+    CAN split. Same shuffle count (one per key), no hot partition.
+
+    Row-preserving: docs with a NULL text hash to NULL fingerprints,
+    which an inner equi-join would silently drop (NULL never equals
+    NULL) — so the join-backs are LEFT joins with the group count
+    coalesced to 1 (a null-text doc is its own singleton group), and
+    the panel always has exactly one row per input doc."""
     d = docs.select(
         "doc_id",
         content_fingerprint(text_col).alias("content_fp"),
         content_fp64(text_col).alias("fp64"),
         bag_fingerprint(text_col).alias("bag_fp"),
     )
-    cg = d.groupBy("content_fp").agg(F.count(F.lit(1)).alias("content_group"))
+    cg = d.groupBy("content_fp").agg(F.count(F.lit(1)).alias("_content_group"))
     bg = d.groupBy("bag_fp").agg(F.count(F.lit(1)).alias("_bag_group"))
     return (
-        d.join(cg, "content_fp")
-        .join(bg, "bag_fp")
+        d.join(cg, "content_fp", "left")
+        .join(bg, "bag_fp", "left")
         .select(
             "doc_id",
             "content_fp",
             "fp64",
-            "content_group",
-            (F.col("_bag_group") > F.col("content_group")).alias(
-                "reorder_only_dup"
-            ),
+            F.coalesce("_content_group", F.lit(1)).alias("content_group"),
+            (
+                F.coalesce("_bag_group", F.lit(1))
+                > F.coalesce("_content_group", F.lit(1))
+            ).alias("reorder_only_dup"),
         )
     )
 
@@ -550,7 +565,11 @@ def lang_ngram_guess_arrow(
     pytest-asserted; the SQL oracle replay is shared (it checks
     semantics, not implementation). Tie-break parity holds exactly:
     Python str comparison is codepoint order, which equals Spark's
-    binary UTF-8 ordering for all of Unicode."""
+    binary UTF-8 ordering for all of Unicode. Null text → 'unknown',
+    matching the expr path (its ``when(length >= 3)`` guard is
+    null-false, so a null doc gets the empty trigram list and falls
+    through the ``min_overlap`` gate) — one null doc must not kill a
+    corpus job."""
     from collections import Counter
 
     from pyspark.sql.types import StringType
@@ -561,6 +580,9 @@ def lang_ngram_guess_arrow(
     def guess(texts: pd.Series) -> pd.Series:
         res = []
         for t in texts:
+            if t is None:
+                res.append("unknown")
+                continue
             s = t.lower()
             top = [
                 tri

@@ -348,3 +348,68 @@ def test_cut_duplicate_spans_within_doc_and_overlap_union(spark):
     # cut starts {4,5} union span = positions 4..7 -> "p q r s"
     assert out[2]["text"] == "p q r s"
     assert out[2]["n_cut_tokens"] == 4
+
+
+def test_duplicate_spans_heavy_tailed_doc_bounded_time(spark):
+    """The heavy-tailed-document hazard pin: a ~200k-token doc that is
+    duplicated WHOLESALE (a second doc with identical text, plus heavy
+    internal repetition) must clear both span operators in bounded
+    time. The old shape failed twice here: duplicate_spans collected
+    every duplicated position into ONE agg-buffer array (10^5+ ints, no
+    spill), and cut_duplicate_spans probed array_contains(cut_pos, i)
+    PER TOKEN — O(tokens x cuts) ~ 4e10 comparisons on this input. The
+    window/islands rewrite is O(rows log rows) disk-spillable and the
+    rebuild is O(tokens + cuts); semantics are pinned exactly against
+    closed-form expectations (every gram duplicated, one merged span)."""
+    import time
+
+    from sparkfeat.corpus import cut_duplicate_spans, duplicate_spans
+
+    n_tok = 200_000
+    phrase = [f"w{i}" for i in range(50)]  # 50-token phrase repeated 4000x
+    doc = " ".join(phrase * (n_tok // len(phrase)))
+    d = _docs(spark, [(1, doc), (2, doc), (3, "no repeats in this one zz")])
+
+    t0 = time.monotonic()
+    spans = {r["doc_id"]: r for r in duplicate_spans(d, n=8).collect()}
+    cut = {r["doc_id"]: r for r in cut_duplicate_spans(d, n=8).collect()}
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120, f"span ops on 200k-token dup doc took {elapsed:.0f}s"
+
+    m = n_tok - 7  # grams per big doc
+    for i in (1, 2):
+        assert spans[i]["n_grams"] == m
+        assert spans[i]["n_dup_grams"] == m  # every gram occurs >= 4 times
+        assert spans[i]["covered_tokens"] == n_tok  # one merged span = whole doc
+        assert spans[i]["max_dup_span"] == n_tok
+    assert spans[3]["n_dup_grams"] == 0
+
+    # doc 1 owns every first occurrence (lexicographic min doc_id):
+    # kept whole; doc 2 is cut to nothing but its never-first tail? No -
+    # every gram of doc 2 has its first occurrence in doc 1, so doc 2 is
+    # cut ENTIRELY; doc 1 also self-repeats, so its second..4000th
+    # phrase repetitions are cut too (first occurrence of each gram is
+    # its first position in doc 1).
+    assert cut[1]["n_cut_tokens"] + len(cut[1]["text"].split()) == n_tok
+    assert cut[1]["n_cut_tokens"] > 0  # internal repeats cut
+    assert cut[2]["text"] == "" and cut[2]["n_cut_tokens"] == n_tok
+    assert cut[3]["text"] == "no repeats in this one zz"
+
+
+def test_mixture_sample_is_lazy(spark):
+    """Building the mixture_sample plan must fire NO Spark job: the
+    corpus total is derived in-plan from the group-counts aggregate
+    (round-4 finding: an eager docs.count() in the builder broke
+    laziness and forced a scan at plan-build time on any source)."""
+    d = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(100)],
+        "doc_id bigint, lang string",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    out = mixture_sample(d, {"en": 0.7, "de": 0.3}, frac=0.5)
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, "plan build fired a Spark job"
+    # and the plan still evaluates correctly once acted on
+    kept = out.filter("keep").count()
+    assert 0 < kept < 100

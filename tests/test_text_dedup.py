@@ -128,6 +128,27 @@ def test_fingerprint_summary_semantics(dup_docs):
         assert int(out.loc[i, "fp64"]) == int(np.uint64(u).astype(np.int64))
 
 
+def test_fingerprint_summary_preserves_null_text_rows(spark):
+    """Null-text docs hash to NULL fingerprints; the group-count
+    join-backs are LEFT joins so the panel stays row-preserving (an
+    inner join on a NULL key silently drops the doc — the regression
+    this pins). Null docs count as their own singleton group and the
+    fp64 pandas kernel must pass the None through, not crash the
+    batch."""
+    d = spark.createDataFrame(
+        [(1, "shared text here"), (2, "shared text here"), (3, None), (4, None)],
+        "doc_id bigint, text string",
+    )
+    out = X.fingerprint_summary(d).toPandas().set_index("doc_id").sort_index()
+    assert len(out) == 4  # row-preserving incl. both null-text docs
+    assert out.loc[1, "content_group"] == 2
+    for i in (3, 4):
+        assert out.loc[i, "content_fp"] is None
+        assert out.loc[i, "fp64"] is None or np.isnan(out.loc[i, "fp64"])
+        assert out.loc[i, "content_group"] == 1
+        assert not out.loc[i, "reorder_only_dup"]
+
+
 def test_jaccard_pairs_vs_bruteforce(dup_docs):
     got = (
         jaccard_pairs(dup_docs, threshold=0.5)
@@ -459,7 +480,7 @@ def test_lang_ngram_arrow_equals_expr(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     seeds = spark.createDataFrame(
         [(i, s) for i, s in enumerate(X._LANG_SEEDS.values())]
-        + [(99, ""), (100, "ab"), (101, "the the the")],
+        + [(99, ""), (100, "ab"), (101, "the the the"), (102, None)],
         "doc_id long, text string",
     )
     for d in (docs, seeds):
@@ -468,7 +489,18 @@ def test_lang_ngram_arrow_equals_expr(spark, sf_dir):
                 X.lang_ngram_guess("text").alias("a"),
                 X.lang_ngram_guess_arrow("text").alias("b"),
             )
-            .filter("a <> b")
+            .filter("NOT (a <=> b)")  # null-safe: a null on either side is a diff
             .count()
         )
         assert n == 0
+    # the null doc must come back 'unknown' from BOTH paths, not kill
+    # the batch (one null doc in a corpus must not fail the job)
+    row = (
+        seeds.filter("doc_id = 102")
+        .select(
+            X.lang_ngram_guess("text").alias("a"),
+            X.lang_ngram_guess_arrow("text").alias("b"),
+        )
+        .first()
+    )
+    assert row["a"] == "unknown" and row["b"] == "unknown"
