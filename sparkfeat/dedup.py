@@ -547,3 +547,142 @@ def embedding_pairs_lsh(
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: pairs -> connected components -> canonical keep-list
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Distributed connected components over a near-duplicate pair graph
+    via alternating **large-star / small-star** contractions (Kiveris et
+    al., *Connected Components in MapReduce and Beyond*, SoCC'14 — the
+    standard O(log n)-round formulation; plain min-label propagation is
+    O(graph diameter) rounds, and LSH band collisions chain near-dup
+    docs into long paths, exactly the adversarial case). Returns one row
+    per non-isolated node: ``(node, component)`` where ``component`` is
+    the smallest node id in its component — deterministic on any
+    cluster, no rand/iteration-order dependence.
+
+    Each round is two groupBy-join passes over the CURRENT edge set
+    (which only shrinks toward one star per component — never the raw
+    corpus); convergence is detected by an order-insensitive edge-set
+    checksum (count + sum of xxhash64(u,v)), and ``checkpoint=True``
+    (default) cuts lineage with an eager ``localCheckpoint()`` per round
+    — without it the plan nests one contraction per round and a retry
+    recomputes the whole history (same hazard the k-means fit guards;
+    pytest asserts constant plan depth). Raises after ``max_iter``
+    rounds (components need ~log₂(n) large/small rounds; 25 covers any
+    realistic pair graph) rather than returning unconverged labels.
+
+    No reference counterpart (the reference has no corpus operators);
+    the DuckDB oracle twin replays the closure with a recursive CTE.
+    """
+
+    def _star(edges: DataFrame, large: bool) -> DataFrame:
+        sym = edges.select(
+            F.col("u").alias("n"), F.col("v").alias("w")
+        ).unionByName(edges.select(F.col("v").alias("n"), F.col("u").alias("w")))
+        m = sym.groupBy("n").agg(F.min("w").alias("_mw"))
+        joined = sym.join(m, "n").withColumn(
+            "m", F.least(F.col("_mw"), F.col("n"))
+        )
+        kept = joined.filter(
+            F.col("w") > F.col("n") if large else F.col("w") <= F.col("n")
+        )
+        out = kept.select(F.col("w").alias("u"), F.col("m").alias("v"))
+        if not large:
+            # small-star also re-links each center to its min
+            out = out.unionByName(
+                joined.select(F.col("n").alias("u"), F.col("m").alias("v")).distinct()
+            )
+        return (
+            out.filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+        )
+
+    def _checksum(edges: DataFrame):
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: 2^63-magnitude terms would overflow an
+            # ANSI BIGINT sum after a handful of edges
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev = None
+    for _ in range(max_iter):
+        edges = _star(_star(edges, large=True), large=False)
+        if checkpoint:
+            edges = edges.localCheckpoint(eager=True)
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # converged: edges form stars (u=member, v=component min); the root
+    # itself appears only on the v side.
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(
+            edges.select(F.col("v").alias("node"), F.col("v").alias("component"))
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Canonical keep-list from a near-dup pair graph: every doc gets its
+    ``cluster_id`` (smallest doc id reachable through the pair graph;
+    singletons cluster with themselves), ``cluster_size``, and
+    ``keep`` = (doc == cluster representative) — the action step that
+    turns pairwise near-dup evidence into "keep one doc per duplicate
+    group" for a training corpus. One left join against the (tiny,
+    non-isolated-nodes-only) component labels + one cluster-size
+    groupBy; docs never shuffle on text."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    lab = (
+        docs.select(F.col(id_col))
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return lab.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )

@@ -140,6 +140,7 @@ def kmeans_centroids(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Distributed Lloyd's k-means refinement of the IVF centroids
     (cosine assignment): init = first-C-by-id (the deterministic seed),
@@ -147,9 +148,20 @@ def kmeans_centroids(
     element-wise mean (posexplode + groupBy avg — never collects the
     corpus). Empty clusters keep their previous centroid. Better-shaped
     buckets than the raw seed → higher recall per nprobe; the fit cost
-    is n_iter broadcast passes over the corpus. A production run would
-    checkpoint the (C × dim) centroid table between rounds to cut
-    lineage; at these C it is a trivial plan."""
+    is n_iter broadcast passes over the corpus.
+
+    ``checkpoint=True`` cuts lineage between Lloyd rounds with an eager
+    ``localCheckpoint()`` on the (C × dim) centroid table: without it
+    the centroid plan nests one full corpus-assignment subtree per
+    round (plan depth — and Catalyst analysis cost — grows linearly in
+    ``n_iter``, and a failure-triggered recompute replays every round);
+    with it each round's plan hangs off a materialized C-row table, so
+    plan size is constant in ``n_iter`` (pytest-asserted) and each
+    corpus pass runs exactly once. The flag defaults to off so the
+    fully-lazy plan (replayable by the DuckDB oracle with no side
+    effects) stays the default; large ``n_iter``/C fits should turn it
+    on. Checkpointed values are the computed centroids, so results are
+    bit-identical either way (pytest-asserted)."""
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     for _ in range(n_iter):
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
@@ -171,6 +183,8 @@ def kmeans_centroids(
                 "cent_id", F.coalesce(F.col("_centv"), F.col("_prev")).alias("_centv")
             )
         )
+        if checkpoint:
+            cents = cents.localCheckpoint(eager=True)
     return cents
 
 

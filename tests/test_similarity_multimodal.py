@@ -547,6 +547,31 @@ def test_kmeans_centroids_improve_assignment_objective(spark, sf_dir):
     assert recall_km >= 0.6
 
 
+def test_kmeans_checkpoint_constant_plan_depth_same_result(spark, sf_dir):
+    """``checkpoint=True`` cuts centroid lineage between Lloyd rounds:
+    the analyzed-plan size must stay CONSTANT in n_iter (the lazy plan
+    nests one corpus-assignment subtree per round, so its size grows
+    linearly), and the fitted centroids must be bit-identical to the
+    lazy path (localCheckpoint stores the computed values — no
+    recompute, no nondeterminism)."""
+    from sparkfeat.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def plan_len(n_iter):
+        df = kmeans_centroids(emb, 8, n_iter=n_iter, checkpoint=True)
+        return len(df._jdf.queryExecution().analyzed().toString())
+
+    # lazy plan roughly triples per extra round; checkpointed plan hangs
+    # off a materialized C-row scan, so 1 vs 4 rounds must be ~equal.
+    assert plan_len(4) <= plan_len(1) * 1.05
+
+    lazy = kmeans_centroids(emb, 8, n_iter=2).collect()
+    ckpt = kmeans_centroids(emb, 8, n_iter=2, checkpoint=True).collect()
+    as_map = lambda rows: {r.cent_id: r._centv for r in rows}  # noqa: E731
+    assert as_map(lazy) == as_map(ckpt)
+
+
 def test_kmeans_beats_seed_on_clustered_corpus(spark, sf_dir):
     """Where cluster structure exists, k-means-refined IVF buckets must
     recall at least as much as the first-C seed (and in practice more).

@@ -480,7 +480,19 @@ def test_lang_ngram_arrow_equals_expr(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     seeds = spark.createDataFrame(
         [(i, s) for i, s in enumerate(X._LANG_SEEDS.values())]
-        + [(99, ""), (100, "ab"), (101, "the the the"), (102, None)],
+        + [
+            (99, ""),
+            (100, "ab"),
+            (101, "the the the"),
+            (102, None),
+            # İ lowercases to TWO codepoints (i + combining dot): the
+            # batch kernel's flat encode must take lengths AFTER lower
+            (103, "İİİ the and of to in is that it was"),
+            # astral-plane codepoints (> 0xFFFF) exercise the 21-bit
+            # trigram packing; mixed de/en content exercises tie-breaks
+            (104, "😀😀😀 der die und the the of and"),
+            (105, "abc"),
+        ],
         "doc_id long, text string",
     )
     for d in (docs, seeds):
@@ -504,3 +516,63 @@ def test_lang_ngram_arrow_equals_expr(spark, sf_dir):
         .first()
     )
     assert row["a"] == "unknown" and row["b"] == "unknown"
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Large-star/small-star CC vs a union-find reference on the
+    adversarial shapes: a long chain (worst case for naive min-label
+    propagation — O(diameter) rounds there, O(log n) here), a clique, a
+    star, an isolated pair, and a cross-link merging two shapes.
+    Duplicate and self edges must be tolerated."""
+    from sparkfeat.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(40)]  # 41-node chain
+        + [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+        + [(200, 201), (300, 301), (300, 302), (300, 303)]
+        + [(40, 100)]  # chain ∪ clique merge
+        + [(5, 4), (7, 7), (200, 201)]  # reversed dup, self edge, dup
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    want = _union_find_components((a, b) for a, b in edges if a != b)
+    assert got == want
+
+
+def test_neardup_clusters_keep_list_invariants(spark):
+    """Keep-list semantics: exactly one keep per cluster, the keeper is
+    the cluster min, singletons keep themselves, and cluster sizes
+    partition the doc set."""
+    from sparkfeat.dedup import neardup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 7), (1, 2)], "id_a long, id_b long"
+    )
+    out = neardup_clusters(docs, pairs).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert len(by_doc) == 10
+    assert {r.doc_id for r in out if r.keep} == {0, 1, 4, 5, 6, 8, 9}
+    assert by_doc[7].cluster_id == 0 and by_doc[7].cluster_size == 3
+    assert by_doc[2].cluster_id == 1 and by_doc[2].cluster_size == 2
+    assert by_doc[9].cluster_id == 9 and by_doc[9].cluster_size == 1
+    assert sum(r.cluster_size for r in out if r.keep) == 10
