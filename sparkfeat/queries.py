@@ -3317,3 +3317,133 @@ def q_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cutoffs=_AUDIT_CUTOFFS,
         compare_cols=["session_idx", *_AUDIT_FLOATS],
     )
+
+
+def _neardup_clusters_oracle() -> str:
+    """Transitive closure of the MinHash near-dup pair graph as a
+    recursive CTE (tiny at sf0.01 — 25 pairs), then the same
+    min-id-label + cluster-size + keep projection as
+    ``dedup.neardup_clusters``. The Spark side computes the identical
+    labels with O(log n) large-star/small-star rounds; the oracle checks
+    the SEMANTICS (min reachable id) with brute-force closure."""
+    return f"""WITH RECURSIVE pairs AS (
+    SELECT id_a, id_b FROM ({_minhash_oracle()}) _mh
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(n, r) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.n
+),
+lab AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+alldocs AS (
+    SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN lab USING (doc_id)
+),
+sizes AS (
+    SELECT cluster_id, COUNT(*) AS cluster_size
+    FROM alldocs GROUP BY cluster_id
+)
+SELECT a.doc_id, a.cluster_id, s.cluster_size,
+       a.doc_id = a.cluster_id AS keep
+FROM alldocs a JOIN sizes s USING (cluster_id)"""
+
+
+@register("dedup_neardup_clusters", _neardup_clusters_oracle())
+def q_dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → canonical keep-list: connected components over
+    the MinHash+LSH near-dup pair graph (alternating large-star /
+    small-star contractions, O(log n) rounds, lineage checkpointed per
+    round), then one doc kept per duplicate cluster (the smallest id —
+    deterministic on any cluster). This is the action step a training
+    corpus needs on top of pairwise near-dup evidence: pairwise drops
+    can't dedupe transitive chains (A≈B, B≈C, A̸≈C keeps nothing or the
+    wrong set depending on order); components can."""
+    from sparkfeat.dedup import minhash_lsh_pairs, neardup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, num_perm=64, bands=16, shingle_n=2).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    return neardup_clusters(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Driver-slot rotation (policy: COVERAGE.md "Driver-slot rotation").
+#
+# The driver registry is capped at 50 so its 50-row correctness sample
+# covers every driver query each round; the remaining registered queries
+# are strategy twins / variants that stay fully DuckDB-oracle-checked in
+# pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
+# A frozen split would let a query sit outside the driver gate forever —
+# round 4 shipped two brand-new operators (doc_duplicate_spans,
+# corpus_cut_dup_spans) that had never earned a driver CORRECTNESS row.
+# Policy: EVERY registered query must be driver-green at least once per
+# 2 rounds, so the out-group (17 queries) swaps with an equal-sized set
+# of multi-round-green driver queries each round. The `driver=` flag on
+# each @register call records the query's HOME group (primary vs twin);
+# this block applies the per-round overlay in one audited place.
+#
+# Round 5 overlay: the entire round-4 out-group rotates IN (all 17 —
+# 15 were driver-green in r2/r3 with code untouched since; the two span
+# operators get their first driver row); 17 queries that are driver-green
+# in ≥2 consecutive rounds (r3+r4) and whose code is untouched this
+# round rotate OUT. Queries whose code changed this round (doc_lang_ngram,
+# doc_fingerprint, corpus_mixture_sample, ann_ivf_kmeans) and every
+# r4-first-green query stay IN.
+# ---------------------------------------------------------------------------
+ROTATION_ROUND = 5
+_ROTATE_IN = [
+    "ewma_grouped",
+    "trading_hours_filter",
+    "entity_ceiling_filter",
+    "slice_head",
+    "doc_lang_ngram_expr",
+    "corpus_sample_split",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "multimodal_decode",
+    "corr_pairs_topk",
+    "gasf_window_images",
+    "gadf_window_images",
+    "mtf_window_images",
+    "ewma_chunked_scan",
+    "doc_duplicate_spans",
+    "corpus_cut_dup_spans",
+    "flagship_leakage_audit",
+]
+_ROTATE_OUT = [
+    "tz_to_utc",
+    "slice_range",
+    "entity_floor_filter",
+    "topk_entities",
+    "select_between",
+    "minutes_after_open",
+    "lead_targets",
+    "interpolate_limit",
+    "resample_ohlc",
+    "inverse_scalers",
+    "universe_topn",
+    "universe_membership",
+    "corr_dedup_drops",
+    "doc_textstats",
+    "dedup_exact",
+    "dedup_simhash",
+    "multimodal_resize",
+    # one extra slot ceded to the round-5 NEW query dedup_neardup_clusters
+    # (rotation rule 2: new queries take priority IN)
+    "gaussian_scaler",
+]
+for _name in _ROTATE_IN:
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    if _name in EXTRA_ORACLES:
+        ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+for _name in _ROTATE_OUT:
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    if _name in ORACLES:
+        EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+assert len(QUERIES) <= 50, f"driver registry overflow: {len(QUERIES)}"
