@@ -4,14 +4,29 @@
 JSON line:
 
     {"metric": "flagship_feature_gen_sec", "value": N, "unit": "sec",
-     "queries": {...per-query seconds...}, "sf": ..., "turns": ...,
-     "turns_per_sec": ...}
+     "queries": {...per-query median seconds...},
+     "spread": {...per-query [min, max] of the timed runs...},
+     "sf": ..., "turns": ..., "turns_per_sec": ...}
+
+Protocol (round 5): **one fresh JVM per query** — the orchestrator
+re-invokes itself (``bench.py --one NAME``) per query, so no query
+inherits another's GC/codegen-cache/broadcast pressure. Round 4 showed
+the shared-JVM sequence corrupting late-running entries (doc_quality_rules
+read 6.6 s in-sequence vs 3.2 s isolated under identical load; the code
+was untouched); median-of-3 alone couldn't bound it. Within each JVM:
+one untimed warm run (whole-stage-codegen compilation + JIT otherwise
+dominates at this input size), then the MEDIAN of 3 timed runs — this VM
+takes minutes-long bursts of external hypervisor load (measured: the
+same query 0.8 s quiet vs 9.9 s mid-burst), and the per-query
+``spread`` [min, max] is printed precisely so a reader can see when a
+burst landed without re-measuring.
 
 Timings force FULL materialization through the `noop` sink — a bare
 count() lets Catalyst prune every feature column and you end up timing
 the scan (measured: 150M-row "feature job" in 0.5s — all windows
 eliminated). Scaling-efficiency evidence (N vs 4N cores) is produced by
-scripts/scaling_bench.py and recorded in BASELINE.md.
+scripts/scaling_bench.py + scripts/corpus_scaling_bench.py and recorded
+in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -19,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -60,42 +76,90 @@ BENCH_QUERIES = [
     "corpus_decontaminate",
     # cross-doc duplicate-span cut (n-gram exact-substring dedup rebuild)
     "corpus_cut_dup_spans",
+    # round 5: pairs -> connected components -> canonical keep-list
+    "dedup_neardup_clusters",
 ]
 
 
-def main() -> None:
+def _time_noop(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def run_one(name: str) -> dict[str, list[float]]:
+    """Run ONE bench query in THIS process (a fresh JVM when invoked via
+    ``--one``): 1 untimed warm run + 3 timed runs; returns
+    ``{entry_name: [timed seconds...]}``. ``ann_ivf_served`` emits two
+    entries: the combined build+persist+serve run (cross-round
+    comparable) and ``ann_ivf_serve`` — serving alone against an index
+    persisted once OUTSIDE the timer, the number an ANN user actually
+    waits for (the build is a once-per-corpus batch job)."""
     from sparkfeat import queries as q
     from sparkfeat.session import get_spark
 
     spark = get_spark("sparkfeat-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
+    registry = {**q.QUERIES, **q.EXTRA_QUERIES}
+    fn = registry[name]
 
-    # warm the JVM + parquet footers once (excluded from timings)
-    turns = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    out = {name: [_time_noop(fn(spark, SF_DIR)) for _ in range(3)]}
+
+    if name == "ann_ivf_served":
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from sparkfeat.similarity import build_ivf_index, ivf_topk_index
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        probes = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        path = tempfile.mkdtemp(prefix="sparkfeat_ivf_bench_")
+        build_ivf_index(emb, path, n_centroids=16)  # untimed: once per corpus
+        serve = lambda: ivf_topk_index(spark, path, probes, k=5, nprobe=4)  # noqa: E731
+        serve().write.format("noop").mode("overwrite").save()
+        out["ann_ivf_serve"] = [_time_noop(serve()) for _ in range(3)]
+
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) == 3 and sys.argv[1] == "--one":
+        print("BENCH_ONE " + json.dumps(run_one(sys.argv[2])))
+        return
+
+    import pyarrow.parquet as pq
+
+    turns = pq.ParquetFile(f"{SF_DIR}/events.parquet").metadata.num_rows
 
     per_query: dict[str, float] = {}
-    # EXTRA_QUERIES holds pytest-only strategy twins (e.g. the expr-HOF
-    # LSH path ann_lsh_topk) — still benched for cross-round comparability.
-    registry = {**q.QUERIES, **q.EXTRA_QUERIES}
+    spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        if name not in registry:
+        line = None
+        for _attempt in range(2):  # one retry: a JVM can die under host load
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True,
+                text=True,
+                timeout=900,
+            )
+            lines = [
+                ln for ln in r.stdout.splitlines() if ln.startswith("BENCH_ONE ")
+            ]
+            if r.returncode == 0 and lines:
+                line = lines[-1]
+                break
+            print(f"bench: {name} rc={r.returncode}, retrying", file=sys.stderr)
+        if line is None:
+            print(f"bench: {name} FAILED twice, skipped", file=sys.stderr)
             continue
-        fn = registry[name]
-        # steady-state timing: one untimed execution first (whole-stage
-        # codegen compilation + JIT warmup otherwise dominates the first
-        # run and adds ±40% run-to-run noise at this input size), then
-        # the MEDIAN of 3 timed runs — this VM takes minutes-long bursts
-        # of external hypervisor load (measured: the same query 0.8 s
-        # quiet vs 9.9 s mid-burst), and a single timed run lands inside
-        # a burst often enough to corrupt a round's numbers. noop sink:
-        # full evaluation of every output column, no driver collect.
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            times.append(time.perf_counter() - t0)
-        per_query[name] = round(statistics.median(times), 3)
+        for entry, times in json.loads(line[len("BENCH_ONE "):]).items():
+            per_query[entry] = round(statistics.median(times), 3)
+            spread[entry] = [round(min(times), 3), round(max(times), 3)]
 
     flagship_sec = per_query.get("flagship_features", float("nan"))
     print(
@@ -105,6 +169,8 @@ def main() -> None:
                 "value": flagship_sec,
                 "unit": "sec",
                 "queries": per_query,
+                "spread": spread,
+                "protocol": "fresh JVM per query; 1 warm + median of 3 timed",
                 "sf": SF_DIR,
                 "turns": turns,
                 "turns_per_sec": round(turns / flagship_sec, 1)
@@ -114,7 +180,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -76,22 +76,63 @@ RUNNER = textwrap.dedent(
     from sparkfeat.corpus import corpus_prep_flags
 
     cores, data = int(sys.argv[1]), sys.argv[2]
+    evlog = sys.argv[3] if len(sys.argv) > 3 else ""
     os.makedirs({scratch!r}, exist_ok=True)
+    conf = {{"spark.local.dir": {scratch!r}}}
+    if evlog:
+        os.makedirs(evlog, exist_ok=True)
+        conf["spark.eventLog.enabled"] = "true"
+        conf["spark.eventLog.dir"] = "file://" + evlog
     spark = get_spark(
         "corpus-scaling", master=f"local[{{cores}}]", shuffle_partitions=64,
-        extra_conf={{"spark.local.dir": {scratch!r}}},
+        extra_conf=conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(data)
     n = docs.count()  # footer warm-up outside the timer
     out = corpus_prep_flags(docs)
+    w0 = time.time() * 1000  # epoch ms: event-log task window boundary
     t0 = time.perf_counter()
     out.write.format("noop").mode("overwrite").save()
     elapsed = time.perf_counter() - t0
-    print(json.dumps({{"cores": cores, "docs": n, "times": [elapsed]}}))
+    w1 = time.time() * 1000
+    print(json.dumps({{"cores": cores, "docs": n, "times": [elapsed],
+                       "t0_ms": w0, "t1_ms": w1}}))
     spark.stop()
     """
 )
+
+
+def _parse_eventlog(evdir: str, t0_ms: float, t1_ms: float) -> dict:
+    """Sum per-task executor run/CPU time for tasks that FINISH inside
+    the timed window [t0_ms, t1_ms] (the warm-up count's tasks finish
+    before t0). Spark event logs are JSON lines; task metrics carry
+    'Executor Run Time' (ms) and 'Executor CPU Time' (ns)."""
+    import glob
+
+    files = [p for p in glob.glob(os.path.join(evdir, "*")) if os.path.isfile(p)]
+    run_ms = cpu_ns = n_tasks = 0
+    for path in files:
+        with open(path, errors="replace") as fh:
+            for line in fh:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                info = ev.get("Task Info", {})
+                if not (t0_ms <= info.get("Finish Time", 0) <= t1_ms):
+                    continue
+                m = ev.get("Task Metrics") or {}
+                run_ms += m.get("Executor Run Time", 0)
+                cpu_ns += m.get("Executor CPU Time", 0)
+                n_tasks += 1
+    return {
+        "task_run_s": round(run_ms / 1e3, 1),
+        "task_cpu_s": round(cpu_ns / 1e9, 1),
+        "n_tasks": n_tasks,
+    }
 
 
 def _run_py(code: str, args: list[str], timeout: int = 3600) -> str:
@@ -117,6 +158,16 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=1)
     ap.add_argument("--high", type=int, default=4)
     ap.add_argument("--data", default="/tmp/sparkfeat_corpus_scaling")
+    ap.add_argument(
+        "--paired",
+        type=int,
+        default=0,
+        metavar="N",
+        help="same-window paired mode: N back-to-back (low, high) pairs, "
+        "each run event-log-profiled; reports per-pair efficiency + "
+        "high-level core utilization (the round-4 stage-profiled "
+        "protocol, repeated so the headline doesn't rest on one pair)",
+    )
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -140,6 +191,75 @@ def main() -> None:
         print(f"prepared {n} docs at {args.data}", file=sys.stderr)
 
     runner = RUNNER.format(repo=repo, scratch=SCRATCH)
+
+    if args.paired:
+        scale = args.high / args.low
+        pairs = []
+        docs = 0
+        for i in range(args.paired):
+            pair = {}
+            for cores in (args.low, args.high):
+                shutil.rmtree(SCRATCH, ignore_errors=True)
+                evdir = tempfile.mkdtemp(prefix="sparkfeat_evlog_")
+                try:
+                    r = json.loads(_run_py(runner, [str(cores), args.data, evdir]))
+                    prof = _parse_eventlog(evdir, r["t0_ms"], r["t1_ms"])
+                finally:
+                    shutil.rmtree(evdir, ignore_errors=True)
+                elapsed = r["times"][0]
+                docs = r["docs"]
+                pair[cores] = {
+                    "elapsed_s": round(elapsed, 1),
+                    **prof,
+                    "utilization": round(
+                        prof["task_run_s"] / (elapsed * cores), 3
+                    ),
+                }
+            eff = pair[args.low]["elapsed_s"] / (
+                scale * pair[args.high]["elapsed_s"]
+            )
+            pairs.append({"pair": i, "efficiency": round(eff, 3), **{
+                f"local{c}": pair[c] for c in (args.low, args.high)
+            }})
+            print(
+                f"pair {i}: eff={eff:.3f} "
+                f"L={pair[args.low]['elapsed_s']}s "
+                f"H={pair[args.high]['elapsed_s']}s "
+                f"(H util {pair[args.high]['utilization']:.1%}, "
+                f"H cpu {pair[args.high]['task_cpu_s']}s)",
+                file=sys.stderr,
+            )
+        effs = [p["efficiency"] for p in pairs]
+        print("| pair | eff | low s (util) | high s (util) | high task-cpu s |")
+        print("|---|---|---|---|---|")
+        for p in pairs:
+            lo, hi = p[f"local{args.low}"], p[f"local{args.high}"]
+            print(
+                f"| {p['pair']} | {p['efficiency']} "
+                f"| {lo['elapsed_s']} ({lo['utilization']:.0%}) "
+                f"| {hi['elapsed_s']} ({hi['utilization']:.0%}) "
+                f"| {hi['task_cpu_s']} |"
+            )
+        print(
+            f"\nsame-window paired efficiency local[{args.low}]→local[{args.high}]: "
+            f"median **{statistics.median(effs):.3f}** "
+            f"(n={len(effs)}, spread {min(effs):.3f}..{max(effs):.3f})"
+        )
+        print(
+            json.dumps(
+                {
+                    "mode": "paired",
+                    "levels": [args.low, args.high],
+                    "pairs": pairs,
+                    "efficiency_median": round(statistics.median(effs), 3),
+                    "efficiency_spread": [min(effs), max(effs)],
+                    "docs": docs,
+                    "replicate": args.replicate,
+                }
+            )
+        )
+        return
+
     times: dict[int, list[float]] = {args.low: [], args.high: []}
     docs = 0
     # interleaved L,H,L,H,… — drift penalizes neither level (see
