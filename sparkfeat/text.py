@@ -551,6 +551,14 @@ def ngram_repetition(
     )
 
 
+def _pack3(tri: str) -> int:
+    """Pack a 3-codepoint trigram into one integer key, 21 bits per
+    codepoint (max codepoint 0x10FFFF < 2^21): key comparison order ==
+    codepoint-tuple order == Python/Spark lexicographic string order."""
+    a, b, c = (ord(ch) for ch in tri)
+    return (a << 42) | (b << 21) | c
+
+
 def lang_ngram_guess_arrow(
     text: str | Column, top_k: int = 40, min_overlap: int = 3
 ) -> Column:
@@ -563,37 +571,96 @@ def lang_ngram_guess_arrow(
     production path at corpus scale — same expr-vs-arrow split as the
     EWMA and LSH operators. Equality with the expr path is
     pytest-asserted; the SQL oracle replay is shared (it checks
-    semantics, not implementation). Tie-break parity holds exactly:
-    Python str comparison is codepoint order, which equals Spark's
-    binary UTF-8 ordering for all of Unicode. Null text → 'unknown',
+    semantics, not implementation). Null text → 'unknown',
     matching the expr path (its ``when(length >= 3)`` guard is
     null-false, so a null doc gets the empty trigram list and falls
     through the ``min_overlap`` gate) — one null doc must not kill a
-    corpus job."""
-    from collections import Counter
+    corpus job.
 
+    The kernel is WHOLE-BATCH numpy (round 5; the previous version
+    looped ``Counter``+``sorted`` per doc — batch-amortized but still
+    Python-per-doc CPU): the batch lowercases through pandas, encodes
+    ONCE to a flat UTF-32 codepoint array, packs each trigram into one
+    ``uint64`` key (3 × 21 bits, codepoint max 0x10FFFF — key order ==
+    codepoint-tuple order == Python/Spark string order, so every
+    tie-break is preserved exactly), masks windows that cross a doc
+    boundary, then does per-(doc, trigram) counts and the
+    (-count, trigram) top-k rank with two ``lexsort`` passes and
+    profile-overlap scores with a ``searchsorted`` join against the
+    (profile trigram → language) table — zero per-doc Python. Winner =
+    max (score, lang) with the greater language string breaking ties,
+    reproduced as last-argmax over name-ascending language ids."""
     from pyspark.sql.types import StringType
 
-    profiles = [(lang, frozenset(prof)) for lang, prof in LANG_PROFILES.items()]
+    lang_names = sorted(LANG_PROFILES)  # ids ascending by name
+    pairs = sorted(
+        (_pack3(tri), lid)
+        for lid, lang in enumerate(lang_names)
+        for tri in LANG_PROFILES[lang]
+    )
+    prof_keys = np.array([k for k, _ in pairs], dtype=np.uint64)
+    prof_lang = np.array([lid for _, lid in pairs], dtype=np.int64)
+    n_lang = len(lang_names)
+    names = np.array(lang_names + ["unknown"])
 
     @F.pandas_udf(StringType())
     def guess(texts: pd.Series) -> pd.Series:
-        res = []
-        for t in texts:
-            if t is None:
-                res.append("unknown")
-                continue
-            s = t.lower()
-            top = [
-                tri
-                for tri, _ in sorted(
-                    Counter(s[i : i + 3] for i in range(len(s) - 2)).items(),
-                    key=lambda kv: (-kv[1], kv[0]),
-                )[:top_k]
-            ]
-            tops = set(top)
-            score, lang = max((len(tops & p), lg) for lg, p in profiles)
-            res.append(lang if score >= min_overlap else "unknown")
-        return pd.Series(res)
+        notnull = texts.notna().to_numpy()
+        low = texts[notnull].str.lower()
+        nd = len(low)
+        out = np.full(len(texts), n_lang, dtype=np.int64)  # default: unknown
+        if nd:
+            lens = low.str.len().to_numpy(dtype=np.int64)
+            cp = np.frombuffer(
+                "".join(low.tolist()).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            doc_of = np.repeat(np.arange(nd, dtype=np.int64), lens)
+            if len(cp) >= 3:
+                keys = (cp[:-2] << np.uint64(42)) | (cp[1:-1] << np.uint64(21)) | cp[2:]
+                in_doc = doc_of[:-2] == doc_of[2:]  # window stays inside one doc
+                keys, tdoc = keys[in_doc], doc_of[:-2][in_doc]
+            else:
+                keys = np.empty(0, dtype=np.uint64)
+                tdoc = np.empty(0, dtype=np.int64)
+            scores = np.zeros((nd, n_lang), dtype=np.int64)
+            if len(keys):
+                # per-(doc, trigram) counts: sort, run-length encode
+                o = np.lexsort((keys, tdoc))
+                keys, tdoc = keys[o], tdoc[o]
+                new = np.empty(len(keys), dtype=bool)
+                new[0] = True
+                new[1:] = (tdoc[1:] != tdoc[:-1]) | (keys[1:] != keys[:-1])
+                starts = np.flatnonzero(new)
+                gd, gk = tdoc[starts], keys[starts]
+                gc = np.diff(np.append(starts, len(keys)))
+                # top-k by (-count, trigram) within each doc
+                o2 = np.lexsort((gk, -gc, gd))
+                gd, gk = gd[o2], gk[o2]
+                doc_first = np.flatnonzero(
+                    np.r_[True, gd[1:] != gd[:-1]]
+                )
+                rank = np.arange(len(gd)) - np.repeat(
+                    doc_first, np.diff(np.append(doc_first, len(gd)))
+                )
+                keep = rank < top_k
+                qd, qk = gd[keep], gk[keep]
+                # profile join: spans of equal keys in the sorted table
+                lo = np.searchsorted(prof_keys, qk, "left")
+                hi = np.searchsorted(prof_keys, qk, "right")
+                span = hi - lo
+                m = span > 0
+                if m.any():
+                    # expand [lo, hi) ranges without a Python loop
+                    reps = span[m]
+                    idx = np.repeat(lo[m] + reps - reps.cumsum(), reps) + np.arange(
+                        int(reps.sum())
+                    )
+                    np.add.at(
+                        scores, (np.repeat(qd[m], reps), prof_lang[idx]), 1
+                    )
+            best = n_lang - 1 - np.argmax(scores[:, ::-1], axis=1)  # last argmax
+            best_score = scores[np.arange(nd), best]
+            out[notnull] = np.where(best_score >= min_overlap, best, n_lang)
+        return pd.Series(names[out], index=texts.index)
 
     return guess(text if not isinstance(text, str) else F.col(text))
