@@ -646,3 +646,74 @@ def mixture_sample(
             ),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split every document into overlapping fixed-size token chunks —
+    the retrieval/embedding-context unit of a RAG or context-window
+    pipeline (chunk i covers tokens ``[i·step, i·step + chunk)`` with
+    ``step = chunk_tokens − overlap``; the last chunk is short rather
+    than padded; docs with zero tokens yield zero chunks).
+
+    Emits ``(doc_id, chunk_id, start_tok, end_tok, n_chunk_tokens,
+    chunk_text)`` — the (start, end) token span makes every chunk
+    traceable back to its source doc, the same manifest discipline as
+    :func:`pack_spans`.
+
+    Scale shape: pure per-row expression work — tokenize once,
+    ``sequence``-explode the chunk starts, ``slice`` each chunk out of
+    the shared token array by index. No shuffle, no UDF; the operator
+    fuses into the scan projection, so chunking 100 TB is exactly one
+    map-only pass. Chunk counts are linear in doc length
+    (n/step + 1), so a heavy-tailed doc explodes into rows — spill- and
+    split-friendly — never into one oversized array or agg buffer.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select(F.col(id_col), toks.alias("_tk")).withColumn(
+        "_n", F.size("_tk")
+    )
+    # number of chunks: 1 + ceil((n - chunk)/step), floored at 1; 0 for
+    # empty docs. ceil(a/b) as floor((a + b - 1)/b) — exact in integers.
+    n_chunks = F.when(F.col("_n") <= 0, F.lit(0)).otherwise(
+        1
+        + F.greatest(
+            F.floor(
+                (F.col("_n") - chunk_tokens + (step - 1)) / F.lit(step)
+            ),
+            F.lit(0),
+        )
+    )
+    starts = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    ex = base.select(
+        id_col, "_tk", "_n", F.explode(starts).alias("_ci")
+    ).select(
+        id_col,
+        "_tk",
+        "_n",
+        F.col("_ci"),
+        (F.col("_ci") * step).alias("_s"),
+        F.least(F.col("_ci") * step + chunk_tokens, F.col("_n")).alias("_e"),
+    )
+    return ex.select(
+        id_col,
+        F.col("_ci").cast("bigint").alias("chunk_id"),
+        F.col("_s").cast("bigint").alias("start_tok"),
+        F.col("_e").cast("bigint").alias("end_tok"),
+        (F.col("_e") - F.col("_s")).cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice("_tk", F.col("_s") + 1, F.col("_e") - F.col("_s"))
+        ).alias("chunk_text"),
+    )

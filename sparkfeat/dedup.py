@@ -254,6 +254,27 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("_id"), sig(F.col(text_col)).alias("sig"))
 
 
+def _band_keys(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Explode a ``(_id, sig)`` signature table into its LSH band keys:
+    one row per (doc, band) with ``key`` = that band's ``rows``-slice of
+    the signature cast to string (an exact-equality join key)."""
+    return sigs.select(
+        "_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.slice("sig", i * rows + 1, rows).cast("string").alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -269,21 +290,7 @@ def minhash_lsh_pairs(
     signatures agrees exactly. Emits (id_a, id_b, est_jaccard)."""
     rows = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
-    banded = sigs.select(
-        "_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.slice("sig", i * rows + 1, rows).cast("string").alias("key"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _band_keys(sigs, bands, rows)
     a = banded.select("band", "key", F.col("_id").alias("id_a"), F.col("sig").alias("_sa"))
     b = banded.select("band", "key", F.col("_id").alias("id_b"), F.col("sig").alias("_sb"))
     cand = (
@@ -685,4 +692,177 @@ def neardup_clusters(
         "cluster_id",
         "cluster_size",
         (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new batch against an existing (indexed) corpus
+# ---------------------------------------------------------------------------
+
+
+def _incremental_flags(
+    batch_fp: DataFrame,
+    corpus_fp: DataFrame,
+    batch_bands: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str,
+    num_perm: int,
+    threshold: float,
+) -> DataFrame:
+    """Shared core of the inline and index-backed incremental dedup:
+    join the batch's fingerprints / band keys against the corpus
+    index tables and fold into per-doc verdicts."""
+    exact = batch_fp.join(
+        corpus_fp.select("fingerprint", F.lit(True).alias("_hit")),
+        "fingerprint",
+        "left",
+    )
+    w = Window.partitionBy("fingerprint")
+    flags = exact.select(
+        F.col(id_col),
+        F.coalesce("_hit", F.lit(False)).alias("exact_dup"),
+        (F.col(id_col) > F.min(id_col).over(w)).alias("batch_dup"),
+    )
+    agree = F.size(
+        F.filter(F.zip_with("_sb", "_sc", lambda x, y: x == y), lambda v: v)
+    )
+    near = (
+        batch_bands.select(
+            "band", "key", F.col("_id").alias(id_col), F.col("sig").alias("_sb")
+        )
+        .join(
+            corpus_bands.select("band", "key", F.col("sig").alias("_sc")),
+            ["band", "key"],
+        )
+        .filter(agree.cast("double") / F.lit(float(num_perm)) >= threshold)
+        .select(id_col)
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    return flags.join(near, id_col, "left").select(
+        id_col,
+        "exact_dup",
+        "batch_dup",
+        F.coalesce("_near", F.lit(False)).alias("near_dup"),
+        (
+            ~(
+                F.col("exact_dup")
+                | F.col("batch_dup")
+                | F.coalesce("_near", F.lit(False))
+            )
+        ).alias("keep"),
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Dedup an incoming BATCH against an existing CORPUS — the
+    steady-state shape of a crawl pipeline, where the 100 TB corpus is
+    already deduplicated and each new crawl increment must be gated
+    against it without re-deduplicating the world.
+
+    Per batch doc: ``exact_dup`` (bag fingerprint already in the
+    corpus), ``batch_dup`` (an EARLIER batch doc — smaller id — has the
+    same fingerprint, so the batch stays self-consistent), ``near_dup``
+    (shares an LSH band bucket with a corpus doc AND the MinHash
+    signature agreement estimates Jaccard ≥ ``threshold``), and
+    ``keep`` = none of the above. Batch-internal NEAR-dups are
+    deliberately out of scope here — that is exactly
+    :func:`minhash_lsh_pairs` over the batch, composable downstream.
+
+    Scale shape: the batch (small) broadcasts nothing and collects
+    nothing; both probes are equi-joins — fingerprint⋈fingerprint and
+    (band, key)⋈(band, key) — that shuffle each side on a uniform hash
+    key. The corpus side here recomputes fingerprints + signatures
+    inline for oracle replayability; production uses
+    :func:`build_dedup_index` once + :func:`incremental_dedup_indexed`
+    per increment, which reads the SAME two tables from parquet (the
+    pytest equality test pins inline ≡ indexed)."""
+    rows = num_perm // bands
+    batch_fp = batch.select(
+        F.col(id_col), bag_fingerprint(text_col).alias("fingerprint")
+    )
+    corpus_fp = corpus.select(
+        bag_fingerprint(text_col).alias("fingerprint")
+    ).distinct()
+    b_sig = minhash_signatures(batch, text_col, id_col, num_perm, shingle_n, seed)
+    c_sig = minhash_signatures(corpus, text_col, id_col, num_perm, shingle_n, seed)
+    return _incremental_flags(
+        batch_fp,
+        corpus_fp,
+        _band_keys(b_sig, bands, rows),
+        _band_keys(c_sig, bands, rows),
+        id_col,
+        num_perm,
+        threshold,
+    )
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 2,
+    seed: int = 42,
+) -> None:
+    """Materialize the corpus-side dedup index once per corpus: distinct
+    bag fingerprints at ``{path}/fingerprints`` and LSH band keys
+    (band, key, sig) at ``{path}/bands``, both repartitioned on their
+    probe key so an increment's equi-join reads co-located files. The
+    once-per-corpus batch job of the build→persist→serve split (same
+    pattern as similarity.build_ivf_index)."""
+    rows = num_perm // bands
+    corpus.select(
+        bag_fingerprint(text_col).alias("fingerprint")
+    ).distinct().repartition(F.col("fingerprint")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/fingerprints")
+    sigs = minhash_signatures(corpus, text_col, id_col, num_perm, shingle_n, seed)
+    _band_keys(sigs, bands, rows).select(
+        "band", "key", "sig"
+    ).repartition(F.col("band"), F.col("key")).write.mode("overwrite").parquet(
+        f"{path}/bands"
+    )
+
+
+def incremental_dedup_indexed(
+    spark,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Serve incremental dedup from a persisted :func:`build_dedup_index`
+    — the corpus is never rescanned; only its two index tables are
+    read. Output ≡ :func:`incremental_dedup` (pytest-pinned)."""
+    rows = num_perm // bands
+    batch_fp = batch.select(
+        F.col(id_col), bag_fingerprint(text_col).alias("fingerprint")
+    )
+    b_sig = minhash_signatures(batch, text_col, id_col, num_perm, shingle_n, seed)
+    return _incremental_flags(
+        batch_fp,
+        spark.read.parquet(f"{path}/fingerprints"),
+        _band_keys(b_sig, bands, rows),
+        spark.read.parquet(f"{path}/bands"),
+        id_col,
+        num_perm,
+        threshold,
     )

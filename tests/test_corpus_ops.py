@@ -413,3 +413,76 @@ def test_mixture_sample_is_lazy(spark):
     # and the plan still evaluates correctly once acted on
     kept = out.filter("keep").count()
     assert 0 < kept < 100
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_spans(spark):
+    from sparkfeat.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 tokens
+            (1, "a b c"),  # shorter than one chunk
+            (2, ""),  # no tokens -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2)
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.start_tok, r.end_tok, r.chunk_text) for r in out.collect())
+    )
+    # step=2, nc = 1 + ceil((10-4)/2) = 4: the last start (6) already
+    # reaches the end of the doc, so no degenerate tail chunk is emitted
+    assert [t for t in rows if t[0] == 0] == [
+        (0, 0, 0, 4, "t0 t1 t2 t3"),
+        (0, 1, 2, 6, "t2 t3 t4 t5"),
+        (0, 2, 4, 8, "t4 t5 t6 t7"),
+        (0, 3, 6, 10, "t6 t7 t8 t9"),
+    ]
+    assert [t for t in rows if t[0] == 1] == [(1, 0, 0, 3, "a b c")]
+    assert not [t for t in rows if t[0] == 2]
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Union of chunk spans == [0, n_tokens) for every doc; consecutive
+    chunks overlap by exactly `overlap` except the (possibly short) tail."""
+    from sparkfeat.corpus import chunk_documents
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.min("start_tok").alias("lo"),
+            F.max("end_tok").alias("hi"),
+            F.count(F.lit(1)).alias("nc"),
+        )
+        .collect()
+    )
+    n_tok = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            ).alias("n"),
+        ).collect()
+    }
+    assert len(per_doc) > 0
+    for r in per_doc:
+        assert r.lo == 0 and r.hi == n_tok[r.doc_id]
+
+
+def test_chunk_documents_is_map_only(spark):
+    from sparkfeat.corpus import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # fuses into the scan: zero shuffles

@@ -1,0 +1,110 @@
+"""BM25 search operator: hand-computed scores on a tiny corpus, the
+two-phase top-k exactness property, and edge cases."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+DOCS = [
+    (0, "spark spark join"),
+    (1, "join merge sort"),
+    (2, "spark window"),
+    (3, "sort sort sort merge"),
+    (4, ""),
+]
+
+
+def _bm25_ref(docs, query_terms, k1=1.5, b=0.75):
+    """Plain-python BM25 over the token lists (empty docs count toward
+    N and avgdl, like the operator)."""
+    toks = {i: t.split() for i, t in docs}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for term in query_terms:
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for i, v in toks.items():
+            tf = v.count(term)
+            if tf == 0:
+                continue
+            w = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+            out[i] = out.get(i, 0.0) + w
+    return {i: round(s, 6) for i, s in out.items()}
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bm25_matches_hand_formula(spark, tiny):
+    from sparkfeat.search import bm25_topk
+
+    probes = spark.createDataFrame(
+        [(0, "spark join"), (1, "sort")], "query_id long, query string"
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk(tiny, probes, k=10).collect()
+    }
+    for qid, qtext in [(0, "spark join"), (1, "sort")]:
+        ref = _bm25_ref(DOCS, qtext.split())
+        ranked = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (doc, score) in enumerate(ranked, start=1):
+            assert got[(qid, doc)] == pytest.approx((score, rank), abs=1e-9)
+        # and nothing extra
+        assert len([1 for (g, _d) in got if g == qid]) == len(ranked)
+
+
+def test_bm25_two_phase_topk_is_exact(spark, tiny):
+    """Per-shard pruning (any shard count) must reproduce the global
+    ranking — per-shard top-k is a superset of the global top-k."""
+    from sparkfeat.search import bm25_topk
+
+    probes = spark.createDataFrame([(0, "spark sort merge")], "query_id long, query string")
+    base = bm25_topk(tiny, probes, k=3, shards=1).collect()
+    for shards in (2, 7, 64):
+        alt = bm25_topk(tiny, probes, k=3, shards=shards).collect()
+        assert sorted(map(tuple, alt)) == sorted(map(tuple, base))
+
+
+def test_bm25_duplicate_query_terms_count_once(spark, tiny):
+    from sparkfeat.search import bm25_topk
+
+    probes1 = spark.createDataFrame([(0, "spark spark spark")], "query_id long, query string")
+    probes2 = spark.createDataFrame([(0, "spark")], "query_id long, query string")
+    r1 = sorted(map(tuple, bm25_topk(tiny, probes1, k=5).collect()))
+    r2 = sorted(map(tuple, bm25_topk(tiny, probes2, k=5).collect()))
+    assert r1 == r2
+
+
+def test_bm25_unmatched_query_empty(spark, tiny):
+    from sparkfeat.search import bm25_topk
+
+    probes = spark.createDataFrame([(9, "zzz")], "query_id long, query string")
+    assert bm25_topk(tiny, probes, k=5).count() == 0
+
+
+def test_bm25_k_larger_than_matches(spark, tiny):
+    from sparkfeat.search import bm25_topk
+
+    probes = spark.createDataFrame([(0, "window")], "query_id long, query string")
+    rows = bm25_topk(tiny, probes, k=100).collect()
+    assert [r.doc_id for r in rows] == [2]
+    assert rows[0].rank == 1
+
+
+def test_bm25_plan_broadcasts_terms_no_cartesian(spark, tiny):
+    from sparkfeat.search import bm25_topk
+
+    probes = spark.createDataFrame([(0, "spark join")], "query_id long, query string")
+    plan = bm25_topk(tiny, probes, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

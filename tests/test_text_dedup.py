@@ -576,3 +576,62 @@ def test_neardup_clusters_keep_list_invariants(spark):
     assert by_doc[2].cluster_id == 1 and by_doc[2].cluster_size == 2
     assert by_doc[9].cluster_id == 9 and by_doc[9].cluster_size == 1
     assert sum(r.cluster_size for r in out if r.keep) == 10
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (batch vs corpus)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_flags(spark):
+    from sparkfeat.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact dup of corpus doc 0 (same token bag)
+            (10, "alpha beta gamma delta epsilon zeta"),
+            # near dup of corpus doc 1 (one token changed)
+            (11, "one two three four five six EIGHT"),
+            # novel
+            (12, "completely unrelated fresh content here"),
+            # exact dup of an EARLIER batch doc (12)
+            (13, "completely unrelated fresh content here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in incremental_dedup(corpus, batch, shingle_n=2).collect()
+    }
+    assert rows[10].exact_dup and not rows[10].keep
+    assert rows[11].near_dup and not rows[11].exact_dup and not rows[11].keep
+    assert rows[12].keep and not (
+        rows[12].exact_dup or rows[12].near_dup or rows[12].batch_dup
+    )
+    assert rows[13].batch_dup and not rows[13].exact_dup and not rows[13].keep
+
+
+def test_incremental_dedup_indexed_equals_inline(spark, tmp_path):
+    from sparkfeat.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+        incremental_dedup_indexed,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+    path = str(tmp_path / "dedup_index")
+    build_dedup_index(corpus, path)
+    inline = sorted(map(tuple, incremental_dedup(corpus, batch).collect()))
+    served = sorted(
+        map(tuple, incremental_dedup_indexed(spark, path, batch).collect())
+    )
+    assert served == inline and len(inline) > 0
