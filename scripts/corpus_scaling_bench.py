@@ -83,6 +83,11 @@ RUNNER = textwrap.dedent(
         os.makedirs(evlog, exist_ok=True)
         conf["spark.eventLog.enabled"] = "true"
         conf["spark.eventLog.dir"] = "file://" + evlog
+        # Spark 4 defaults to rolling event-log DIRECTORIES with
+        # zstd-compressed segments; force one plain-text file so the
+        # parse below needs no decompressor.
+        conf["spark.eventLog.rolling.enabled"] = "false"
+        conf["spark.eventLog.compress"] = "false"
     spark = get_spark(
         "corpus-scaling", master=f"local[{{cores}}]", shuffle_partitions=64,
         extra_conf=conf,
@@ -108,12 +113,28 @@ def _parse_eventlog(evdir: str, t0_ms: float, t1_ms: float) -> dict:
     the timed window [t0_ms, t1_ms] (the warm-up count's tasks finish
     before t0). Spark event logs are JSON lines; task metrics carry
     'Executor Run Time' (ms) and 'Executor CPU Time' (ns)."""
-    import glob
-
-    files = [p for p in glob.glob(os.path.join(evdir, "*")) if os.path.isfile(p)]
+    files = []
+    for root, _dirs, names in os.walk(evdir):
+        files += [
+            os.path.join(root, f)
+            for f in names
+            if not f.startswith((".", "appstatus"))
+        ]
     run_ms = cpu_ns = n_tasks = 0
     for path in files:
-        with open(path, errors="replace") as fh:
+        if path.endswith((".zstd", ".zst")):
+            # rolling-log segment (Spark 4 default); zstandard isn't in
+            # the container, pyarrow's codec stream is
+            import io
+
+            import pyarrow as pa
+
+            fh = io.TextIOWrapper(
+                pa.input_stream(path, compression="zstd"), errors="replace"
+            )
+        else:
+            fh = open(path, errors="replace")
+        with fh:
             for line in fh:
                 if '"SparkListenerTaskEnd"' not in line:
                     continue
