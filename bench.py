@@ -76,8 +76,13 @@ BENCH_QUERIES = [
     "corpus_decontaminate",
     # cross-doc duplicate-span cut (n-gram exact-substring dedup rebuild)
     "corpus_cut_dup_spans",
-    # round 5: pairs -> connected components -> canonical keep-list
+    # round 5: pairs -> connected components -> canonical keep-list,
+    # BM25 probe retrieval, incremental batch-vs-corpus dedup, and the
+    # map-only RAG chunker
     "dedup_neardup_clusters",
+    "bm25_topk",
+    "dedup_incremental",
+    "corpus_chunks",
 ]
 
 

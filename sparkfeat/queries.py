@@ -3588,6 +3588,113 @@ def q_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=32, overlap=8)
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer induction (sparkfeat.bpe)
+# ---------------------------------------------------------------------------
+
+_BPE_SY_CTES = """wf AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+        SELECT unnest(list_filter(
+            regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS word
+        FROM documents
+    ) GROUP BY word
+),
+sy AS (
+    SELECT word, freq,
+        list_transform(generate_series(1, length(word)), i -> word[i])
+            || ['</w>'] AS syms
+    FROM wf
+)"""
+
+
+def _bpe_pairs_sql(rel: str) -> str:
+    """Weighted adjacent-pair counts over a (freq, syms) relation."""
+    return f"""SELECT p.a AS a, p.b AS b,
+        CAST(SUM(freq) AS BIGINT) AS pair_freq
+    FROM (
+        SELECT freq,
+            unnest(list_transform(generate_series(1, len(syms) - 1),
+                                  i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS p
+        FROM {rel} WHERE len(syms) >= 2
+    ) GROUP BY p.a, p.b"""
+
+
+def _bpe_pair_counts_oracle() -> str:
+    return f"WITH {_BPE_SY_CTES}\n{_bpe_pairs_sql('sy')}"
+
+
+@register("bpe_pair_counts", _bpe_pair_counts_oracle())
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 0 of BPE induction as a standalone query: distinct-word
+    frequency table (the ONE corpus pass) → initial character symbols →
+    weighted adjacent-pair counts (map-side-combined groupBy)."""
+    from sparkfeat.bpe import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_pair_counts(docs)
+
+
+def _bpe_learn_oracle(n_merges: int = 6) -> str:
+    """Replay train_bpe's full merge loop in SQL. The merge rewrite
+    renders each symbol as chr(1)||s||chr(1) and string-replaces the
+    doubly-delimited pair — every symbol carries BOTH its delimiters, so
+    a match can never cross a symbol boundary or bind to a symbol whose
+    text merely ends/starts with a/b, and left-to-right non-overlapping
+    replace() reproduces the Spark fold's greedy semantics exactly
+    (x x x --(x,x)--> [xx, x]). Ties broken (pair_freq DESC, a, b) on
+    both engines, so the learned sequence is deterministic."""
+    parts = [f"WITH {_BPE_SY_CTES},", "r0 AS (SELECT word, freq, syms FROM sy)"]
+    sep = "chr(1)"
+    for i in range(n_merges):
+        parts.append(
+            f""",
+p{i} AS ({_bpe_pairs_sql(f'r{i}')}),
+m{i} AS (SELECT a, b, pair_freq FROM p{i}
+         ORDER BY pair_freq DESC, a, b LIMIT 1)"""
+        )
+        if i < n_merges - 1:
+            parts.append(
+                f""",
+r{i + 1} AS (
+    SELECT r.word, r.freq,
+        list_transform(
+            str_split(
+                replace(
+                    array_to_string(list_transform(r.syms,
+                        s -> {sep} || s || {sep}), ''),
+                    {sep} || m.a || {sep} || {sep} || m.b || {sep},
+                    {sep} || m.a || m.b || {sep}),
+                {sep} || {sep}),
+            s -> trim(s, {sep})) AS syms
+    FROM r{i} r, m{i} m
+)"""
+            )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_idx, a, b, pair_freq FROM m{i}"
+        for i in range(n_merges)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@register("bpe_learn", _bpe_learn_oracle())
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six rounds of distributed BPE induction (sparkfeat.bpe.train_bpe):
+    per round one partial-aggregated pair count over the cached
+    distinct-word table, a ONE-ROW argmax to the driver, and a map-only
+    fold rewrite (lineage cut per round). The oracle replays the whole
+    loop in SQL via a boundary-safe string-replace merge, so the learned
+    merge sequence — order, pairs, and weights — is checked end-to-end."""
+    from sparkfeat.bpe import train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, n_merges=6)
+    return spark.createDataFrame(
+        [(i, a, b, pf) for i, (a, b, pf) in enumerate(merges)],
+        "merge_idx long, a string, b string, pair_freq long",
+    )
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -3652,6 +3759,10 @@ _ROTATE_OUT = [
     "normalize_scalers",
     "classify_bins",
     "assemble_vectors",
+    # two more ceded to the round-5 NEW BPE queries bpe_pair_counts,
+    # bpe_learn (both r2..r4-green, untouched)
+    "ewma_halflife",
+    "resample_densify_ffill",
 ]
 for _name in _ROTATE_IN:
     QUERIES[_name] = EXTRA_QUERIES.pop(_name)

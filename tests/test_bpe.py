@@ -1,0 +1,104 @@
+"""BPE induction: parity with a plain-python reference implementation
+(the classic Sennrich dict-of-counts loop), greedy-run merge semantics,
+and the lineage-checkpoint contract."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from sparkfeat.bpe import EOW
+
+
+def _ref_bpe(texts: list[str], n_merges: int):
+    """Classic single-machine BPE with the same tie-break (freq DESC,
+    then (a, b) lexicographic) and greedy left-fold merge."""
+    wf = Counter(w for t in texts for w in t.lower().split())
+    syms = {w: tuple(list(w) + [EOW]) for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), pf = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, pf))
+        for w in syms:
+            s, out = syms[w], []
+            for tok in s:
+                if out and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                else:
+                    out.append(tok)
+            syms[w] = tuple(out)
+    return merges
+
+
+TEXTS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "widest widest widest",
+]
+
+
+def test_train_bpe_matches_reference(spark):
+    from sparkfeat.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    assert train_bpe(docs, n_merges=8) == _ref_bpe(TEXTS, 8)
+
+
+def test_train_bpe_no_checkpoint_same_result(spark):
+    from sparkfeat.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    assert train_bpe(docs, 4, checkpoint=False) == train_bpe(docs, 4)
+
+
+def test_merge_pair_greedy_runs(spark):
+    """x x x under merge (x, x) -> [xx, x], the sequential left-fold —
+    never [x, xx] and never a double-consume [xx, xx]."""
+    from pyspark.sql import functions as F
+
+    from sparkfeat.bpe import _merge_pair
+
+    syms = spark.createDataFrame(
+        [("w", 1, ["x", "x", "x"]), ("v", 1, ["x", "x", "x", "x"])],
+        "word string, freq long, syms array<string>",
+    )
+    got = {r.word: r.syms for r in _merge_pair(syms, "x", "x").collect()}
+    assert got["w"] == ["xx", "x"]
+    assert got["v"] == ["xx", "xx"]
+
+
+def test_pair_counts_weighted_by_word_freq(spark):
+    from sparkfeat.bpe import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab"), (1, "ab")], "doc_id long, text string"
+    )
+    rows = {(r.a, r.b): r.pair_freq for r in bpe_pair_counts(docs).collect()}
+    # 'ab' occurs 4 times -> every pair of its symbol seq weighs 4
+    assert rows[("a", "b")] == 4
+    assert rows[("b", EOW)] == 4
+
+
+def test_train_bpe_checkpoint_bounds_plan_depth(spark):
+    """With checkpoint=True the per-round rewrite must not stack: the
+    symbols table after training is a LogicalRDD scan, not n_merges
+    nested projections."""
+    from sparkfeat.bpe import _merge_pair, symbolize, word_freqs
+
+    docs = spark.createDataFrame([(0, "aa aa ab")], "doc_id long, text string")
+    syms = symbolize(word_freqs(docs)).localCheckpoint(eager=True)
+    for _ in range(5):
+        syms = _merge_pair(syms, "a", "a").localCheckpoint(eager=True)
+    plan = syms._jdf.queryExecution().optimizedPlan().toString()
+    assert "aggregate(" not in plan  # rewrite folded away by the checkpoint
