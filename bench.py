@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "dedup_incremental",
     "corpus_chunks",
+    "hybrid_search_rrf",
 ]
 
 

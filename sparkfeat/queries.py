@@ -3407,15 +3407,12 @@ _BM25_PROBES = [
 ]
 
 
-def _bm25_oracle(k: int = 10, k1: float = 1.5, b: float = 0.75) -> str:
-    vals = ", ".join(f"({i}, '{q}')" for i, q in _BM25_PROBES)
-    return f"""WITH probes(query_id, query) AS (VALUES {vals}),
-qt AS (
-    SELECT DISTINCT query_id, unnest(list_filter(
-        regexp_split_to_array(lower(query), '\\s+'), x -> x <> '')) AS term
-    FROM probes
-),
-d AS (
+def _bm25_chain_ctes(k1: float = 1.5, b: float = 0.75) -> str:
+    """The BM25 scoring chain as CTEs ``d`` .. ``r`` — expects a ``qt``
+    CTE of (query_id, term) to exist. Shared by the standalone BM25
+    oracle (literal probe queries) and the hybrid-retrieval oracle
+    (queries derived in-plan from probe docs)."""
+    return f"""d AS (
     SELECT doc_id,
         list_filter(regexp_split_to_array(lower(text), '\\s+'),
                     x -> x <> '') AS tk
@@ -3451,7 +3448,18 @@ r AS (
         row_number() OVER (PARTITION BY query_id
                            ORDER BY score DESC, doc_id) AS rnk
     FROM sc
-)
+)"""
+
+
+def _bm25_oracle(k: int = 10, k1: float = 1.5, b: float = 0.75) -> str:
+    vals = ", ".join(f"({i}, '{q}')" for i, q in _BM25_PROBES)
+    return f"""WITH probes(query_id, query) AS (VALUES {vals}),
+qt AS (
+    SELECT DISTINCT query_id, unnest(list_filter(
+        regexp_split_to_array(lower(query), '\\s+'), x -> x <> '')) AS term
+    FROM probes
+),
+{_bm25_chain_ctes(k1, b)}
 SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {k}"""
 
@@ -3469,6 +3477,99 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     probes = spark.createDataFrame(_BM25_PROBES, "query_id long, query string")
     return bm25_topk(docs, probes, k=10)
+
+
+#: probe docs for hybrid retrieval: lexical query = the doc's first 8
+#: tokens, semantic query = the doc's embedding (vec_id aligns 1:1).
+_HYBRID_PROBES = [3, 47, 91]
+
+
+def _hybrid_oracle(
+    k: int = 10, arm_k: int = 20, c: int = 60, n_qtok: int = 8
+) -> str:
+    ids = ", ".join(str(i) for i in _HYBRID_PROBES)
+    return f"""WITH pd AS (
+    SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '') AS tk
+    FROM documents WHERE doc_id IN ({ids})
+),
+qt AS (
+    SELECT DISTINCT doc_id AS query_id, unnest(tk[1:{n_qtok}]) AS term
+    FROM pd
+),
+{_bm25_chain_ctes()},
+lex AS (
+    SELECT query_id AS probe_id, doc_id, rnk AS r
+    FROM r WHERE rnk <= {arm_k}
+),
+ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nrm AS (
+    SELECT vec_id,
+        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+    FROM ce
+),
+pv AS (SELECT vec_id AS probe_id, u AS pu FROM nrm WHERE vec_id IN ({ids})),
+semr AS (
+    SELECT probe_id, vec_id AS doc_id,
+        row_number() OVER (PARTITION BY probe_id
+                           ORDER BY list_dot_product(pu, u) DESC, vec_id)
+            AS r
+    FROM nrm, pv WHERE nrm.vec_id <> pv.probe_id
+),
+sem AS (SELECT probe_id, doc_id, r FROM semr WHERE r <= {arm_k}),
+arms AS (
+    SELECT probe_id, doc_id, 1.0 / ({c} + r) AS s FROM lex
+    UNION ALL
+    SELECT probe_id, doc_id, 1.0 / ({c} + r) AS s FROM sem
+),
+fused AS (
+    SELECT probe_id, doc_id,
+        ROUND(SUM(s), 6) AS rrf_score,
+        CAST(COUNT(*) AS BIGINT) AS n_arms
+    FROM arms WHERE doc_id <> probe_id
+    GROUP BY probe_id, doc_id
+)
+SELECT probe_id, doc_id, rrf_score, n_arms, fused_rank
+FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY probe_id
+        ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank
+    FROM fused
+) WHERE fused_rank <= {k}"""
+
+
+@register("hybrid_search_rrf", _hybrid_oracle())
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the modern RAG shape — as ONE plan: for each
+    probe doc, a LEXICAL arm (BM25 top-20 with the doc's first 8 tokens
+    as the query, sparkfeat.search.bm25_topk) and a SEMANTIC arm (exact
+    cosine top-20 on the doc's embedding, similarity.cosine_topk) fused
+    by reciprocal-rank fusion (search.rrf_fuse, 1/(60+rank), self-hits
+    dropped). Each arm keeps its own scale discipline (broadcast term
+    prune / broadcast probes); fusion runs on ≤ arms×20 candidates per
+    probe by construction. The oracle replays both arms AND the fusion."""
+    from sparkfeat.search import bm25_topk, rrf_fuse
+    from sparkfeat.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = list(_HYBRID_PROBES)
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    probes_q = docs.filter(F.col("doc_id").isin(ids)).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 8)).alias("query"),
+    )
+    lex = bm25_topk(docs, probes_q, k=20).select(
+        F.col("query_id").alias("probe_id"), "doc_id", "rank"
+    )
+    probes_v = emb.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    sem = cosine_topk(emb, probes_v, k=20).select(
+        "probe_id", F.col("vec_id").alias("doc_id"), F.col("rk").alias("rank")
+    )
+    return rrf_fuse([lex, sem], k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -3763,6 +3864,9 @@ _ROTATE_OUT = [
     # bpe_learn (both r2..r4-green, untouched)
     "ewma_halflife",
     "resample_densify_ffill",
+    # one more ceded to the round-5 NEW hybrid_search_rrf, whose oracle
+    # re-verifies the identical cosine math end-to-end
+    "ann_cosine_topk",
 ]
 for _name in _ROTATE_IN:
     QUERIES[_name] = EXTRA_QUERIES.pop(_name)

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "rrf_fuse"]
 
 
 def _toks(col) -> "F.Column":
@@ -123,5 +123,61 @@ def bm25_topk(
             id_col,
             "score",
             F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def rrf_fuse(
+    arms: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    probe_col: str = "probe_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N retrieval arms
+    — the standard hybrid-search combiner (lexical BM25 + embedding ANN
+    being the classic pair). Each arm contributes ``1/(c + rank)`` per
+    (probe, doc); fused score is the sum over the arms that retrieved
+    the doc, rounded to 6dp BEFORE the final ranking (doc_id
+    tie-break) for engine-stable ordering. Self-hits (doc == probe) are
+    dropped.
+
+    Scale shape: each arm is already top-K per probe, so the union is
+    ≤ arms·K rows per probe — the fusion groupBy and final per-probe
+    window run on a candidate set that is TINY by construction
+    regardless of corpus size; all the heavy lifting stays inside the
+    arms (which prune/shard as documented on their own operators)."""
+    tagged = [
+        a.select(
+            F.col(probe_col).alias("_p"),
+            F.col(doc_col).alias("_d"),
+            (1.0 / (F.lit(c) + F.col(rank_col))).alias("_s"),
+        )
+        for a in arms
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    fused = (
+        u.filter(F.col("_d") != F.col("_p"))
+        .groupBy("_p", "_d")
+        .agg(
+            (F.round(F.sum("_s"), 6) + F.lit(0.0)).alias("rrf_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_arms"),
+        )
+    )
+    w = Window.partitionBy("_p").orderBy(
+        F.col("rrf_score").desc(), F.col("_d").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            F.col("_p").alias(probe_col),
+            F.col("_d").alias(doc_col),
+            "rrf_score",
+            "n_arms",
+            "fused_rank",
         )
     )

@@ -108,3 +108,36 @@ def test_bm25_plan_broadcasts_terms_no_cartesian(spark, tiny):
     plan = bm25_topk(tiny, probes, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_rrf_fuse_hand_case(spark):
+    from sparkfeat.search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 1, 3)],  # doc 1 == probe -> dropped
+        "probe_id long, doc_id long, rank long",
+    )
+    sem = spark.createDataFrame(
+        [(1, 20, 1), (1, 30, 2)], "probe_id long, doc_id long, rank long"
+    )
+    rows = {r.doc_id: r for r in rrf_fuse([lex, sem], k=10, c=60).collect()}
+    assert set(rows) == {10, 20, 30}
+    assert rows[20].n_arms == 2 and rows[20].fused_rank == 1
+    assert rows[20].rrf_score == pytest.approx(
+        round(1 / 61 + 1 / 62, 6), abs=1e-9
+    )
+    assert rows[10].rrf_score == pytest.approx(round(1 / 61, 6), abs=1e-9)
+    # tie between doc 10 (lex rank 1) and sem-only doc at rank 1 would be
+    # broken by doc_id; here 10 (1/61) beats 30 (1/62)
+    assert rows[10].fused_rank == 2 and rows[30].fused_rank == 3
+
+
+def test_rrf_fuse_k_truncates(spark):
+    from sparkfeat.search import rrf_fuse
+
+    arm = spark.createDataFrame(
+        [(1, d, d) for d in range(2, 30)], "probe_id long, doc_id long, rank long"
+    )
+    out = rrf_fuse([arm], k=5).collect()
+    assert len(out) == 5
+    assert sorted(r.fused_rank for r in out) == [1, 2, 3, 4, 5]
