@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "corpus_chunks",
     "hybrid_search_rrf",
+    "bpe_encode_corpus",
 ]
 
 

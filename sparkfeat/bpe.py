@@ -29,9 +29,11 @@ No reference counterpart (`/root/reference` has no text operators).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, StringType
 
-__all__ = ["word_freqs", "symbolize", "bpe_pair_counts", "train_bpe"]
+__all__ = ["word_freqs", "symbolize", "bpe_pair_counts", "train_bpe", "bpe_encode"]
 
 #: end-of-word sentinel (classic BPE): lets merges distinguish
 #: word-final from word-internal occurrences of a symbol.
@@ -148,3 +150,73 @@ def train_bpe(
         if checkpoint:
             syms = syms.localCheckpoint(eager=True)
     return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge table to the corpus — the ENCODE half of
+    the tokenizer (the artifact :func:`train_bpe` ships). Emits
+    ``(doc_id, bpe_tokens: array<string>, n_bpe_tokens)``.
+
+    The standard fast encode: per WORD, greedily merge the
+    highest-priority (lowest merge-index) adjacent pair until no learned
+    pair remains — identical output to replaying the merges in training
+    order. Runs as an Arrow-batched pandas UDF with a per-batch
+    memoization cache over DISTINCT words (Zipf: a batch of 10k docs
+    holds a few thousand distinct words, each encoded once) — the same
+    batch-amortization move as the MinHash signature kernel. The merge
+    table broadcasts via the UDF closure (tokenizer tables are KBs-MBs;
+    a 50k-merge GPT-2-class table is ~1 MB).
+
+    Scale shape: map-only — fuses into the corpus scan, no shuffle; the
+    heavy work is C-speed dict lookups per distinct word per batch."""
+    ranks = {(a, b): i for i, (a, b, *_rest) in enumerate(merges)}
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def word_syms(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w) + [EOW]
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best[0]):
+                        best = (r, i)
+                if best is None:
+                    break
+                # merge ALL occurrences of the best pair left-to-right
+                # (greedy fold — same semantics as _merge_pair)
+                a, b = syms[best[1]], syms[best[1] + 1]
+                out: list[str] = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                syms = out
+            cache[w] = syms
+            return syms
+
+        res = []
+        for t in texts:
+            if t is None:
+                res.append([])
+                continue
+            toks: list[str] = []
+            for w in t.lower().split():
+                toks.extend(word_syms(w))
+            res.append(toks)
+        return pd.Series(res)
+
+    return docs.select(
+        F.col(id_col), enc(F.col(text_col)).alias("bpe_tokens")
+    ).withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("bigint"))

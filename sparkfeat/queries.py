@@ -3736,15 +3736,10 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(docs)
 
 
-def _bpe_learn_oracle(n_merges: int = 6) -> str:
-    """Replay train_bpe's full merge loop in SQL. The merge rewrite
-    renders each symbol as chr(1)||s||chr(1) and string-replaces the
-    doubly-delimited pair — every symbol carries BOTH its delimiters, so
-    a match can never cross a symbol boundary or bind to a symbol whose
-    text merely ends/starts with a/b, and left-to-right non-overlapping
-    replace() reproduces the Spark fold's greedy semantics exactly
-    (x x x --(x,x)--> [xx, x]). Ties broken (pair_freq DESC, a, b) on
-    both engines, so the learned sequence is deterministic."""
+def _bpe_round_ctes(n_merges: int, final_rewrite: bool) -> list[str]:
+    """CTE chain r0, (p_i, m_i, r_{i+1})* for the BPE merge loop; with
+    ``final_rewrite`` the post-last-merge words table r{n_merges} is
+    built too (the encode oracle needs it; the learn oracle does not)."""
     parts = [f"WITH {_BPE_SY_CTES},", "r0 AS (SELECT word, freq, syms FROM sy)"]
     sep = "chr(1)"
     for i in range(n_merges):
@@ -3754,7 +3749,7 @@ p{i} AS ({_bpe_pairs_sql(f'r{i}')}),
 m{i} AS (SELECT a, b, pair_freq FROM p{i}
          ORDER BY pair_freq DESC, a, b LIMIT 1)"""
         )
-        if i < n_merges - 1:
+        if i < n_merges - 1 or final_rewrite:
             parts.append(
                 f""",
 r{i + 1} AS (
@@ -3771,6 +3766,19 @@ r{i + 1} AS (
     FROM r{i} r, m{i} m
 )"""
             )
+    return parts
+
+
+def _bpe_learn_oracle(n_merges: int = 6) -> str:
+    """Replay train_bpe's full merge loop in SQL. The merge rewrite
+    renders each symbol as chr(1)||s||chr(1) and string-replaces the
+    doubly-delimited pair — every symbol carries BOTH its delimiters, so
+    a match can never cross a symbol boundary or bind to a symbol whose
+    text merely ends/starts with a/b, and left-to-right non-overlapping
+    replace() reproduces the Spark fold's greedy semantics exactly
+    (x x x --(x,x)--> [xx, x]). Ties broken (pair_freq DESC, a, b) on
+    both engines, so the learned sequence is deterministic."""
+    parts = _bpe_round_ctes(n_merges, final_rewrite=False)
     sel = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS merge_idx, a, b, pair_freq FROM m{i}"
         for i in range(n_merges)
@@ -3793,6 +3801,56 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, a, b, pf) for i, (a, b, pf) in enumerate(merges)],
         "merge_idx long, a string, b string, pair_freq long",
+    )
+
+
+def _bpe_encode_oracle(n_merges: int = 6) -> str:
+    """Derive the merge table IN SQL (the learn-oracle chain, one extra
+    rewrite to get the post-merge word table) and apply it to every
+    document: tokens joined back to their encoded word forms, flattened
+    in token order. Checks that the Arrow kernel's rank-priority greedy
+    encode equals replaying the merges in training order."""
+    parts = _bpe_round_ctes(n_merges, final_rewrite=True)
+    return "".join(parts) + f""",
+dtk AS (
+    SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '') AS tk
+    FROM documents
+),
+dt AS (
+    SELECT d.doc_id, d.tk[u.i] AS term, u.i AS pos
+    FROM dtk d, unnest(generate_series(1, len(d.tk))) AS u(i)
+),
+enc AS (
+    SELECT dt.doc_id,
+        flatten(list(r.syms ORDER BY dt.pos)) AS bpe
+    FROM dt JOIN r{n_merges} r ON r.word = dt.term
+    GROUP BY dt.doc_id
+)
+SELECT a.doc_id,
+    COALESCE(array_to_string(e.bpe, ' '), '') AS bpe_text,
+    CAST(COALESCE(len(e.bpe), 0) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id FROM documents) a LEFT JOIN enc e USING (doc_id)"""
+
+
+@register("bpe_encode_corpus", _bpe_encode_oracle())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 6 BPE merges, then ENCODE the whole corpus with the learned
+    table (sparkfeat.bpe.bpe_encode: Arrow-batched rank-priority greedy
+    merge with a per-batch distinct-word memo cache — map-only, fuses
+    into the scan). The oracle derives the SAME merge table in SQL and
+    applies it in training order, pinning the standard equivalence of
+    the two encode algorithms on every document."""
+    from sparkfeat.bpe import bpe_encode, train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, n_merges=6)
+    out = bpe_encode(docs, merges)
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
+        "n_bpe_tokens",
     )
 
 
@@ -3867,6 +3925,9 @@ _ROTATE_OUT = [
     # one more ceded to the round-5 NEW hybrid_search_rrf, whose oracle
     # re-verifies the identical cosine math end-to-end
     "ann_cosine_topk",
+    # one more ceded to the round-5 NEW bpe_encode_corpus (r1..r4-green,
+    # untouched; stays benched + pytest-oracle-checked)
+    "sessionize_aggregate",
 ]
 for _name in _ROTATE_IN:
     QUERIES[_name] = EXTRA_QUERIES.pop(_name)

@@ -102,3 +102,45 @@ def test_train_bpe_checkpoint_bounds_plan_depth(spark):
         syms = _merge_pair(syms, "a", "a").localCheckpoint(eager=True)
     plan = syms._jdf.queryExecution().optimizedPlan().toString()
     assert "aggregate(" not in plan  # rewrite folded away by the checkpoint
+
+
+def test_bpe_encode_equals_training_order_replay(spark):
+    """Rank-priority greedy encode (the Arrow kernel) == applying the
+    learned merges in training order (the _merge_pair expr path)."""
+    from pyspark.sql import functions as F
+
+    from sparkfeat.bpe import (
+        _merge_pair,
+        bpe_encode,
+        symbolize,
+        train_bpe,
+        word_freqs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, n_merges=6)
+    got = {
+        r.doc_id: r.bpe_tokens for r in bpe_encode(docs, merges).collect()
+    }
+    # replay in training order on the distinct-word table
+    syms = symbolize(word_freqs(docs))
+    for a, b, _pf in merges:
+        syms = _merge_pair(syms, a, b)
+    word_map = {r.word: r.syms for r in syms.collect()}
+    for i, t in enumerate(TEXTS):
+        want = [s for w in t.lower().split() for s in word_map[w]]
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_bpe_encode_edge_cases(spark):
+    from sparkfeat.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab"), (1, ""), (2, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bpe_encode(docs, [("a", "b")]).collect()}
+    assert rows[0].bpe_tokens == ["ab", "</w>", "ab", "</w>"]
+    assert rows[1].bpe_tokens == [] and rows[1].n_bpe_tokens == 0
+    assert rows[2].bpe_tokens == [] and rows[2].n_bpe_tokens == 0
