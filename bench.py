@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "corpus_chunks",
     "hybrid_search_rrf",
     "bpe_encode_corpus",
+    "sft_pairs",
 ]
 
 

@@ -3854,6 +3854,61 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SFT_BUDGET = 12
+_SFT_MAX_TURNS = 6
+
+_SFT_PAIRS_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+tok AS (
+    SELECT conv_id, turn_idx, role, text,
+        CAST(GREATEST(COALESCE(len(string_split(text, ' ')), 0), 0) AS BIGINT) AS tok
+    FROM transcripts
+),
+cum AS (
+    SELECT *,
+        CAST(COALESCE(SUM(tok) OVER (
+            PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pc
+    FROM tok
+),
+tgt AS (SELECT * FROM cum WHERE role = 'assistant'),
+ctx AS (
+    SELECT t.conv_id, t.turn_idx,
+        string_agg(j.role || ': ' || j.text, chr(10) ORDER BY j.turn_idx) AS prompt,
+        CAST(COUNT(*) AS BIGINT) AS n_context_turns,
+        CAST(SUM(j.tok) AS BIGINT) AS context_tokens
+    FROM tgt t JOIN cum j
+      ON j.conv_id = t.conv_id
+     AND j.turn_idx < t.turn_idx
+     AND j.turn_idx >= t.turn_idx - {_SFT_MAX_TURNS}
+     AND j.pc >= t.pc - {_SFT_BUDGET}
+    GROUP BY t.conv_id, t.turn_idx
+)
+SELECT t.conv_id, t.turn_idx,
+    COALESCE(c.prompt, '') AS prompt,
+    t.text AS response,
+    CAST(COALESCE(c.n_context_turns, 0) AS BIGINT) AS n_context_turns,
+    CAST(COALESCE(c.context_tokens, 0) AS BIGINT) AS context_tokens,
+    t.tok AS response_tokens
+FROM tgt t LEFT JOIN ctx c USING (conv_id, turn_idx)"""
+
+
+@register("sft_pairs", _SFT_PAIRS_ORACLE)
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts → (prompt, response) SFT pairs: one per assistant
+    turn, prompt = newest-first prior turns under a 12-token budget,
+    at most 6 turns considered (sparkfeat.sft.sft_pairs — ONE conv_id
+    exchange, bounded window frame, prefix-sum budget cut). The oracle
+    replays the budget arithmetic with an explicit self-join, so the
+    window-frame formulation is checked against the set-definition of
+    the same semantics."""
+    from sparkfeat.sft import sft_pairs
+
+    tr = transcripts_from_events(spark, sf_dir)
+    return sft_pairs(
+        tr, token_budget=_SFT_BUDGET, max_context_turns=_SFT_MAX_TURNS
+    )
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -3928,6 +3983,9 @@ _ROTATE_OUT = [
     # one more ceded to the round-5 NEW bpe_encode_corpus (r1..r4-green,
     # untouched; stays benched + pytest-oracle-checked)
     "sessionize_aggregate",
+    # ceded to the round-5 NEW sft_pairs (r3+r4-green, minhash path
+    # untouched this round; stays benched + pytest-oracle-checked)
+    "dedup_minhash_lsh",
 ]
 for _name in _ROTATE_IN:
     QUERIES[_name] = EXTRA_QUERIES.pop(_name)

@@ -1,0 +1,115 @@
+"""sparkfeat.sft — transcript → SFT (prompt, response) pairs."""
+
+from datetime import datetime
+
+from sparkfeat.sft import sft_pairs
+
+ROWS = [
+    # conv a: tokens per turn = 2, 3, 2, 1 (whitespace count)
+    ("a", 0, "user", "hi there", None),
+    ("a", 1, "assistant", "hello hello hello", None),
+    ("a", 2, "user", "more stuff", None),
+    ("a", 3, "assistant", "ok", None),
+    # conv b: opener is the assistant turn (no context)
+    ("b", 0, "assistant", "cold open", None),
+    ("b", 1, "user", "one two three four five", None),
+    ("b", 2, "assistant", "reply", None),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (c, i, r, t, tool, datetime(2024, 1, 1, 0, i))
+            for (c, i, r, t, tool) in ROWS
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def test_sft_pairs_hand_computed(spark):
+    got = {
+        (r.conv_id, r.turn_idx): r
+        for r in sft_pairs(_df(spark), token_budget=5, max_context_turns=10)
+        .collect()
+    }
+    assert set(got) == {("a", 1), ("a", 3), ("b", 0), ("b", 2)}
+
+    # a@1: prior suffixes: turn0 = 2 tokens <= 5 -> kept
+    r = got[("a", 1)]
+    assert r.prompt == "user: hi there"
+    assert r.response == "hello hello hello"
+    assert r.n_context_turns == 1
+    assert r.context_tokens == 2
+    assert r.response_tokens == 3
+
+    # a@3: suffix turn2 = 2 <= 5; suffix turn1..2 = 5 <= 5; turn0..2 = 7 > 5
+    r = got[("a", 3)]
+    assert r.prompt == "assistant: hello hello hello\nuser: more stuff"
+    assert r.n_context_turns == 2 and r.context_tokens == 5
+
+    # b@0: opener -> empty prompt, zero context
+    r = got[("b", 0)]
+    assert r.prompt == "" and r.n_context_turns == 0 and r.context_tokens == 0
+
+    # b@2: turn1 alone is 5 tokens <= 5, turn0..1 = 7 > 5
+    r = got[("b", 2)]
+    assert r.prompt == "user: one two three four five"
+    assert r.n_context_turns == 1 and r.context_tokens == 5
+
+
+def test_sft_pairs_max_turns_cap(spark):
+    # huge budget, but the frame cap still truncates to the last 1 turn
+    got = {
+        (r.conv_id, r.turn_idx): r
+        for r in sft_pairs(_df(spark), token_budget=10_000, max_context_turns=1)
+        .collect()
+    }
+    assert got[("a", 3)].prompt == "user: more stuff"
+    assert got[("a", 3)].n_context_turns == 1
+    assert got[("b", 2)].prompt == "user: one two three four five"
+
+
+def test_sft_pairs_budget_zero_and_null_text(spark):
+    from datetime import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "user", None, None, dt(2024, 1, 1)),
+            ("c", 1, "assistant", "yo", None, dt(2024, 1, 1, 0, 1)),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    # null text = 0 tokens -> it FITS any budget >= 0; concat_ws skips
+    # the null text so the rendered turn is just the role.
+    r = sft_pairs(df, token_budget=0, max_context_turns=5).collect()[0]
+    assert r.n_context_turns == 1 and r.context_tokens == 0
+    assert r.prompt == "user"
+
+
+def test_sft_pairs_plan_single_exchange(spark):
+    """Scale shape: exactly ONE hashpartitioning exchange (conv_id) —
+    the window chain reuses the same partitioning end-to-end."""
+    out = sft_pairs(_df(spark), token_budget=8, max_context_turns=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(conv_id") >= 1
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_sft_pairs_no_leakage(spark):
+    """No prompt may contain text from the response turn or any later
+    turn — the temporal-leakage invariant, checked exhaustively."""
+    texts = {(c, i): t for (c, i, _r, t, _tool) in ROWS}
+    pairs = sft_pairs(
+        _df(spark), token_budget=100, max_context_turns=10
+    ).collect()
+    for r in pairs:
+        for (c, i), t in texts.items():
+            if c == r.conv_id and i >= r.turn_idx and t is not None:
+                # the response turn's own text equals r.response; it must
+                # not appear inside the prompt (transcript texts here are
+                # unique per turn)
+                assert t not in r.prompt, (r.conv_id, r.turn_idx, t)
