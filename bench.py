@@ -86,6 +86,11 @@ BENCH_QUERIES = [
     "hybrid_search_rrf",
     "bpe_encode_corpus",
     "sft_pairs",
+    "doc_lm_perplexity",
+    "dsir_weights",
+    "semdedup_keeplist",
+    "sft_pack_manifest",
+    "tool_chain_stats",
 ]
 
 

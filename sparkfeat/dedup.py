@@ -866,3 +866,48 @@ def incremental_dedup_indexed(
         num_perm,
         threshold,
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic (embedding-space) dedup keep-list
+# ---------------------------------------------------------------------------
+
+
+def semdedup_keeplist(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_assign: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): cluster the embedding
+    space, call any within-cluster pair with cosine above ``threshold``
+    a semantic duplicate, and keep ONE representative per duplicate
+    group. The published recipe is k-means + within-cluster pairwise
+    cosine + a keep-one sweep; here each stage is the engine's existing
+    scale-shaped primitive, composed:
+
+    * candidate pairs: :func:`embedding_pairs_bucketed` — IVF bucket
+      co-membership (multi-probe ``n_assign``) + exact unit-cosine
+      verify as one BLAS matmul per bucket; no CartesianProduct.
+    * duplicate groups: :func:`connected_components` (large-star /
+      small-star, O(log n) rounds) via :func:`neardup_clusters` —
+      SemDeDup's "keep one per group" needs TRANSITIVE groups, not raw
+      pairs (A≈B, B≈C must collapse to one kept vector even if A̸≈C).
+    * keep rule: smallest id per component — deterministic on any
+      cluster (the paper keeps a random member; a fixed representative
+      is the reproducible choice and what the parity harness needs).
+
+    Output: ``(vec_id, cluster_id, cluster_size, keep)`` — one row per
+    input vector; singletons keep themselves.
+    """
+    pairs = embedding_pairs_bucketed(
+        emb,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        n_assign=n_assign,
+    )
+    return neardup_clusters(emb, pairs, id_col=id_col)

@@ -154,3 +154,73 @@ def sessionize(
         out_col,
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
     )
+
+
+def tool_chain_stats(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+    role_col: str = "role",
+) -> DataFrame:
+    """Per-conversation agent-behavior profile over the transcript
+    data model: how much of the conversation is tool traffic, how many
+    retries, and the longest unbroken tool-call chain — the features an
+    agent-quality dashboard or a data-curation filter ("drop
+    conversations that are 90% retry loops") reads.
+
+    Output per entity: ``n_turns``, ``n_tool_turns`` (tool non-null),
+    ``n_retries`` (tool = 'retry'), ``max_tool_streak`` (longest run of
+    CONSECUTIVE turns by ``order_col`` with a non-null tool — the
+    classic gaps-and-islands: island id = order − dense run index, so
+    the whole derivation is two window passes over the SAME conv_id
+    partitioning), ``assistant_frac`` (6-dp rounded).
+
+    Scale shape: one hash exchange on ``conv_id`` (shuffle-free on the
+    bucketed table), then windows + one groupBy reusing it. Streak
+    state is O(1) per row — no arrays, no collect.
+    """
+    w = Window.partitionBy(entity_col).orderBy(order_col)
+    is_tool = F.col(tool_col).isNotNull()
+    # gaps-and-islands: among tool turns, consecutive order values have
+    # a constant (order - running tool count) -> one island per chain.
+    run_idx = F.sum(is_tool.cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    island = F.when(is_tool, F.col(order_col) - run_idx)
+    flagged = df.select(
+        F.col(entity_col),
+        F.col(order_col),
+        is_tool.alias("_t"),
+        (F.col(tool_col) == "retry").alias("_r"),
+        (F.col(role_col) == "assistant").alias("_a"),
+        island.alias("_isl"),
+    )
+    streaks = (
+        flagged.where(F.col("_t"))
+        .groupBy(entity_col, "_isl")
+        .agg(F.count(F.lit(1)).alias("_len"))
+        .groupBy(entity_col)
+        .agg(F.max("_len").alias("max_tool_streak"))
+    )
+    base = flagged.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("_t").cast("bigint")).alias("n_tool_turns"),
+        F.sum(F.col("_r").cast("bigint")).alias("n_retries"),
+        (
+            F.round(
+                F.sum(F.col("_a").cast("bigint")) / F.count(F.lit(1)), 6
+            )
+            + F.lit(0.0)
+        ).alias("assistant_frac"),
+    )
+    return base.join(streaks, entity_col, "left").select(
+        entity_col,
+        "n_turns",
+        "n_tool_turns",
+        "n_retries",
+        F.coalesce("max_tool_streak", F.lit(0).cast("bigint")).alias(
+            "max_tool_streak"
+        ),
+        "assistant_frac",
+    )

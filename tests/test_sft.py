@@ -113,3 +113,51 @@ def test_sft_pairs_no_leakage(spark):
                 # not appear inside the prompt (transcript texts here are
                 # unique per turn)
                 assert t not in r.prompt, (r.conv_id, r.turn_idx, t)
+
+
+def test_tool_chain_stats_hand_computed(spark):
+    from datetime import datetime as dt
+
+    from sparkfeat.windows import tool_chain_stats
+
+    rows = [
+        # conv a: tools at turns 1,2,3 (streak 3, one retry) and 5
+        ("a", 0, "user", "q", None),
+        ("a", 1, "tool", "r1", "search"),
+        ("a", 2, "tool", "r2", "retry"),
+        ("a", 3, "tool", "r3", "search"),
+        ("a", 4, "assistant", "ans", None),
+        ("a", 5, "tool", "r4", "search"),
+        # conv b: no tools at all
+        ("b", 0, "user", "hi", None),
+        ("b", 1, "assistant", "yo", None),
+    ]
+    df = spark.createDataFrame(
+        [(c, i, r, t, tool, dt(2024, 1, 1, 0, i)) for c, i, r, t, tool in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {r.conv_id: r for r in tool_chain_stats(df).collect()}
+    a = got["a"]
+    assert a.n_turns == 6 and a.n_tool_turns == 4 and a.n_retries == 1
+    assert a.max_tool_streak == 3
+    assert a.assistant_frac == round(1 / 6, 6)
+    b = got["b"]
+    assert b.n_tool_turns == 0 and b.max_tool_streak == 0
+    assert b.assistant_frac == 0.5
+
+
+def test_tool_chain_stats_plan_single_exchange(spark):
+    from datetime import datetime as dt
+
+    from sparkfeat.windows import tool_chain_stats
+
+    df = spark.createDataFrame(
+        [("a", 0, "user", "q", None, dt(2024, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    plan = (
+        tool_chain_stats(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
