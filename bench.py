@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "semdedup_keeplist",
     "sft_pack_manifest",
     "tool_chain_stats",
+    "conv_dedup_exact",
+    "preference_pairs",
+    "resequence_turns",
 ]
 
 

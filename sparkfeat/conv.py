@@ -1,0 +1,207 @@
+"""Conversation-level transcript operators: exact conversation dedup,
+retry→preference pair mining, turn-order integrity repair.
+
+These operate on the BASELINE.json ``input_hint`` transcript shape
+``(conv_id, turn_idx, role, text, tool, ts)`` at CONVERSATION
+granularity — the unit a training-data pipeline actually admits or
+drops. All three are pure relational compositions (windows + groupBy
+over the same ``conv_id`` partitioning the bucketed table already
+provides — zero extra exchanges on an Iceberg ``bucket(N, conv_id)``
+layout, one hash exchange otherwise).
+
+Scale notes (the 100 TB lens):
+
+* :func:`conv_signature` never collects a conversation into one row:
+  the order-aware content signature is a plain ``sum`` because each
+  term already encodes its position (``turn_idx`` is hashed INSIDE the
+  md5), so the combine is commutative/associative → map-side partial
+  aggregation, O(1) state per group, heavy-tailed 10⁷-turn
+  conversations cost the same aggregation buffer as 3-turn ones.
+  (Contrast: ``collect_list``-then-hash is the OOM class the
+  duplicate-span hardening removed.)
+* :func:`preference_pairs` is windows-only — no self-join for the
+  chosen/prompt texts; ``first/last(..., ignorenulls)`` over
+  following/preceding frames resolves them in the same single
+  partitioning pass.
+* :func:`resequence_turns` is one window pass; the repair is a
+  per-partition ``row_number``, never a global sort.
+
+No reference counterpart (`/root/reference` §2 has no conversation
+operators); the dedup keep-rule mirrors `dedup.py`'s smallest-id
+convention so downstream anti-joins compose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "conv_signature",
+    "conv_dedup_exact",
+    "preference_pairs",
+    "resequence_turns",
+]
+
+#: Field separator / null sentinel for the canonical per-turn string.
+#: Both live in the md5 input on BOTH engines, so they only need to be
+#: stable, not unguessable.
+_SEP = "|"
+_NULL = "<null>"
+
+
+def _turn_term(order_col: str, role_col: str, text_col: str, tool_col: str):
+    """Per-turn signature term: a 60-bit integer from md5 of the
+    canonical turn string. ``turn_idx`` is hashed inside, so a SUM of
+    terms is order-aware yet commutative — the whole point."""
+    canon = F.concat_ws(
+        _SEP,
+        F.col(order_col).cast("string"),
+        F.coalesce(F.col(role_col), F.lit(_NULL)),
+        F.coalesce(F.col(text_col), F.lit(_NULL)),
+        F.coalesce(F.col(tool_col), F.lit(_NULL)),
+    )
+    return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+
+
+def conv_signature(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Order-aware content signature per conversation:
+    ``(conv_id, conv_sig, n_turns)``.
+
+    ``conv_sig`` = Σ over turns of a 60-bit md5-derived term whose
+    input INCLUDES ``turn_idx`` — identical turn multisets in different
+    orders get different signatures, but the aggregation itself is a
+    plain sum (map-side combinable, O(1) state). 60-bit terms over a
+    38-digit decimal accumulator: overflow needs ~10²⁰ turns in ONE
+    conversation. Emitted as a string so every engine compares it
+    exactly (the round-3 HUGEINT lesson).
+    """
+    term = _turn_term(order_col, role_col, text_col, tool_col)
+    return df.groupBy(entity_col).agg(
+        F.sum(term).cast("decimal(38,0)").cast("string").alias("conv_sig"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
+def conv_dedup_exact(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Exact conversation-level dedup keep-list:
+    ``(conv_id, conv_sig, n_turns, group_size, keep)``.
+
+    Two conversations are duplicates iff they have the same turn count
+    and the same order-aware signature — i.e. the same (turn_idx, role,
+    text, tool) sequence. Keep-rule: smallest ``conv_id`` per group
+    (deterministic on any cluster; mirrors `dedup.exact_dedup`).
+
+    Shuffle shape: groupBy(conv_id) — free on the bucketed table —
+    then a groupBy on the TINY (sig, n_turns) key space (≤ one row per
+    distinct conversation content), then a broadcast-sized join back.
+    """
+    sig = conv_signature(df, entity_col, order_col, role_col, text_col, tool_col)
+    groups = sig.groupBy("conv_sig", "n_turns").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min(entity_col).alias("_keep_id"),
+    )
+    return sig.join(groups, ["conv_sig", "n_turns"]).select(
+        entity_col,
+        "conv_sig",
+        "n_turns",
+        "group_size",
+        (F.col(entity_col) == F.col("_keep_id")).alias("keep"),
+    )
+
+
+def preference_pairs(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    retry_tool: str = "retry",
+) -> DataFrame:
+    """Mine DPO-style preference pairs from agent transcripts: every
+    retry-flagged turn is a REJECTED attempt; the first following
+    non-retry turn in the same conversation is the CHOSEN resolution;
+    the last preceding user turn is the shared PROMPT.
+
+    Output per retry turn (rows where no resolution follows are
+    dropped): ``(conv_id, retry_idx, prompt_text, rejected_text,
+    chosen_idx, chosen_role, chosen_text)``. A run of k consecutive
+    retries yields k pairs sharing one chosen — the standard
+    "multiple rejected per accepted" preference layout.
+
+    Scale shape: windows only — chosen/prompt texts are resolved with
+    ``first/last(..., ignorenulls)`` over following/preceding frames in
+    the SAME ``conv_id`` partitioning; no self-join, no collect. One
+    exchange total (zero on the bucketed table).
+    """
+    w = Window.partitionBy(entity_col).orderBy(order_col)
+    is_retry = F.col(tool_col) == retry_tool
+    not_retry = F.coalesce(F.col(tool_col) != retry_tool, F.lit(True))
+    following = w.rowsBetween(1, Window.unboundedFollowing)
+    preceding = w.rowsBetween(Window.unboundedPreceding, -1)
+    out = df.select(
+        F.col(entity_col),
+        F.col(order_col).alias("retry_idx"),
+        F.last(F.when(F.col(role_col) == "user", F.col(text_col)), True)
+        .over(preceding)
+        .alias("prompt_text"),
+        F.col(text_col).alias("rejected_text"),
+        F.min(F.when(not_retry, F.col(order_col))).over(following).alias("chosen_idx"),
+        F.first(F.when(not_retry, F.col(role_col)), True)
+        .over(following)
+        .alias("chosen_role"),
+        F.first(F.when(not_retry, F.col(text_col)), True)
+        .over(following)
+        .alias("chosen_text"),
+        is_retry.alias("_r"),
+    )
+    return out.where(F.col("_r") & F.col("chosen_idx").isNotNull()).drop("_r")
+
+
+def resequence_turns(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Turn-order integrity repair: re-derive a dense 0-based turn
+    order per conversation and flag the anomalies an ingest pipeline
+    must surface before any leakage-sensitive window runs (the north
+    rule's "per-turn text equality under STABLE turn ordering" is only
+    meaningful once ordering is actually stable).
+
+    Adds to every input row: ``new_turn_idx`` (dense rank by
+    ``(turn_idx, ts)`` — deterministic under duplicate indices),
+    ``gap_before`` (count of missing indices since the previous kept
+    turn; first turn measures from -1 so a dropped opener is visible),
+    ``ts_regressed`` (timestamp moved backwards vs the previous turn).
+
+    One window pass over the ``conv_id`` partitioning; the repair is a
+    per-partition ``row_number``, never a global sort.
+    """
+    w = Window.partitionBy(entity_col).orderBy(order_col, ts_col)
+    prev_idx = F.lag(order_col).over(w)
+    prev_ts = F.lag(ts_col).over(w)
+    return df.select(
+        "*",
+        (F.row_number().over(w) - 1).cast("int").alias("new_turn_idx"),
+        (F.col(order_col) - F.coalesce(prev_idx, F.lit(-1)) - 1)
+        .cast("int")
+        .alias("gap_before"),
+        F.coalesce(F.col(ts_col) < prev_ts, F.lit(False)).alias("ts_regressed"),
+    )

@@ -1,0 +1,130 @@
+"""sparkfeat.conv — conversation-level dedup / preference pairs /
+turn-order repair."""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime
+
+from sparkfeat.conv import (
+    conv_dedup_exact,
+    conv_signature,
+    preference_pairs,
+    resequence_turns,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, r, t, tool, ts) for (c, i, r, t, tool, ts) in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def _ts(i):
+    return datetime(2024, 1, 1, 0, 0, i)
+
+
+def _py_sig(turns):
+    """Pure-Python replica of conv._turn_term summed per conversation."""
+    total = 0
+    for idx, role, text, tool in turns:
+        canon = "|".join(
+            [str(idx), role or "<null>", text or "<null>", tool or "<null>"]
+        )
+        total += int(hashlib.md5(canon.encode()).hexdigest()[:15], 16)
+    return str(total)
+
+
+BASE = [  # conversation content shared by a and its clone b
+    (0, "user", "hi", None),
+    (1, "assistant", "hello", None),
+    (2, "tool", "grep foo", "search"),
+]
+
+
+def test_signature_matches_python_replica_and_order_awareness(spark):
+    rows = (
+        [("a", i, r, t, tool, _ts(i)) for (i, r, t, tool) in BASE]
+        # c: same turn CONTENTS as a but swapped order 0<->1
+        + [
+            ("c", 0, "assistant", "hello", None, _ts(0)),
+            ("c", 1, "user", "hi", None, _ts(1)),
+            ("c", 2, "tool", "grep foo", "search", _ts(2)),
+        ]
+    )
+    sigs = {r.conv_id: r for r in conv_signature(_df(spark, rows)).collect()}
+    assert sigs["a"].conv_sig == _py_sig(BASE)
+    assert sigs["a"].n_turns == 3
+    # same multiset of (role, text, tool) in a different order -> the
+    # turn_idx inside each md5 term changes -> different signature
+    assert sigs["a"].conv_sig != sigs["c"].conv_sig
+
+
+def test_dedup_exact_keeplist(spark):
+    rows = (
+        [("a", i, r, t, tool, _ts(i)) for (i, r, t, tool) in BASE]
+        + [("b", i, r, t, tool, _ts(i + 9)) for (i, r, t, tool) in BASE]  # ts differs
+        + [("z", 0, "user", "solo", None, _ts(0))]
+    )
+    got = {r.conv_id: r for r in conv_dedup_exact(_df(spark, rows)).collect()}
+    assert got["a"].keep and not got["b"].keep  # smallest id kept; ts ignored
+    assert got["a"].group_size == got["b"].group_size == 2
+    assert got["a"].conv_sig == got["b"].conv_sig
+    assert got["z"].keep and got["z"].group_size == 1
+
+
+def test_preference_pairs_hand_computed(spark):
+    rows = [
+        ("a", 0, "user", "do the thing", None, _ts(0)),
+        ("a", 1, "assistant", "attempt 1", None, _ts(1)),
+        ("a", 2, "tool", "boom", "retry", _ts(2)),
+        ("a", 3, "tool", "boom again", "retry", _ts(3)),
+        ("a", 4, "assistant", "fixed it", "checkout", _ts(4)),
+        # b: retry with no resolution after it -> no pair
+        ("b", 0, "user", "hi", None, _ts(0)),
+        ("b", 1, "tool", "err", "retry", _ts(1)),
+    ]
+    got = {
+        (r.conv_id, r.retry_idx): r
+        for r in preference_pairs(_df(spark, rows)).collect()
+    }
+    assert set(got) == {("a", 2), ("a", 3)}
+    for k in [("a", 2), ("a", 3)]:  # consecutive retries share one chosen
+        r = got[k]
+        assert r.prompt_text == "do the thing"
+        assert r.chosen_idx == 4
+        assert r.chosen_role == "assistant"
+        assert r.chosen_text == "fixed it"
+    assert got[("a", 2)].rejected_text == "boom"
+    assert got[("a", 3)].rejected_text == "boom again"
+
+
+def test_resequence_turns_gaps_and_regression(spark):
+    rows = [
+        ("a", 0, "user", "t0", None, _ts(0)),
+        ("a", 3, "user", "t3", None, _ts(3)),  # gap of 2 before
+        ("a", 4, "user", "t4", None, _ts(1)),  # ts goes backwards
+        ("b", 2, "user", "opener dropped", None, _ts(0)),  # gap from -1
+    ]
+    got = {
+        (r.conv_id, r.turn_idx): r
+        for r in resequence_turns(_df(spark, rows)).collect()
+    }
+    assert got[("a", 0)].new_turn_idx == 0 and got[("a", 0)].gap_before == 0
+    assert got[("a", 3)].new_turn_idx == 1 and got[("a", 3)].gap_before == 2
+    assert got[("a", 4)].gap_before == 0 and got[("a", 4)].ts_regressed
+    assert not got[("a", 3)].ts_regressed
+    assert got[("b", 2)].new_turn_idx == 0 and got[("b", 2)].gap_before == 2
+
+
+def test_preference_pairs_single_exchange(spark, transcripts):
+    plan = preference_pairs(transcripts)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one conv_id hash partitioning
+    assert "CartesianProduct" not in plan
+
+
+def test_conv_dedup_plan_no_cartesian(spark, transcripts):
+    plan = conv_dedup_exact(transcripts)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
