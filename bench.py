@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "conv_dedup_exact",
     "preference_pairs",
     "resequence_turns",
+    "conv_latency_stats",
+    "agent_curation_pairs",
 ]
 
 

@@ -4326,7 +4326,145 @@ FROM corrupted
 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)"""
 
 
-@register("resequence_turns", _RESEQ_ORACLE)
+_CONV_LATENCY_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+g AS (
+    SELECT conv_id, epoch_us(ts) AS us,
+        (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1000000.0 AS gap,
+        CASE WHEN role = 'assistant' AND LAG(role) OVER w = 'user'
+             THEN (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1000000.0
+        END AS resp
+    FROM transcripts
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+    ROUND((MAX(us) - MIN(us)) / 1000000.0, 6) AS duration_s,
+    CAST(COUNT(*) AS BIGINT) AS n_turns,
+    ROUND(quantile_cont(gap, 0.5), 6) AS median_gap_s,
+    ROUND(quantile_cont(gap, 0.95), 6) AS p95_gap_s,
+    ROUND(quantile_cont(resp, 0.5), 6) AS median_response_s,
+    CAST(SUM(CASE WHEN resp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_responses
+FROM g GROUP BY conv_id"""
+
+
+@register("conv_latency_stats", _CONV_LATENCY_ORACLE, driver=False)
+def q_conv_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation timing profile
+    (sparkfeat.windows.conv_latency_stats): duration, inter-turn gap
+    median/p95, assistant answer latency — integer epoch-microsecond
+    math end to end, exact percentile with a documented approx
+    strategy for heavy-tailed conversations. EXTRA this round (slots
+    taken); rotation rule 2 queues it IN for round 6."""
+    from sparkfeat.windows import conv_latency_stats
+
+    return conv_latency_stats(transcripts_from_events(spark, sf_dir))
+
+
+_AGENT_CURATION_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+t2 AS (
+    SELECT * FROM transcripts
+    UNION ALL
+    SELECT conv_id || '_dup' AS conv_id, turn_idx, role, text, tool, ts
+    FROM transcripts
+    WHERE CAST(('0x' || substr(md5(conv_id), 5, 8)) AS BIGINT) % 4 = 0
+),
+sig AS (
+    SELECT conv_id,
+        CAST(CAST(SUM({_CONV_TERM_SQL}) AS DECIMAL(38,0)) AS VARCHAR)
+            AS conv_sig,
+        COUNT(*) AS n_turns,
+        SUM(CASE WHEN tool = 'retry' THEN 1 ELSE 0 END) AS n_retries
+    FROM t2 GROUP BY conv_id
+),
+kept AS (
+    SELECT conv_id FROM sig
+    WHERE conv_id = (
+        SELECT MIN(s2.conv_id) FROM sig s2
+        WHERE s2.conv_sig = sig.conv_sig AND s2.n_turns = sig.n_turns
+    )
+    AND n_retries <= 0.2 * n_turns
+),
+f AS (
+    SELECT conv_id, turn_idx AS retry_idx,
+        LAST_VALUE(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prompt_text,
+        text AS rejected_text,
+        MIN(CASE WHEN tool IS DISTINCT FROM 'retry' THEN turn_idx END)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+            AS chosen_idx,
+        FIRST_VALUE(CASE WHEN tool IS DISTINCT FROM 'retry' THEN role END
+                    IGNORE NULLS)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+            AS chosen_role,
+        FIRST_VALUE(CASE WHEN tool IS DISTINCT FROM 'retry' THEN text END
+                    IGNORE NULLS)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+            AS chosen_text,
+        tool = 'retry' AS r
+    FROM t2 WHERE conv_id IN (SELECT conv_id FROM kept)
+)
+SELECT conv_id, retry_idx, prompt_text, rejected_text,
+    CAST(chosen_idx AS INTEGER) AS chosen_idx, chosen_role, chosen_text
+FROM f WHERE r AND chosen_idx IS NOT NULL"""
+
+
+@register("agent_curation_pairs", _AGENT_CURATION_ORACLE, driver=False)
+def q_agent_curation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-dataset curation capstone — the end-to-end job an RLHF
+    data team runs over raw agent transcripts, composed from three
+    already-verified stages in ONE lazy plan:
+
+    1. exact conversation dedup (order-aware O(1)-state signature;
+       duplicates planted in-plan as in ★conv_dedup_exact so the stage
+       has real work),
+    2. retry-loop curation filter (drop conversations whose retry
+       fraction exceeds 0.2 — the tool_chain_stats counters, fused
+       into the same conv-level aggregate as the signature),
+    3. DPO preference-pair mining over the surviving conversations.
+
+    Scale shape: the conv-level verdict table (one row per
+    conversation) broadcast-joins back to filter turns, then the
+    windows run in the same conv_id partitioning — no global sort, no
+    collect. Registered as a pytest-oracle EXTRA this round (the 50
+    driver slots are taken); rotation rule 2 queues it IN for round 6.
+    """
+    from sparkfeat.conv import _turn_term, preference_pairs
+    from sparkfeat.corpus import hash_bucket
+
+    t = transcripts_from_events(spark, sf_dir)
+    dupes = t.where(hash_bucket("conv_id", start=5, buckets=4) == 0).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("_dup"))
+    )
+    t2 = t.unionByName(dupes)
+
+    # conv_signature's sum-of-terms plus the retry counter, fused into
+    # ONE conv-level aggregation (the filter needs both anyway).
+    sig = t2.groupBy("conv_id").agg(
+        F.sum(_turn_term("turn_idx", "role", "text", "tool"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("conv_sig"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((F.col("tool") == "retry").cast("bigint")).alias("n_retries"),
+    )
+    keep_id = sig.groupBy("conv_sig", "n_turns").agg(
+        F.min("conv_id").alias("_keep_id")
+    )
+    kept = (
+        sig.join(keep_id, ["conv_sig", "n_turns"])
+        .where(
+            (F.col("conv_id") == F.col("_keep_id"))
+            & (F.col("n_retries") <= 0.2 * F.col("n_turns"))
+        )
+        .select("conv_id")
+    )
+    survivors = t2.join(F.broadcast(kept), "conv_id")
+    return preference_pairs(survivors)
 def q_resequence_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turn-order integrity repair (sparkfeat.conv.resequence_turns):
     re-derive a dense 0-based turn order and flag gaps / timestamp

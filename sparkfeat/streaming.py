@@ -206,3 +206,108 @@ def run_stream_once(
     if not new:
         return spark.createDataFrame([], schema=agg.schema)
     return spark.read.parquet(*new)
+
+
+def stream_preference_pairs(
+    stream: DataFrame,
+    entity_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    retry_tool: str = "retry",
+) -> DataFrame:
+    """Custom stateful streaming operator: the streaming twin of
+    ``conv.preference_pairs``. Batch mining needs LOOKAHEAD (the chosen
+    resolution arrives after the rejected retry), so the streaming form
+    holds each conversation's unresolved retries in the state store —
+    ``(last_user_text, pending retry idx/prompt/rejected arrays)`` per
+    ``conv_id`` — and emits the finished (prompt, rejected, chosen)
+    pairs the moment the first non-retry turn arrives, in that later
+    micro-batch. State survives checkpoint restarts.
+
+    State is O(pending retries per conversation) — bounded by the
+    longest retry run, not by history; an agent looping forever on
+    retries grows its own state only, and a TTL policy can cap it
+    upstream. Emission matches the batch operator exactly for in-order
+    per-conversation arrival (the append-only transcript-log contract;
+    within a micro-batch order is restored by an explicit sort).
+
+    The per-row Python walk is deliberate: emission CLEARS pending
+    state at each non-retry turn, which is inherently sequential; the
+    batch is still Arrow-transferred and the walk is O(turns) with a
+    tiny constant.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_cols = [
+        entity_col,
+        "retry_idx",
+        "prompt_text",
+        "rejected_text",
+        "chosen_idx",
+        "chosen_role",
+        "chosen_text",
+    ]
+    out_schema = StructType(
+        [
+            StructField(entity_col, StringType(), False),
+            StructField("retry_idx", IntegerType(), False),
+            StructField("prompt_text", StringType(), True),
+            StructField("rejected_text", StringType(), True),
+            StructField("chosen_idx", IntegerType(), False),
+            StructField("chosen_role", StringType(), True),
+            StructField("chosen_text", StringType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_user", StringType(), True),
+            StructField("idxs", ArrayType(IntegerType(), False), True),
+            StructField("prompts", ArrayType(StringType(), True), True),
+            StructField("rejs", ArrayType(StringType(), True), True),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [order_col], kind="mergesort"
+        )
+        if state.exists:
+            last_user, idxs, prompts, rejs = state.get
+            idxs, prompts, rejs = list(idxs), list(prompts), list(rejs)
+        else:
+            last_user, idxs, prompts, rejs = None, [], [], []
+        out = []
+        for r in rows.itertuples(index=False):
+            tool = getattr(r, tool_col)
+            role = getattr(r, role_col)
+            text = getattr(r, text_col)
+            idx = int(getattr(r, order_col))
+            if tool == retry_tool:
+                idxs.append(idx)
+                prompts.append(last_user)
+                rejs.append(text)
+            else:
+                out.extend(
+                    (key[0], i, p, rej, idx, role, text)
+                    for i, p, rej in zip(idxs, prompts, rejs)
+                )
+                idxs, prompts, rejs = [], [], []
+            if role == "user":
+                last_user = text
+        state.update((last_user, idxs, prompts, rejs))
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return stream.groupBy(entity_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -224,3 +224,57 @@ def tool_chain_stats(
         ),
         "assistant_frac",
     )
+
+
+def conv_latency_stats(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    role_col: str = "role",
+    method: str = "exact",
+) -> DataFrame:
+    """Per-conversation timing profile from the transcript timestamps:
+    how long the conversation ran, how bursty it was, and how fast the
+    assistant answered — the latency features an agent-quality model or
+    an SLA dashboard trains on.
+
+    Output per entity: ``duration_s`` (last − first ts), ``n_turns``,
+    ``median_gap_s`` / ``p95_gap_s`` (inter-turn gaps by ``order_col``),
+    ``median_response_s`` (gap on assistant turns whose PREVIOUS turn
+    was a user turn — i.e. actual answer latency), ``n_responses``.
+    Seconds as 6-dp doubles; single-turn conversations get NULL gap
+    stats and 0 duration.
+
+    Scale shape: one window pass for the lagged gaps + one groupBy,
+    both in the SAME ``conv_id`` partitioning (zero extra exchanges on
+    the bucketed table). ``method='exact'`` uses ``percentile`` — the
+    per-group aggregation buffer holds that conversation's gaps, fine
+    to ~10⁶ turns per conversation; ``method='approx'`` swaps in
+    ``approx_percentile`` (GK sketch, bounded state) for heavy-tailed
+    10⁷+-turn conversations — the same documented strategy pair as
+    `classify.fit_bins`.
+    """
+    pctl = F.percentile if method == "exact" else F.approx_percentile
+    w = Window.partitionBy(entity_col).orderBy(order_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap_s = (us - F.lag(us).over(w)) / F.lit(1_000_000.0)
+    resp_s = F.when(
+        (F.col(role_col) == "assistant") & (F.lag(F.col(role_col)).over(w) == "user"),
+        gap_s,
+    )
+    g = df.select(
+        F.col(entity_col),
+        us.alias("_us"),
+        gap_s.alias("_gap"),
+        resp_s.alias("_resp"),
+    )
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731  (-0.0 canon)
+    return g.groupBy(entity_col).agg(
+        r6((F.max("_us") - F.min("_us")) / F.lit(1_000_000.0)).alias("duration_s"),
+        F.count(F.lit(1)).alias("n_turns"),
+        r6(pctl("_gap", F.lit(0.5))).alias("median_gap_s"),
+        r6(pctl("_gap", F.lit(0.95))).alias("p95_gap_s"),
+        r6(pctl("_resp", F.lit(0.5))).alias("median_response_s"),
+        F.sum(F.col("_resp").isNotNull().cast("bigint")).alias("n_responses"),
+    )

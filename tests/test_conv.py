@@ -128,3 +128,38 @@ def test_preference_pairs_single_exchange(spark, transcripts):
 def test_conv_dedup_plan_no_cartesian(spark, transcripts):
     plan = conv_dedup_exact(transcripts)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_conv_latency_stats_hand_computed(spark):
+    from sparkfeat.windows import conv_latency_stats
+
+    rows = [
+        ("a", 0, "user", "q", None, datetime(2024, 1, 1, 0, 0, 0)),
+        ("a", 1, "assistant", "ans", None, datetime(2024, 1, 1, 0, 0, 10)),
+        ("a", 2, "user", "more", None, datetime(2024, 1, 1, 0, 0, 40)),
+        ("b", 0, "user", "solo", None, datetime(2024, 1, 1, 0, 0, 0)),
+    ]
+    got = {r.conv_id: r for r in conv_latency_stats(_df(spark, rows)).collect()}
+    a = got["a"]
+    assert a.duration_s == 40.0 and a.n_turns == 3
+    assert a.median_gap_s == 20.0  # gaps 10, 30
+    assert a.p95_gap_s == 29.0  # 10 + 0.95 * (30 - 10)
+    assert a.median_response_s == 10.0 and a.n_responses == 1
+    b = got["b"]
+    assert b.duration_s == 0.0 and b.median_gap_s is None and b.n_responses == 0
+
+
+def test_conv_latency_approx_close_to_exact(spark, transcripts):
+    from sparkfeat.windows import conv_latency_stats
+
+    ex = {r.conv_id: r for r in conv_latency_stats(transcripts).collect()}
+    ap = {
+        r.conv_id: r
+        for r in conv_latency_stats(transcripts, method="approx").collect()
+    }
+    assert set(ex) == set(ap)
+    for k in ex:  # GK sketch: rank-error-bounded, same order of magnitude
+        if ex[k].median_gap_s is not None:
+            assert abs(ap[k].median_gap_s - ex[k].median_gap_s) <= max(
+                1.0, 0.2 * ex[k].median_gap_s
+            )
