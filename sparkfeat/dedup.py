@@ -86,6 +86,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
     common_vocab: int = 65536,
     vocab_ranks: DataFrame | None = None,
+    positional_filter: bool = False,
 ) -> DataFrame:
     """Near-dup pairs (a < b) by token-set Jaccard ≥ threshold within
     ``band_cols`` groups — **lossless** prefix-filter blocking (the
@@ -94,13 +95,30 @@ def jaccard_pairs(
 
     Candidate generation: each doc's distinct tokens are ordered
     rarest-first (global frequency; only the ``common_vocab`` most
-    frequent tokens need ranks — they broadcast, everything else is rare
-    and sorts first), and the first ``n − ⌈t·n⌉ + 1`` tokens form its
-    prefix. Two sets with Jaccard ≥ t MUST share a prefix token, so the
-    candidate join keys on (band, prefix_token) — rare tokens ⇒ small
-    buckets ⇒ the quadratic stage collapses. A size-ratio prune
-    (jaccard ≥ t ⇒ min(|A|,|B|)/max ≥ t) runs before dedup, and the
-    heavy token arrays shuffle only for surviving candidates."""
+    frequent tokens need ranks — they ride a ONE-ROW broadcast
+    ``map_from_entries``, so ranking + sorting + prefix-slicing are
+    pure map-side expressions with no token explode and no per-doc
+    collect_list shuffle; everything unranked is rare and sorts first),
+    and the first ``n − ⌈t·n⌉ + 1`` tokens form its prefix. Two sets
+    with Jaccard ≥ t MUST share a prefix token, so the candidate join
+    keys on (band, prefix_token) — rare tokens ⇒ small buckets ⇒ the
+    quadratic stage collapses. A lossless size-ratio prune (jaccard ≥
+    t ⇒ min(|A|,|B|)/max ≥ t) runs before dedup, and the heavy token
+    arrays shuffle only for surviving candidates.
+
+    ``positional_filter=True`` adds PPJoin's positional prune (also
+    lossless: at the FIRST shared prefix token every common token sits
+    at position ≥ pos_a in A and ≥ pos_b in B, so overlap ≤ 1 +
+    min(n_a − pos_a, n_b − pos_b); later-match rows may fail the bound
+    spuriously but the first-match row of a true pair always passes,
+    and the dedup needs one survivor). Use it when prefix buckets stay
+    fat AFTER frequency ordering — Zipf-shaped corpora with heavy
+    boilerplate. Default off: on the driver corpus (31-word vocab,
+    ~25% of in-band pairs genuinely ≥ t) it cut co-occurrence rows
+    2.25M → 1.07M but final candidates only 946k → 842k, and the wider
+    shuffle rows (two extra position ints through the self-join) made
+    the end-to-end ~15% slower — the prune must pay for its own
+    plumbing, which needs buckets where most candidates are FALSE."""
     toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
     keys = [f"_b_{c}" for c in band_cols]
     base = df.select(
@@ -111,7 +129,12 @@ def jaccard_pairs(
 
     # rarest-first global order: broadcast ranks for the common vocab,
     # everything unranked is rare (cnt 0) and sorts before common tokens;
-    # a pre-fitted vocab_ranks (jaccard_vocab_ranks) skips the aggregate
+    # a pre-fitted vocab_ranks (jaccard_vocab_ranks) skips the aggregate.
+    # (The tempting map-side variant — one-row map_from_entries +
+    # rank-lookup inside transform()/array_sort() lambdas — measured
+    # ~35% SLOWER end-to-end: HOF lambdas run interpreted, while this
+    # explode → broadcast-hash-join → groupBy chain stays inside
+    # whole-stage codegen and repartitions the work to every core.)
     exploded = base.select("_id", *keys, "_n", F.explode("_toks").alias("_tok"))
     common = (
         vocab_ranks
@@ -127,30 +150,52 @@ def jaccard_pairs(
         "_cnt", F.coalesce(F.col("_cnt"), F.lit(0))
     )
     plen = (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1).cast("int")
-    prefixes = (
-        ranked.groupBy("_id", *keys, "_n")
-        .agg(F.array_sort(F.collect_list(F.struct("_cnt", "_tok"))).alias("_st"))
-        .select(
-            "_id",
-            *keys,
-            "_n",
-            F.explode(
-                F.slice(F.transform("_st", lambda s: s["_tok"]), F.lit(1), plen)
-            ).alias("_ptok"),
-        )
+    grouped = ranked.groupBy("_id", *keys, "_n").agg(
+        F.array_sort(F.collect_list(F.struct("_cnt", "_tok"))).alias("_st")
     )
+    ptoks = F.slice(F.transform("_st", lambda s: s["_tok"]), F.lit(1), plen)
+    pos_cols = []
+    if positional_filter:
+        prefixes = (
+            grouped.select(
+                "_id", *keys, "_n", F.posexplode(ptoks).alias("_pp", "_ptok")
+            )
+            .withColumn("_pos", (F.col("_pp") + 1).cast("int"))
+            .drop("_pp")
+        )
+        pos_cols = ["_pos"]
+    else:
+        prefixes = grouped.select(
+            "_id", *keys, "_n", F.explode(ptoks).alias("_ptok")
+        )
     a = prefixes.select(
-        *keys, "_ptok", F.col("_id").alias("id_a"), F.col("_n").alias("_na")
+        *keys,
+        "_ptok",
+        F.col("_id").alias("id_a"),
+        F.col("_n").alias("_na"),
+        *[F.col(c).alias("_pa") for c in pos_cols],
     )
     b = prefixes.select(
-        *keys, "_ptok", F.col("_id").alias("id_b"), F.col("_n").alias("_nb")
+        *keys,
+        "_ptok",
+        F.col("_id").alias("id_b"),
+        F.col("_n").alias("_nb"),
+        *[F.col(c).alias("_pb") for c in pos_cols],
     )
-    size_ok = F.least(F.col("_na"), F.col("_nb")).cast("double") >= F.lit(
+    keep = F.least(F.col("_na"), F.col("_nb")).cast("double") >= F.lit(
         threshold
     ) * F.greatest(F.col("_na"), F.col("_nb"))
+    if positional_filter:
+        keep = keep & (
+            (
+                F.lit(1.0)
+                + F.least(F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb"))
+            )
+            >= F.lit(threshold / (1.0 + threshold)) * (F.col("_na") + F.col("_nb"))
+        )
     cand = (
         a.join(b, [*keys, "_ptok"])
-        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
+        .filter((F.col("id_a") < F.col("id_b")) & keep)
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -635,3 +635,23 @@ def test_incremental_dedup_indexed_equals_inline(spark, tmp_path):
         map(tuple, incremental_dedup_indexed(spark, path, batch).collect())
     )
     assert served == inline and len(inline) > 0
+
+
+def test_jaccard_positional_filter_is_lossless(spark, sf_dir):
+    """PPJoin positional prune (positional_filter=True) must not change
+    the result set: later-match co-occurrence rows may fail the bound
+    spuriously, but every true pair's first-match row passes, so the
+    deduped pair set is identical to the default path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for t in (0.5, 0.9):
+        base = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_pairs(docs, threshold=t).collect()
+        }
+        pos = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_pairs(
+                docs, threshold=t, positional_filter=True
+            ).collect()
+        }
+        assert base == pos
