@@ -4465,6 +4465,9 @@ def q_agent_curation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = t2.join(F.broadcast(kept), "conv_id")
     return preference_pairs(survivors)
+
+
+@register("resequence_turns", _RESEQ_ORACLE)
 def q_resequence_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turn-order integrity repair (sparkfeat.conv.resequence_turns):
     re-derive a dense 0-based turn order and flag gaps / timestamp

@@ -163,3 +163,35 @@ def test_conv_latency_approx_close_to_exact(spark, transcripts):
             assert abs(ap[k].median_gap_s - ex[k].median_gap_s) <= max(
                 1.0, 0.2 * ex[k].median_gap_s
             )
+
+
+def test_preference_pairs_sort_cols_equivalent(spark, transcripts):
+    base = sorted(
+        map(tuple, preference_pairs(transcripts).collect())
+    )
+    alt = sorted(
+        map(
+            tuple,
+            preference_pairs(transcripts, sort_cols=("ts", "turn_idx")).collect(),
+        )
+    )
+    assert base == alt
+
+
+def test_conv_signature_xx64_induces_same_grouping(spark):
+    rows = (
+        [("a", i, r, t, tool, _ts(i)) for (i, r, t, tool) in BASE]
+        + [("b", i, r, t, tool, _ts(i + 9)) for (i, r, t, tool) in BASE]
+        + [("z", 0, "user", "solo", None, _ts(0))]
+        # y: same contents as z but different turn_idx -> distinct group
+        + [("y", 1, "user", "solo", None, _ts(0))]
+    )
+    df = _df(spark, rows)
+    md5 = {r.conv_id: (r.keep, r.group_size) for r in conv_dedup_exact(df).collect()}
+    xx = {
+        r.conv_id: (r.keep, r.group_size)
+        for r in conv_dedup_exact(df, method="xx64").collect()
+    }
+    assert md5 == xx
+    assert md5["a"] == (True, 2) and md5["b"] == (False, 2)
+    assert md5["z"] == (True, 1) and md5["y"] == (True, 1)
