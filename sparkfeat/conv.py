@@ -39,6 +39,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "conv_signature",
     "conv_dedup_exact",
+    "conv_minhash_signature",
+    "conv_neardup_pairs",
     "preference_pairs",
     "resequence_turns",
 ]
@@ -141,6 +143,176 @@ def conv_dedup_exact(
         "group_size",
         (F.col(entity_col) == F.col("_keep_id")).alias("keep"),
     )
+
+
+def _content_term(role_col: str, text_col: str, tool_col: str, perm: int):
+    """Per-turn CONTENT hash for permutation ``perm``: a 60-bit integer
+    from md5 of ``perm # role|text|tool``. No ``turn_idx`` — near-dup
+    is about shared turn content, so a re-ingested conversation with a
+    dropped opener or a re-rolled tail still matches. Replayable in any
+    engine with md5 (the DuckDB oracle uses the identical construction)."""
+    canon = F.concat_ws(
+        _SEP,
+        F.coalesce(F.col(role_col), F.lit(_NULL)),
+        F.coalesce(F.col(text_col), F.lit(_NULL)),
+        F.coalesce(F.col(tool_col), F.lit(_NULL)),
+    )
+    salted = F.concat(F.lit(f"{perm}#"), canon)
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+def conv_minhash_signature(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    num_perm: int = 16,
+) -> DataFrame:
+    """MinHash signature per conversation over its TURN-CONTENT set:
+    ``(conv_id, n_distinct_turns, m0..m{k-1})``.
+
+    The signature component ``m_i`` is ``MIN`` over turns of a salted
+    md5-derived 60-bit hash — and MIN is commutative/associative, so
+    the whole signature is a plain ``groupBy(conv_id).agg(k mins)``:
+    **O(k) aggregation state per conversation, map-side combinable,
+    no collect_list / no turn-set materialization.** A heavy-tailed
+    10⁷-turn conversation costs the same k-slot buffer as a 3-turn
+    one — the same scale posture as :func:`conv_signature`, extended
+    from exact to approximate matching.
+
+    ``n_distinct_turns`` (exact distinct content-hash count) rides the
+    same aggregation; it feeds the size-ratio prune and the exact
+    Jaccard verify downstream.
+    """
+    terms = [_content_term(role_col, text_col, tool_col, i) for i in range(num_perm)]
+    return df.groupBy(entity_col).agg(
+        F.count_distinct(terms[0]).alias("n_distinct_turns"),
+        *[F.min(t).alias(f"m{i}") for i, t in enumerate(terms)],
+    )
+
+
+def conv_neardup_pairs(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate CONVERSATION pairs by turn-content-set Jaccard:
+    ``(conv_a, conv_b, n_turns_a, n_turns_b, est_jaccard, jaccard)``
+    with exact ``jaccard ≥ threshold``, ``conv_a < conv_b``.
+
+    Three relational stages, all shuffle-shaped for 10⁹ conversations:
+
+    1. **Signatures** — :func:`conv_minhash_signature`: one
+       ``groupBy(conv_id)`` (free on a ``bucket(N, conv_id)`` table),
+       O(k) state per group.
+    2. **LSH banding** — signatures split into ``bands`` keys of
+       ``num_perm/bands`` components; candidates join on
+       ``(band_idx, band_key)``. Standard S-curve: with 16/4 the
+       collision probability at j=0.7 is ~62%, at j=0.9 ~93%; raise
+       ``bands`` for higher recall at lower thresholds (this is the
+       one approximate stage — document/recall caveat as in
+       ``dedup.minhash_lsh_pairs``). A lossless size-ratio prune
+       (jaccard ≥ t ⇒ min/max ≥ t over distinct-turn counts) runs
+       before dedup.
+    3. **Exact verify, join-shaped** — candidate pairs join the
+       per-conversation DISTINCT turn-hash relation on the hash value
+       (well-distributed 60-bit key), and the intersection size is a
+       ``groupBy(pair).count()`` — **no arrays, no per-conversation
+       collect**; union = n_a + n_b − inter. The verify cost scales
+       with candidate overlap, not conversation length².
+
+    ``est_jaccard`` (matching-component fraction) is kept alongside
+    the exact value so downstream thresholds can be tuned against what
+    stage 2 actually saw.
+    """
+    rows = num_perm // bands
+    if rows * bands != num_perm:
+        raise ValueError("bands must divide num_perm")
+    sig = conv_minhash_signature(
+        df, entity_col, role_col, text_col, tool_col, num_perm=num_perm
+    )
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"m{i}").cast("string") for i in range(b * rows, (b + 1) * rows)]
+        band_rows.append(
+            sig.select(
+                F.col(entity_col).alias("_id"),
+                F.col("n_distinct_turns").alias("_nd"),
+                F.lit(b).alias("_band"),
+                F.md5(F.concat_ws(",", *cols)).alias("_bkey"),
+            )
+        )
+    banded = band_rows[0]
+    for extra in band_rows[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.select(
+        "_band", "_bkey", F.col("_id").alias("conv_a"), F.col("_nd").alias("_nda")
+    )
+    b_side = banded.select(
+        "_band", "_bkey", F.col("_id").alias("conv_b"), F.col("_nd").alias("_ndb")
+    )
+    ratio_ok = F.least(F.col("_nda"), F.col("_ndb")).cast("double") >= F.lit(
+        threshold
+    ) * F.greatest(F.col("_nda"), F.col("_ndb"))
+    cand = (
+        a.join(b_side, ["_band", "_bkey"])
+        .where((F.col("conv_a") < F.col("conv_b")) & ratio_ok)
+        .select("conv_a", "conv_b")
+        .dropDuplicates(["conv_a", "conv_b"])
+    )
+
+    th = df.select(
+        F.col(entity_col).alias("_id"),
+        _content_term(role_col, text_col, tool_col, 0).alias("_th"),
+    ).distinct()
+    inter = (
+        cand.join(th.select(F.col("_id").alias("conv_a"), "_th"), "conv_a")
+        .join(th.select(F.col("_id").alias("conv_b"), "_th"), ["conv_b", "_th"])
+        .groupBy("conv_a", "conv_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    counts = sig.select(F.col(entity_col).alias("_id"), "n_distinct_turns")
+    est_cols = [
+        F.when(F.col(f"_ma{i}") == F.col(f"_mb{i}"), 1).otherwise(0)
+        for i in range(num_perm)
+    ]
+    sig_a = sig.select(
+        F.col(entity_col).alias("conv_a"),
+        *[F.col(f"m{i}").alias(f"_ma{i}") for i in range(num_perm)],
+    )
+    sig_b = sig.select(
+        F.col(entity_col).alias("conv_b"),
+        *[F.col(f"m{i}").alias(f"_mb{i}") for i in range(num_perm)],
+    )
+    out = (
+        inter.join(counts.select(F.col("_id").alias("conv_a"),
+                                 F.col("n_distinct_turns").alias("n_turns_a")), "conv_a")
+        .join(counts.select(F.col("_id").alias("conv_b"),
+                            F.col("n_distinct_turns").alias("n_turns_b")), "conv_b")
+        .join(sig_a, "conv_a")
+        .join(sig_b, "conv_b")
+        .select(
+            "conv_a",
+            "conv_b",
+            "n_turns_a",
+            "n_turns_b",
+            (
+                sum(est_cols[1:], est_cols[0]).cast("double") / F.lit(float(num_perm))
+            ).alias("est_jaccard"),
+            (
+                F.col("_inter").cast("double")
+                / (F.col("n_turns_a") + F.col("n_turns_b") - F.col("_inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
 
 
 def preference_pairs(

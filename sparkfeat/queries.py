@@ -4268,6 +4268,116 @@ def q_conv_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv_dedup_exact(t.unionByName(dupes))
 
 
+# Salted per-turn CONTENT hash (no turn_idx — conv.py:_content_term):
+# 60 bits of md5('{perm}#role|text|tool') as BIGINT.
+_CONV_CONTENT_HASH_SQL = (
+    "CAST(('0x' || substr(md5(CAST(p.perm AS VARCHAR) || '#' || "
+    "COALESCE(role, '<null>') || '|' || COALESCE(text, '<null>') || '|' "
+    "|| COALESCE(tool, '<null>')), 1, 15)) AS BIGINT)"
+)
+
+_CONV_NEARDUP_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+mx AS (SELECT conv_id, MAX(turn_idx) AS mt FROM transcripts GROUP BY conv_id),
+t2 AS (
+    SELECT * FROM transcripts
+    UNION ALL
+    SELECT t.conv_id || '_nd' AS conv_id, t.turn_idx, t.role, t.text,
+           t.tool, t.ts
+    FROM transcripts t JOIN mx USING (conv_id)
+    WHERE CAST(('0x' || substr(md5(t.conv_id), 5, 8)) AS BIGINT) % 4 = 0
+      AND t.turn_idx < mx.mt
+),
+hv AS (
+    SELECT conv_id, p.perm AS perm, {_CONV_CONTENT_HASH_SQL} AS h
+    FROM t2, range(16) AS p(perm)
+),
+sig AS (
+    SELECT conv_id, perm, MIN(h) AS m FROM hv GROUP BY conv_id, perm
+),
+nd AS (
+    SELECT conv_id, CAST(COUNT(DISTINCT h) AS BIGINT) AS n
+    FROM hv WHERE perm = 0 GROUP BY conv_id
+),
+banded AS (
+    SELECT conv_id, CAST(perm / 4 AS INTEGER) AS band,
+        md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY perm)) AS bkey
+    FROM sig GROUP BY conv_id, CAST(perm / 4 AS INTEGER)
+),
+cand AS (
+    SELECT DISTINCT a.conv_id AS conv_a, b.conv_id AS conv_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+        AND a.conv_id < b.conv_id
+    JOIN nd na ON na.conv_id = a.conv_id
+    JOIN nd nb ON nb.conv_id = b.conv_id
+    WHERE CAST(LEAST(na.n, nb.n) AS DOUBLE)
+          >= 0.7 * GREATEST(na.n, nb.n)
+),
+th AS (SELECT DISTINCT conv_id, h FROM hv WHERE perm = 0),
+inter AS (
+    SELECT c.conv_a, c.conv_b, COUNT(*) AS i
+    FROM cand c
+    JOIN th ta ON ta.conv_id = c.conv_a
+    JOIN th tb ON tb.conv_id = c.conv_b AND tb.h = ta.h
+    GROUP BY c.conv_a, c.conv_b
+),
+est AS (
+    SELECT c.conv_a, c.conv_b,
+        SUM(CASE WHEN sa.m = sb.m THEN 1.0 ELSE 0.0 END) / 16.0 AS e
+    FROM cand c
+    JOIN sig sa ON sa.conv_id = c.conv_a
+    JOIN sig sb ON sb.conv_id = c.conv_b AND sb.perm = sa.perm
+    GROUP BY c.conv_a, c.conv_b
+)
+SELECT i.conv_a, i.conv_b, na.n AS n_turns_a, nb.n AS n_turns_b,
+    ROUND(est.e, 6) AS est_jaccard,
+    ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN nd na ON na.conv_id = i.conv_a
+JOIN nd nb ON nb.conv_id = i.conv_b
+JOIN est ON est.conv_a = i.conv_a AND est.conv_b = i.conv_b
+WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.7"""
+
+
+@register("conv_neardup_pairs", _CONV_NEARDUP_ORACLE, driver=False)
+def q_conv_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CONVERSATION pairs (sparkfeat.conv.conv_neardup_pairs):
+    MinHash over the turn-content set where every signature component
+    is a plain ``MIN`` aggregate — O(k) state per conversation, map-side
+    combinable, no turn-set materialization — then LSH banding (16/4)
+    and an exact join-shaped Jaccard verify at threshold 0.7.
+
+    The derived transcripts are all-unique at conversation level, so
+    near-dups are planted in-plan: conversations in md5 bucket 0-of-4
+    are cloned under ``conv_id || '_nd'`` MINUS their final turn — a
+    re-ingest-with-truncated-tail, Jaccard (n−1)/n. Both engines replay
+    the cloning AND the full MinHash/banding pipeline, so the (shared)
+    LSH recall behavior is bit-identical; the exact verify keeps every
+    reported pair honest."""
+    from pyspark.sql import Window
+
+    from sparkfeat.conv import conv_neardup_pairs
+    from sparkfeat.corpus import hash_bucket
+
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id")
+    clones = (
+        t.withColumn("_mt", F.max("turn_idx").over(w))
+        .where((hash_bucket("conv_id", start=5, buckets=4) == 0) & (F.col("turn_idx") < F.col("_mt")))
+        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_nd")))
+        .drop("_mt")
+    )
+    pairs = conv_neardup_pairs(t.unionByName(clones), threshold=0.7)
+    return pairs.select(
+        "conv_a",
+        "conv_b",
+        F.col("n_turns_a").cast("bigint").alias("n_turns_a"),
+        F.col("n_turns_b").cast("bigint").alias("n_turns_b"),
+        _r(F.col("est_jaccard")).alias("est_jaccard"),
+        _r(F.col("jaccard")).alias("jaccard"),
+    )
+
+
 _PREF_PAIRS_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
 f AS (
     SELECT conv_id, turn_idx AS retry_idx,

@@ -195,3 +195,75 @@ def test_conv_signature_xx64_induces_same_grouping(spark):
     assert md5 == xx
     assert md5["a"] == (True, 2) and md5["b"] == (False, 2)
     assert md5["z"] == (True, 1) and md5["y"] == (True, 1)
+
+
+def _mk_conv(cid, texts, t0=0):
+    return [
+        (cid, i, "user" if i % 2 == 0 else "assistant", t, None, _ts(t0 + i))
+        for i, t in enumerate(texts)
+    ]
+
+
+def test_conv_neardup_pairs_finds_truncated_clone(spark):
+    from sparkfeat.conv import conv_neardup_pairs
+
+    texts = [f"msg {i}" for i in range(10)]
+    rows = (
+        _mk_conv("orig", texts)
+        + _mk_conv("clone", texts[:-1])          # tail-truncated re-ingest, j=0.9
+        + _mk_conv("other", [f"zzz {i}" for i in range(10)])  # disjoint
+    )
+    got = {
+        (r.conv_a, r.conv_b): r
+        for r in conv_neardup_pairs(_df(spark, rows), threshold=0.7).collect()
+    }
+    assert set(got) == {("clone", "orig")}
+    r = got[("clone", "orig")]
+    assert r.n_turns_a == 9 and r.n_turns_b == 10
+    assert abs(r.jaccard - 0.9) < 1e-9
+    assert 0.0 <= r.est_jaccard <= 1.0
+
+
+def test_conv_neardup_exact_dupe_and_order_insensitivity(spark):
+    from sparkfeat.conv import conv_neardup_pairs
+
+    texts = [f"t {i}" for i in range(8)]
+    rows = (
+        _mk_conv("a", texts)
+        # b: identical turn CONTENT but reversed order (role parity flips
+        # with position, so keep roles aligned with a's by reusing the
+        # same (role, text) pairs at different turn_idx)
+        + [("b", 7 - i, role, t, tool, ts) for (_, i, role, t, tool, ts) in _mk_conv("x", texts)]
+    )
+    got = conv_neardup_pairs(_df(spark, rows), threshold=0.7).collect()
+    assert {(r.conv_a, r.conv_b) for r in got} == {("a", "b")}
+    r = got[0]
+    # content sets are identical -> exact jaccard 1.0 and est 1.0
+    assert r.jaccard == 1.0 and r.est_jaccard == 1.0
+
+
+def test_conv_minhash_signature_is_partial_aggregable(spark):
+    """The signature must be a plain hash-aggregate (map-side combine),
+    never a collect_list/sort-aggregate: O(k) state per conversation."""
+    from sparkfeat.conv import conv_minhash_signature
+
+    df = _df(spark, _mk_conv("a", ["x", "y", "z"]))
+    plan = (
+        conv_minhash_signature(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "HashAggregate" in plan
+    assert "collect_list" not in plan and "CollectList" not in plan
+
+
+def test_conv_neardup_size_ratio_prune_blocks_subset(spark):
+    from sparkfeat.conv import conv_neardup_pairs
+
+    texts = [f"m {i}" for i in range(20)]
+    # clone keeps only 10 of 20 turns: jaccard 0.5 < 0.7 -> no pair even
+    # though every clone turn collides with orig in the LSH buckets
+    rows = _mk_conv("orig", texts) + _mk_conv("half", texts[:10])
+    got = conv_neardup_pairs(_df(spark, rows), threshold=0.7).collect()
+    assert got == []
