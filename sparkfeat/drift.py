@@ -1,0 +1,146 @@
+"""Feature-drift monitoring: PSI + moment shift between a reference
+and a current window of a generated feature panel.
+
+A feature-generation engine that trains at t₀ and serves at t₁ needs a
+distributed answer to "did the feature distributions move?" — the
+classic training/serving-skew gate. For each feature this computes:
+
+* **PSI** (population stability index) over ``bins`` equal-width bins
+  whose edges fit on the REFERENCE window only (the convention: edges
+  are frozen with the training snapshot), with ±0.5 Laplace smoothing
+  so empty bins stay finite. Rule-of-thumb thresholds: <0.1 stable,
+  0.1–0.25 moderate, >0.25 action.
+* **SMD** (standardized mean difference) and per-window mean/std —
+  the first-moment story PSI's binning can blur.
+* **null rates** per window — schema drift often shows up as nulls
+  before it shows up in values.
+
+Scale shape (the 100 TB lens): one melt (``explode`` of a literal
+struct array — map-side, no shuffle), then TWO hash aggregates over
+the tiny ``(feature[, bucket])`` key space — both map-side combinable,
+state O(n_features × bins) regardless of row count — plus one
+BROADCAST join of the per-feature edge table (n_features rows) onto
+the long stream. No window functions, no per-entity state, no
+collect: the job is two scans of the panel whatever the scale.
+
+Equal-width bins (not quantile bins) are deliberate: edges derive from
+two exactly-replayable aggregates (MIN/MAX), so the whole monitor is
+engine-portable and deterministic — the DuckDB oracle replays it
+bit-for-bit. For quantile edges, compose with `classify.fit_bins`
+(balanced method) and pass the edges explicitly instead.
+
+No reference counterpart (`/root/reference` has no drift monitor);
+the moment algebra mirrors `normalize.py`'s fit conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["feature_drift"]
+
+
+def feature_drift(
+    df: DataFrame,
+    features: list[str],
+    window_col: str = "_window",
+    ref: str = "ref",
+    cur: str = "cur",
+    bins: int = 10,
+) -> DataFrame:
+    """Per-feature drift panel between ``window_col == ref`` and
+    ``window_col == cur`` rows: ``(feature, n_ref, n_cur,
+    null_rate_ref, null_rate_cur, mean_ref, mean_cur, std_ref,
+    std_cur, smd, psi)``, one row per feature.
+
+    Rows with other ``window_col`` values are ignored. Features whose
+    reference window is entirely null get a null PSI (no edges to fit)
+    but keep their null-rate row — that IS the drift signal.
+    """
+    is_ref = F.col("_w") == ref
+    is_cur = F.col("_w") == cur
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(f).alias("feature"), F.col(f).cast("double").alias("value")
+            )
+            for f in features
+        ]
+    )
+    long = (
+        df.where(F.col(window_col).isin(ref, cur))
+        .select(F.col(window_col).alias("_w"), F.explode(packed).alias("_s"))
+        .select("_w", F.col("_s.feature").alias("feature"), F.col("_s.value").alias("value"))
+    )
+
+    val = F.col("value")
+    stats = long.groupBy("feature").agg(
+        F.count(F.when(is_ref, val)).alias("n_ref"),
+        F.count(F.when(is_cur, val)).alias("n_cur"),
+        F.sum(F.when(is_ref & val.isNull(), 1).otherwise(0)).alias("_null_ref"),
+        F.sum(F.when(is_cur & val.isNull(), 1).otherwise(0)).alias("_null_cur"),
+        F.avg(F.when(is_ref, val)).alias("mean_ref"),
+        F.avg(F.when(is_cur, val)).alias("mean_cur"),
+        F.var_pop(F.when(is_ref, val)).alias("_var_ref"),
+        F.var_pop(F.when(is_cur, val)).alias("_var_cur"),
+        F.min(F.when(is_ref, val)).alias("_vmin"),
+        F.max(F.when(is_ref, val)).alias("_vmax"),
+    )
+
+    width = (F.col("_vmax") - F.col("_vmin")) / F.lit(float(bins))
+    bucket = F.when(F.col("_vmax") == F.col("_vmin"), F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(bins - 1),
+                F.floor((F.col("value") - F.col("_vmin")) / width).cast("int"),
+            ),
+        )
+    )
+    edges = stats.select("feature", "_vmin", "_vmax").where(F.col("_vmin").isNotNull())
+    counts = (
+        long.where(val.isNotNull())
+        .join(F.broadcast(edges), "feature")
+        .select("feature", "_w", bucket.alias("_b"))
+        .groupBy("feature", "_b")
+        .agg(
+            F.sum(F.when(is_ref, 1).otherwise(0)).alias("_cr"),
+            F.sum(F.when(is_cur, 1).otherwise(0)).alias("_cc"),
+        )
+    )
+    # Laplace-smoothed proportions; a bucket absent from `counts` has
+    # _cr = _cc = 0 on both sides -> p == q -> PSI term 0, so summing
+    # only observed buckets is exact.
+    n_ref_b = F.col("n_ref").cast("double")
+    n_cur_b = F.col("n_cur").cast("double")
+    p = (F.col("_cr") + 0.5) / (n_ref_b + 0.5 * bins)
+    q = (F.col("_cc") + 0.5) / (n_cur_b + 0.5 * bins)
+    psi = (
+        counts.join(F.broadcast(stats.select("feature", "n_ref", "n_cur")), "feature")
+        .groupBy("feature")
+        .agg(F.sum((p - q) * F.log(p / q)).alias("psi"))
+    )
+
+    total_ref = F.col("n_ref") + F.col("_null_ref")
+    total_cur = F.col("n_cur") + F.col("_null_cur")
+    pooled = F.sqrt((F.col("_var_ref") + F.col("_var_cur")) / 2.0)
+    return (
+        stats.join(psi, "feature", "left")
+        .select(
+            "feature",
+            "n_ref",
+            "n_cur",
+            F.when(total_ref > 0, F.col("_null_ref") / total_ref.cast("double"))
+            .alias("null_rate_ref"),
+            F.when(total_cur > 0, F.col("_null_cur") / total_cur.cast("double"))
+            .alias("null_rate_cur"),
+            "mean_ref",
+            "mean_cur",
+            F.sqrt("_var_ref").alias("std_ref"),
+            F.sqrt("_var_cur").alias("std_cur"),
+            F.when(pooled > 0, (F.col("mean_cur") - F.col("mean_ref")) / pooled)
+            .alias("smd"),
+            "psi",
+        )
+    )

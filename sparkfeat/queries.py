@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 
 from sparkfeat import transforms as T
 from sparkfeat.pipeline import flagship_features
-from sparkfeat.schema import TRANSCRIPTS_CTE, transcripts_from_events, with_turn_signals
+from sparkfeat.schema import (
+    TRANSCRIPTS_CTE,
+    TURN_SIGNALS_SQL,
+    transcripts_from_events,
+    with_turn_signals,
+)
 from sparkfeat.windows import sessionize
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -4375,6 +4380,107 @@ def q_conv_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_turns_b").cast("bigint").alias("n_turns_b"),
         _r(F.col("est_jaccard")).alias("est_jaccard"),
         _r(F.col("jaccard")).alias("jaccard"),
+    )
+
+
+_DRIFT_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+sig AS (SELECT *, {{signals}} FROM transcripts),
+b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM sig),
+w AS (
+    SELECT sig.*,
+        CASE WHEN epoch_us(ts) < CAST(FLOOR((mn + mx) / 2.0) AS BIGINT)
+             THEN 'ref' ELSE 'cur' END AS _w
+    FROM sig, b
+),
+lng AS (
+    SELECT _w, 'text_len' AS feature, CAST(text_len AS DOUBLE) AS value FROM w
+    UNION ALL
+    SELECT _w, 'token_est', CAST(token_est AS DOUBLE) FROM w
+    UNION ALL
+    SELECT _w, 'is_tool', CAST(is_tool AS DOUBLE) FROM w
+),
+stats AS (
+    SELECT feature,
+        CAST(COUNT(CASE WHEN _w = 'ref' THEN value END) AS BIGINT) AS n_ref,
+        CAST(COUNT(CASE WHEN _w = 'cur' THEN value END) AS BIGINT) AS n_cur,
+        SUM(CASE WHEN _w = 'ref' AND value IS NULL THEN 1 ELSE 0 END) AS null_ref,
+        SUM(CASE WHEN _w = 'cur' AND value IS NULL THEN 1 ELSE 0 END) AS null_cur,
+        AVG(CASE WHEN _w = 'ref' THEN value END) AS mean_ref,
+        AVG(CASE WHEN _w = 'cur' THEN value END) AS mean_cur,
+        VAR_POP(CASE WHEN _w = 'ref' THEN value END) AS var_ref,
+        VAR_POP(CASE WHEN _w = 'cur' THEN value END) AS var_cur,
+        MIN(CASE WHEN _w = 'ref' THEN value END) AS vmin,
+        MAX(CASE WHEN _w = 'ref' THEN value END) AS vmax
+    FROM lng GROUP BY feature
+),
+cnts AS (
+    SELECT l.feature,
+        CASE WHEN s.vmax = s.vmin THEN 0
+             ELSE GREATEST(0, LEAST(9, CAST(FLOOR(
+                 (l.value - s.vmin) / ((s.vmax - s.vmin) / 10.0)
+             ) AS INTEGER))) END AS bkt,
+        SUM(CASE WHEN l._w = 'ref' THEN 1 ELSE 0 END) AS cr,
+        SUM(CASE WHEN l._w = 'cur' THEN 1 ELSE 0 END) AS cc
+    FROM lng l JOIN stats s USING (feature)
+    WHERE l.value IS NOT NULL AND s.vmin IS NOT NULL
+    GROUP BY 1, 2
+),
+psi AS (
+    SELECT c.feature,
+        SUM(((c.cr + 0.5) / (s.n_ref + 5.0) - (c.cc + 0.5) / (s.n_cur + 5.0))
+            * LN(((c.cr + 0.5) / (s.n_ref + 5.0))
+                 / ((c.cc + 0.5) / (s.n_cur + 5.0)))) AS psi
+    FROM cnts c JOIN stats s USING (feature) GROUP BY c.feature
+)
+SELECT s.feature, s.n_ref, s.n_cur,
+    ROUND(CAST(s.null_ref AS DOUBLE) / (s.n_ref + s.null_ref), 6) AS null_rate_ref,
+    ROUND(CAST(s.null_cur AS DOUBLE) / (s.n_cur + s.null_cur), 6) AS null_rate_cur,
+    ROUND(s.mean_ref, 6) AS mean_ref,
+    ROUND(s.mean_cur, 6) AS mean_cur,
+    ROUND(SQRT(s.var_ref), 6) AS std_ref,
+    ROUND(SQRT(s.var_cur), 6) AS std_cur,
+    ROUND((s.mean_cur - s.mean_ref) / SQRT((s.var_ref + s.var_cur) / 2.0), 6)
+        AS smd,
+    ROUND(psi.psi, 6) AS psi
+FROM stats s JOIN psi USING (feature)""".replace(
+    "{signals}", TURN_SIGNALS_SQL
+)
+
+
+@register("feature_drift_psi", _DRIFT_ORACLE, driver=False)
+def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training/serving-skew monitor (sparkfeat.drift.feature_drift):
+    PSI over reference-fitted equal-width bins + standardized mean
+    difference + null rates per feature, between the first and second
+    half of the transcript time range (the split midpoint derives from
+    one MIN/MAX aggregate both engines replay). Scale shape: one melt
+    (map-side explode), two tiny hash aggregates (state O(features ×
+    bins)), one broadcast edges join — two scans of the panel at any
+    row count, no windows, no collect."""
+    from sparkfeat.drift import feature_drift
+
+    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = sig.agg(
+        F.min(us).alias("_mn"), F.max(us).alias("_mx")
+    )
+    mid = F.floor((F.col("_mn") + F.col("_mx")) / F.lit(2.0)).cast("long")
+    base = sig.crossJoin(F.broadcast(bounds)).withColumn(
+        "_window", F.when(us < mid, "ref").otherwise("cur")
+    )
+    out = feature_drift(base, ["text_len", "token_est", "is_tool"])
+    return out.select(
+        "feature",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        _r(F.col("null_rate_ref")).alias("null_rate_ref"),
+        _r(F.col("null_rate_cur")).alias("null_rate_cur"),
+        _r(F.col("mean_ref")).alias("mean_ref"),
+        _r(F.col("mean_cur")).alias("mean_cur"),
+        _r(F.col("std_ref")).alias("std_ref"),
+        _r(F.col("std_cur")).alias("std_cur"),
+        _r(F.col("smd")).alias("smd"),
+        _r(F.col("psi")).alias("psi"),
     )
 
 

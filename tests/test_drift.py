@@ -1,0 +1,102 @@
+"""sparkfeat.drift — PSI / moment-shift feature drift monitor."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sparkfeat.drift import feature_drift
+
+
+def _panel(spark, ref_vals, cur_vals, feature="x"):
+    rows = [("ref", v) for v in ref_vals] + [("cur", v) for v in cur_vals]
+    return spark.createDataFrame(rows, f"_window string, {feature} double")
+
+
+def _py_psi(ref, cur, bins=10):
+    """Pure-Python replica of the operator's smoothed equal-width PSI."""
+    ref_v = [v for v in ref if v is not None]
+    cur_v = [v for v in cur if v is not None]
+    vmin, vmax = min(ref_v), max(ref_v)
+    width = (vmax - vmin) / bins
+
+    def bucket(v):
+        if vmax == vmin:
+            return 0
+        return max(0, min(bins - 1, math.floor((v - vmin) / width)))
+
+    cr = [0] * bins
+    cc = [0] * bins
+    for v in ref_v:
+        cr[bucket(v)] += 1
+    for v in cur_v:
+        cc[bucket(v)] += 1
+    total = 0.0
+    for i in range(bins):
+        p = (cr[i] + 0.5) / (len(ref_v) + 0.5 * bins)
+        q = (cc[i] + 0.5) / (len(cur_v) + 0.5 * bins)
+        total += (p - q) * math.log(p / q)
+    return total
+
+
+def test_identical_windows_zero_drift(spark):
+    vals = [float(i) for i in range(10)] * 3
+    row = feature_drift(_panel(spark, vals, vals), ["x"]).collect()[0]
+    assert row.feature == "x"
+    assert row.n_ref == 30 and row.n_cur == 30
+    assert abs(row.psi) < 1e-12
+    assert row.smd == 0.0
+    assert row.null_rate_ref == 0.0 and row.null_rate_cur == 0.0
+
+
+def test_shifted_window_matches_python_replica(spark):
+    ref = [float(i) for i in range(20)]
+    cur = [float(i) + 12.0 for i in range(20)]  # mass pushed off the top
+    row = feature_drift(_panel(spark, ref, cur), ["x"]).collect()[0]
+    assert row.psi == pytest.approx(_py_psi(ref, cur), rel=1e-9)
+    assert row.psi > 0.25  # "action" territory by the rule of thumb
+    mean_r, mean_c = sum(ref) / 20, sum(cur) / 20
+    var = sum((v - mean_r) ** 2 for v in ref) / 20  # same var both sides
+    assert row.smd == pytest.approx((mean_c - mean_r) / math.sqrt(var), rel=1e-9)
+
+
+def test_all_null_reference_keeps_null_rate_row(spark):
+    row = feature_drift(
+        _panel(spark, [None, None], [1.0, None]), ["x"]
+    ).collect()[0]
+    assert row.psi is None  # no edges to fit
+    assert row.null_rate_ref == 1.0
+    assert row.null_rate_cur == 0.5
+    assert row.n_ref == 0 and row.n_cur == 1
+
+
+def test_multifeature_and_constant_feature(spark):
+    rows = [("ref", float(i % 7), 1.0) for i in range(50)] + [
+        ("cur", float(i % 7) + 3.0, 1.0) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "_window string, a double, c double")
+    got = {r.feature: r for r in feature_drift(df, ["a", "c"]).collect()}
+    assert set(got) == {"a", "c"}
+    # constant feature: everything in bucket 0 both sides -> psi 0, smd null
+    assert abs(got["c"].psi) < 1e-12
+    assert got["c"].smd is None
+    assert got["a"].psi == pytest.approx(
+        _py_psi([float(i % 7) for i in range(50)],
+                [float(i % 7) + 3.0 for i in range(50)]),
+        rel=1e-9,
+    )
+
+
+def test_drift_plan_broadcast_edges_no_window(spark):
+    """Scale posture: the edges join must broadcast (n_features rows)
+    and the whole monitor must stay window-free."""
+    vals = [float(i) for i in range(10)]
+    plan = (
+        feature_drift(_panel(spark, vals, vals), ["x"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
