@@ -4281,8 +4281,10 @@ _CONV_CONTENT_HASH_SQL = (
     "|| COALESCE(tool, '<null>')), 1, 15)) AS BIGINT)"
 )
 
-_CONV_NEARDUP_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
-mx AS (SELECT conv_id, MAX(turn_idx) AS mt FROM transcripts GROUP BY conv_id),
+# Planted near-dup corpus shared by the pair and cluster oracles:
+# conversations in md5 bucket 0-of-4 cloned under conv_id || '_nd'
+# minus their final turn (a tail-truncated re-ingest, Jaccard (n-1)/n).
+_CONV_ND_T2_SQL = """mx AS (SELECT conv_id, MAX(turn_idx) AS mt FROM transcripts GROUP BY conv_id),
 t2 AS (
     SELECT * FROM transcripts
     UNION ALL
@@ -4291,7 +4293,10 @@ t2 AS (
     FROM transcripts t JOIN mx USING (conv_id)
     WHERE CAST(('0x' || substr(md5(t.conv_id), 5, 8)) AS BIGINT) % 4 = 0
       AND t.turn_idx < mx.mt
-),
+)"""
+
+_CONV_NEARDUP_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+{_CONV_ND_T2_SQL},
 hv AS (
     SELECT conv_id, p.perm AS perm, {_CONV_CONTENT_HASH_SQL} AS h
     FROM t2, range(16) AS p(perm)
@@ -4344,6 +4349,27 @@ JOIN est ON est.conv_a = i.conv_a AND est.conv_b = i.conv_b
 WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.7"""
 
 
+def _conv_nd_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_CONV_ND_T2_SQL``: transcripts plus their planted
+    tail-truncated near-dup clones."""
+    from pyspark.sql import Window
+
+    from sparkfeat.corpus import hash_bucket
+
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id")
+    clones = (
+        t.withColumn("_mt", F.max("turn_idx").over(w))
+        .where(
+            (hash_bucket("conv_id", start=5, buckets=4) == 0)
+            & (F.col("turn_idx") < F.col("_mt"))
+        )
+        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_nd")))
+        .drop("_mt")
+    )
+    return t.unionByName(clones)
+
+
 @register("conv_neardup_pairs", _CONV_NEARDUP_ORACLE, driver=False)
 def q_conv_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CONVERSATION pairs (sparkfeat.conv.conv_neardup_pairs):
@@ -4359,20 +4385,9 @@ def q_conv_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cloning AND the full MinHash/banding pipeline, so the (shared)
     LSH recall behavior is bit-identical; the exact verify keeps every
     reported pair honest."""
-    from pyspark.sql import Window
-
     from sparkfeat.conv import conv_neardup_pairs
-    from sparkfeat.corpus import hash_bucket
 
-    t = transcripts_from_events(spark, sf_dir)
-    w = Window.partitionBy("conv_id")
-    clones = (
-        t.withColumn("_mt", F.max("turn_idx").over(w))
-        .where((hash_bucket("conv_id", start=5, buckets=4) == 0) & (F.col("turn_idx") < F.col("_mt")))
-        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_nd")))
-        .drop("_mt")
-    )
-    pairs = conv_neardup_pairs(t.unionByName(clones), threshold=0.7)
+    pairs = conv_neardup_pairs(_conv_nd_base(spark, sf_dir), threshold=0.7)
     return pairs.select(
         "conv_a",
         "conv_b",
@@ -4383,21 +4398,76 @@ def q_conv_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DRIFT_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
-sig AS (SELECT *, {{signals}} FROM transcripts),
-b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM sig),
+_CONV_ND_CLUSTERS_ORACLE = f"""WITH RECURSIVE {TRANSCRIPTS_CTE},
+{_CONV_ND_T2_SQL},
+pairs AS (
+    SELECT conv_a, conv_b FROM ({_CONV_NEARDUP_ORACLE}) _np
+),
+edges AS (
+    SELECT conv_a AS u, conv_b AS v FROM pairs
+    UNION
+    SELECT conv_b, conv_a FROM pairs
+),
+reach(n, r) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.n
+),
+lab AS (SELECT n AS conv_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+allconvs AS (SELECT DISTINCT conv_id FROM t2),
+alld AS (
+    SELECT a.conv_id, COALESCE(lab.cluster_id, a.conv_id) AS cluster_id
+    FROM allconvs a LEFT JOIN lab USING (conv_id)
+),
+sizes AS (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM alld GROUP BY cluster_id
+)
+SELECT a.conv_id, a.cluster_id, s.cluster_size,
+       a.conv_id = a.cluster_id AS keep
+FROM alld a JOIN sizes s USING (cluster_id)"""
+
+
+@register("conv_neardup_clusters", _CONV_ND_CLUSTERS_ORACLE, driver=False)
+def q_conv_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level pairs → clusters → canonical keep-list: the
+    MinHash near-dup pair graph from ★conv_neardup_pairs fed through
+    the same large-star/small-star connected components as the
+    document path (dedup.neardup_clusters is id-agnostic), one
+    conversation kept per duplicate cluster. The oracle replays the
+    closure with a recursive CTE over the identically-planted corpus —
+    every clone must label into its original's cluster."""
+    from sparkfeat.conv import conv_neardup_pairs
+    from sparkfeat.dedup import neardup_clusters
+
+    base = _conv_nd_base(spark, sf_dir)
+    pairs = conv_neardup_pairs(base, threshold=0.7)
+    convs = base.select("conv_id").distinct()
+    return neardup_clusters(
+        convs, pairs, id_col="conv_id", id_a="conv_a", id_b="conv_b"
+    )
+
+
+def _drift_sql(panel_sql: str, features: list[str]) -> str:
+    """Generic DuckDB twin of ``drift.feature_drift`` over a first-half
+    vs second-half time split of any panel query: ``panel_sql`` must
+    emit a ``ts`` column plus the ``features`` columns. The split
+    midpoint derives from one MIN/MAX epoch aggregate (replayed by the
+    Spark side's ``_time_split_drift``)."""
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT _w, '{f}' AS feature, CAST(\"{f}\" AS DOUBLE) AS value FROM w"
+        for f in features
+    )
+    return f"""WITH src AS (SELECT * FROM ({panel_sql}) _panel),
+b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM src),
 w AS (
-    SELECT sig.*,
+    SELECT src.*,
         CASE WHEN epoch_us(ts) < CAST(FLOOR((mn + mx) / 2.0) AS BIGINT)
              THEN 'ref' ELSE 'cur' END AS _w
-    FROM sig, b
+    FROM src, b
 ),
 lng AS (
-    SELECT _w, 'text_len' AS feature, CAST(text_len AS DOUBLE) AS value FROM w
-    UNION ALL
-    SELECT _w, 'token_est', CAST(token_est AS DOUBLE) FROM w
-    UNION ALL
-    SELECT _w, 'is_tool', CAST(is_tool AS DOUBLE) FROM w
+    {unions}
 ),
 stats AS (
     SELECT feature,
@@ -4442,33 +4512,29 @@ SELECT s.feature, s.n_ref, s.n_cur,
     ROUND((s.mean_cur - s.mean_ref) / SQRT((s.var_ref + s.var_cur) / 2.0), 6)
         AS smd,
     ROUND(psi.psi, 6) AS psi
-FROM stats s JOIN psi USING (feature)""".replace(
-    "{signals}", TURN_SIGNALS_SQL
+FROM stats s JOIN psi USING (feature)"""
+
+
+_DRIFT_ORACLE = _drift_sql(
+    f"WITH {TRANSCRIPTS_CTE} SELECT *, {TURN_SIGNALS_SQL} FROM transcripts",
+    ["text_len", "token_est", "is_tool"],
 )
 
 
-@register("feature_drift_psi", _DRIFT_ORACLE, driver=False)
-def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training/serving-skew monitor (sparkfeat.drift.feature_drift):
-    PSI over reference-fitted equal-width bins + standardized mean
-    difference + null rates per feature, between the first and second
-    half of the transcript time range (the split midpoint derives from
-    one MIN/MAX aggregate both engines replay). Scale shape: one melt
-    (map-side explode), two tiny hash aggregates (state O(features ×
-    bins)), one broadcast edges join — two scans of the panel at any
-    row count, no windows, no collect."""
+def _time_split_drift(panel: DataFrame, features: list[str]) -> DataFrame:
+    """Spark twin of ``_drift_sql``: split ``panel`` at the midpoint of
+    its ts range (one MIN/MAX aggregate riding a broadcast crossJoin —
+    lazy, no driver collect) and run `drift.feature_drift`, rounding
+    the float columns to the oracle convention."""
     from sparkfeat.drift import feature_drift
 
-    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    bounds = sig.agg(
-        F.min(us).alias("_mn"), F.max(us).alias("_mx")
-    )
+    bounds = panel.agg(F.min(us).alias("_mn"), F.max(us).alias("_mx"))
     mid = F.floor((F.col("_mn") + F.col("_mx")) / F.lit(2.0)).cast("long")
-    base = sig.crossJoin(F.broadcast(bounds)).withColumn(
+    base = panel.crossJoin(F.broadcast(bounds)).withColumn(
         "_window", F.when(us < mid, "ref").otherwise("cur")
     )
-    out = feature_drift(base, ["text_len", "token_est", "is_tool"])
+    out = feature_drift(base, features)
     return out.select(
         "feature",
         F.col("n_ref").cast("bigint").alias("n_ref"),
@@ -4481,6 +4547,44 @@ def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.col("std_cur")).alias("std_cur"),
         _r(F.col("smd")).alias("smd"),
         _r(F.col("psi")).alias("psi"),
+    )
+
+
+@register("feature_drift_psi", _DRIFT_ORACLE, driver=False)
+def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training/serving-skew monitor (sparkfeat.drift.feature_drift):
+    PSI over reference-fitted equal-width bins + standardized mean
+    difference + null rates per feature, between the first and second
+    half of the transcript time range (the split midpoint derives from
+    one MIN/MAX aggregate both engines replay). Scale shape: one melt
+    (map-side explode), two tiny hash aggregates (state O(features ×
+    bins)), one broadcast edges join — two scans of the panel at any
+    row count, no windows, no collect."""
+    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    return _time_split_drift(sig, ["text_len", "token_est", "is_tool"])
+
+
+_FLAGSHIP_DRIFT_ORACLE = _drift_sql(
+    _FLAGSHIP_ORACLE,
+    ["text_len_lr", "text_len_vol", "text_len_stoch_k", "token_est_ker"],
+)
+
+
+@register("flagship_drift_psi", _FLAGSHIP_DRIFT_ORACLE, driver=False)
+def q_flagship_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitor over the ACTUAL generated feature panel: the
+    flagship point-in-time features (clipped log-return, rolling vol,
+    stochastic %K, Kaufman ER) fed through `drift.feature_drift` on a
+    first-half vs second-half time split — the production question
+    ("did my TRAINING features move between snapshots?") asked of the
+    engine's own output. Features are rounded to the 6-dp oracle
+    convention BEFORE binning so bucket edges are engine-exact; the
+    oracle replays the full flagship window pipeline and then the full
+    drift pipeline in SQL. Nulls from warm-up windows (first turns of
+    each conversation) land in the null-rate columns by design."""
+    panel = q_flagship(spark, sf_dir)
+    return _time_split_drift(
+        panel, ["text_len_lr", "text_len_vol", "text_len_stoch_k", "token_est_ker"]
     )
 
 
