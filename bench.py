@@ -96,6 +96,13 @@ BENCH_QUERIES = [
     "resequence_turns",
     "conv_latency_stats",
     "agent_curation_pairs",
+    # late round 5: conversation-level near-dup (O(k)-state MinHash +
+    # LSH + exact join-shaped verify) and the drift monitors (raw turn
+    # signals; flagship = the generated-feature capstone)
+    "conv_neardup_pairs",
+    "conv_neardup_clusters",
+    "feature_drift_psi",
+    "flagship_drift_psi",
 ]
 
 

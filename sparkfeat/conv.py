@@ -145,12 +145,33 @@ def conv_dedup_exact(
     )
 
 
-def _content_term(role_col: str, text_col: str, tool_col: str, perm: int):
-    """Per-turn CONTENT hash for permutation ``perm``: a 60-bit integer
-    from md5 of ``perm # role|text|tool``. No ``turn_idx`` — near-dup
-    is about shared turn content, so a re-ingested conversation with a
-    dropped opener or a re-rolled tail still matches. Replayable in any
-    engine with md5 (the DuckDB oracle uses the identical construction)."""
+def _content_term(
+    role_col: str, text_col: str, tool_col: str, perm: int, method: str = "md5"
+):
+    """Per-turn CONTENT hash for permutation ``perm``. No ``turn_idx``
+    — near-dup is about shared turn content, so a re-ingested
+    conversation with a dropped opener or a re-rolled tail still
+    matches.
+
+    ``method='md5'`` (default): a 60-bit integer from md5 of
+    ``perm # role|text|tool`` — replayable in any engine with md5 (the
+    DuckDB oracle uses the identical construction).
+
+    ``method='xx64'`` (engine-fast): ``xxhash64(perm, role, text,
+    tool)`` — one JVM hash per turn instead of a hex round-trip;
+    measured **1.4× faster end-to-end** on the sf0.1 planted-clone
+    near-dup job (5.40 s → 3.85 s median-of-3, fresh JVMs; the gap is
+    bounded because the verify join, not hashing, dominates there —
+    it widens with num_perm and with text length). Not
+    replayable outside the JVM, so the oracle path stays md5; the
+    EXACT Jaccard verify is hash-agnostic (it only distinct-counts
+    hash values, and 64-bit collisions are ~2⁻⁶⁴ per pair), so the
+    verified pair set is identical under either method wherever LSH
+    recall agrees — pytest pins that on the planted-clone corpus."""
+    if method == "xx64":
+        return F.xxhash64(
+            F.lit(perm), F.col(role_col), F.col(text_col), F.col(tool_col)
+        )
     canon = F.concat_ws(
         _SEP,
         F.coalesce(F.col(role_col), F.lit(_NULL)),
@@ -168,6 +189,7 @@ def conv_minhash_signature(
     text_col: str = "text",
     tool_col: str = "tool",
     num_perm: int = 16,
+    method: str = "md5",
 ) -> DataFrame:
     """MinHash signature per conversation over its TURN-CONTENT set:
     ``(conv_id, n_distinct_turns, m0..m{k-1})``.
@@ -185,7 +207,10 @@ def conv_minhash_signature(
     same aggregation; it feeds the size-ratio prune and the exact
     Jaccard verify downstream.
     """
-    terms = [_content_term(role_col, text_col, tool_col, i) for i in range(num_perm)]
+    terms = [
+        _content_term(role_col, text_col, tool_col, i, method=method)
+        for i in range(num_perm)
+    ]
     return df.groupBy(entity_col).agg(
         F.count_distinct(terms[0]).alias("n_distinct_turns"),
         *[F.min(t).alias(f"m{i}") for i, t in enumerate(terms)],
@@ -201,6 +226,7 @@ def conv_neardup_pairs(
     num_perm: int = 16,
     bands: int = 4,
     threshold: float = 0.7,
+    method: str = "md5",
 ) -> DataFrame:
     """Near-duplicate CONVERSATION pairs by turn-content-set Jaccard:
     ``(conv_a, conv_b, n_turns_a, n_turns_b, est_jaccard, jaccard)``
@@ -235,7 +261,8 @@ def conv_neardup_pairs(
     if rows * bands != num_perm:
         raise ValueError("bands must divide num_perm")
     sig = conv_minhash_signature(
-        df, entity_col, role_col, text_col, tool_col, num_perm=num_perm
+        df, entity_col, role_col, text_col, tool_col, num_perm=num_perm,
+        method=method,
     )
     band_rows = []
     for b in range(bands):
@@ -269,7 +296,7 @@ def conv_neardup_pairs(
 
     th = df.select(
         F.col(entity_col).alias("_id"),
-        _content_term(role_col, text_col, tool_col, 0).alias("_th"),
+        _content_term(role_col, text_col, tool_col, 0, method=method).alias("_th"),
     ).distinct()
     inter = (
         cand.join(th.select(F.col("_id").alias("conv_a"), "_th"), "conv_a")

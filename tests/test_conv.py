@@ -267,3 +267,30 @@ def test_conv_neardup_size_ratio_prune_blocks_subset(spark):
     rows = _mk_conv("orig", texts) + _mk_conv("half", texts[:10])
     got = conv_neardup_pairs(_df(spark, rows), threshold=0.7).collect()
     assert got == []
+
+
+def test_conv_neardup_xx64_same_verified_pairs(spark):
+    """The exact-verify stage only distinct-counts hash values, so the
+    verified pair set must be identical under md5 and xx64 hashing
+    wherever LSH recall agrees (high-similarity clones collide in all
+    bands under either hash family)."""
+    from sparkfeat.conv import conv_neardup_pairs
+
+    texts = [f"line {i} of the conversation" for i in range(12)]
+    rows = (
+        _mk_conv("orig", texts)
+        + _mk_conv("clone", texts[:-1])
+        + _mk_conv("exact", texts, t0=40)
+        + _mk_conv("other", [f"unrelated {i}" for i in range(12)])
+    )
+    df = _df(spark, rows)
+
+    def run(method):
+        return {
+            (r.conv_a, r.conv_b): (r.n_turns_a, r.n_turns_b, r.jaccard)
+            for r in conv_neardup_pairs(df, threshold=0.7, method=method).collect()
+        }
+
+    md5, xx = run("md5"), run("xx64")
+    assert md5 == xx
+    assert ("exact", "orig") in md5 and md5[("exact", "orig")][2] == 1.0
