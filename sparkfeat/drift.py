@@ -38,7 +38,91 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["feature_drift"]
+__all__ = ["feature_drift", "drift_profile", "psi_expr"]
+
+
+def _melt(df: DataFrame, features: list[str], extra: list[str] = ()) -> DataFrame:
+    """Map-side long form: one (feature, value) row per input row per
+    feature, via explode of a literal struct array — no shuffle."""
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(f).alias("feature"), F.col(f).cast("double").alias("value")
+            )
+            for f in features
+        ]
+    )
+    return df.select(*extra, F.explode(packed).alias("_s")).select(
+        *extra, F.col("_s.feature").alias("feature"), F.col("_s.value").alias("value")
+    )
+
+
+def _bucket(bins: int):
+    """Equal-width bucket of `value` against `_vmin`/`_vmax` columns,
+    clamped into [0, bins): out-of-range current values pile into the
+    edge bins (the PSI convention for values outside the reference
+    range)."""
+    width = (F.col("_vmax") - F.col("_vmin")) / F.lit(float(bins))
+    return F.when(F.col("_vmax") == F.col("_vmin"), F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(bins - 1),
+                F.floor((F.col("value") - F.col("_vmin")) / width).cast("int"),
+            ),
+        )
+    )
+
+
+def drift_profile(
+    df: DataFrame, features: list[str], bins: int = 10
+) -> DataFrame:
+    """Freeze a REFERENCE drift profile from a batch panel: one row per
+    feature — ``(feature, _vmin, _vmax, n_ref, c0..c{bins-1})`` — the
+    equal-width edges plus per-bin counts. This is the table a serving
+    or streaming monitor broadcasts: n_features rows regardless of the
+    panel size, so it rides with the training snapshot as a tiny
+    artifact. Features that are entirely null are omitted (no edges)."""
+    long = _melt(df, features)
+    stats = long.groupBy("feature").agg(
+        F.count("value").alias("n_ref"),
+        F.min("value").alias("_vmin"),
+        F.max("value").alias("_vmax"),
+    )
+    edges = stats.where(F.col("_vmin").isNotNull())
+    return (
+        long.where(F.col("value").isNotNull())
+        .join(F.broadcast(edges), "feature")
+        .select("feature", _bucket(bins).alias("_b"))
+        .groupBy("feature")
+        .agg(
+            *[
+                F.sum(F.when(F.col("_b") == i, 1).otherwise(0)).alias(f"c{i}")
+                for i in range(bins)
+            ]
+        )
+        .join(edges, "feature")
+        .select(
+            "feature", "_vmin", "_vmax", "n_ref", *[f"c{i}" for i in range(bins)]
+        )
+    )
+
+
+def psi_expr(bins: int = 10):
+    """PSI as ONE stateless Column over a row that carries current bin
+    counts ``q0..q{bins-1}`` + ``n_cur`` alongside joined profile
+    columns ``c0..c{bins-1}`` + ``n_ref`` (Laplace ±0.5 smoothing, so
+    empty bins on either side stay finite). Shared by the streaming
+    monitor; `feature_drift` keeps its long-form aggregation twin."""
+    terms = []
+    for i in range(bins):
+        p = (F.col(f"c{i}") + 0.5) / (F.col("n_ref") + 0.5 * bins)
+        q = (F.col(f"q{i}") + 0.5) / (F.col("n_cur") + 0.5 * bins)
+        terms.append((p - q) * F.log(p / q))
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total
 
 
 def feature_drift(

@@ -21,6 +21,65 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def stream_feature_drift(
+    stream: DataFrame,
+    profile: DataFrame,
+    features: list[str],
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    bins: int = 10,
+) -> DataFrame:
+    """Streaming drift monitor: PSI of each event-time window of a
+    feature stream against a FROZEN reference profile
+    (`drift.drift_profile` — the tiny per-feature edges + bin-counts
+    table that ships with the training snapshot). Output one row per
+    (window, feature): ``(window_start, window_end, feature, n_cur,
+    n_null_cur, psi)``.
+
+    Built around Structured Streaming's one-stateful-operator shape:
+    the ``bins`` buckets are unrolled into conditional counts inside a
+    SINGLE watermarked ``groupBy(window, feature)`` aggregation —
+    state is O(open windows × features), independent of stream rate —
+    and PSI is then a stateless expression (`drift.psi_expr`) against
+    the broadcast profile. No second aggregation, no stream-stream
+    join, so this runs identically under ``availableNow`` backfill and
+    a live trigger; the batch `feature_drift` remains the source of
+    truth for full-history audits (same bucket algebra, pytest-pinned
+    equal)."""
+    from sparkfeat.drift import _bucket, _melt, psi_expr
+
+    edges = profile.select("feature", "_vmin", "_vmax")
+    long = _melt(stream, features, extra=[ts_col]).join(
+        F.broadcast(edges), "feature"
+    )
+    bucketed = long.select(
+        ts_col,
+        "feature",
+        F.when(F.col("value").isNotNull(), _bucket(bins)).alias("_b"),
+    )
+    agg = (
+        bucketed.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("_win"), F.col("feature"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("_b") == i, 1).otherwise(0)).alias(f"q{i}")
+                for i in range(bins)
+            ],
+            F.count("_b").alias("n_cur"),
+            F.sum(F.when(F.col("_b").isNull(), 1).otherwise(0)).alias("n_null_cur"),
+        )
+    )
+    return agg.join(F.broadcast(profile), "feature").select(
+        F.col("_win.start").alias("window_start"),
+        F.col("_win.end").alias("window_end"),
+        "feature",
+        "n_cur",
+        "n_null_cur",
+        psi_expr(bins).alias("psi"),
+    )
+
+
 def stream_session_aggregates(
     stream: DataFrame,
     gap: str = "30 minutes",

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from sparkfeat.drift import feature_drift
@@ -100,3 +102,70 @@ def test_drift_plan_broadcast_edges_no_window(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_stream_feature_drift_matches_batch(spark, transcripts, tmp_path):
+    import pandas as pd
+
+    from sparkfeat.drift import drift_profile, feature_drift
+    from sparkfeat.schema import with_turn_signals
+    from sparkfeat.streaming import stream_feature_drift
+
+    feats = ["text_len", "token_est"]
+    sig = with_turn_signals(transcripts).select("ts", *feats)
+    lo, hi = sig.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    ref, cur = sig.where(F.col("ts") < F.lit(mid)), sig.where(F.col("ts") >= F.lit(mid))
+    profile = drift_profile(ref, feats)
+
+    # far-future sentinel advances the watermark so append-mode emits
+    # every real window (a live pipeline gets this from new arrivals)
+    flush = spark.createDataFrame(
+        pd.DataFrame({"ts": [pd.Timestamp(hi) + pd.Timedelta(days=30)],
+                      "text_len": [0.0], "token_est": [0.0]}),
+        schema=cur.schema,
+    )
+    inp = str(tmp_path / "drift_in")
+    cur.unionByName(flush).write.mode("overwrite").parquet(inp)
+
+    stream = spark.readStream.schema(cur.schema).parquet(inp)
+    q = (
+        stream_feature_drift(stream, profile, feats, window="1 hour",
+                             watermark="1 minute")
+        .writeStream.format("memory").queryName("drift_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM drift_stream").toPandas()
+        .sort_values(["window_start", "feature"]).reset_index(drop=True)
+    )
+
+    # ground truth 1: the SAME plan over the batch frame (withWatermark
+    # is a batch no-op) must agree window-for-window
+    want = (
+        stream_feature_drift(cur, profile, feats, window="1 hour",
+                             watermark="1 minute")
+        .toPandas().sort_values(["window_start", "feature"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)
+
+    # ground truth 2: one window's PSI must equal the batch
+    # feature_drift monitor fed (ref, that window) — same edge fitting,
+    # same smoothing, independent aggregation shape
+    w0 = want.iloc[0]
+    win_rows = cur.where(
+        (F.col("ts") >= F.lit(w0.window_start)) & (F.col("ts") < F.lit(w0.window_end))
+    )
+    panel = ref.withColumn("_window", F.lit("ref")).unionByName(
+        win_rows.withColumn("_window", F.lit("cur"))
+    )
+    batch = {r.feature: r.psi for r in feature_drift(panel, feats).collect()}
+    got_w0 = {
+        r.feature: r.psi
+        for _, r in want[want.window_start == w0.window_start].iterrows()
+    }
+    for f in feats:
+        assert got_w0[f] == pytest.approx(batch[f], rel=1e-9)
