@@ -205,7 +205,14 @@ def conv_minhash_signature(
 
     ``n_distinct_turns`` (exact distinct content-hash count) rides the
     same aggregation; it feeds the size-ratio prune and the exact
-    Jaccard verify downstream.
+    Jaccard verify downstream. Precision note on its state: Catalyst
+    rewrites the mixed distinct/min aggregate via Expand + a two-level
+    aggregation whose first level keys on ``(conv_id, hash)`` — state
+    is bounded per TASK partition (standard distributed distinct, no
+    per-group buffer), not O(1) per conversation like the mins; only
+    the 2× Expand of the turn stream is the extra cost. Swap to
+    ``approx_count_distinct`` ONLY if the exact Jaccard verify is also
+    dropped — its denominator needs the exact counts.
     """
     terms = [
         _content_term(role_col, text_col, tool_col, i, method=method)

@@ -46,7 +46,12 @@ def stream_feature_drift(
     join, so this runs identically under ``availableNow`` backfill and
     a live trigger; the batch `feature_drift` remains the source of
     truth for full-history audits (same bucket algebra, pytest-pinned
-    equal)."""
+    equal).
+
+    A feature with no profile row (entirely null in the reference —
+    `drift_profile` omits it) is dropped by the edges join: there are
+    no edges to bucket against. Monitor such features with the batch
+    null-rate panel instead."""
     from sparkfeat.drift import _bucket, _melt, psi_expr
 
     edges = profile.select("feature", "_vmin", "_vmax")
