@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     # LSH + exact join-shaped verify) and the drift monitors (raw turn
     # signals; flagship = the generated-feature capstone)
     "conv_neardup_pairs",
+    "conv_neardup_pairs_xx64",
     "conv_neardup_clusters",
     "feature_drift_psi",
     "flagship_drift_psi",
