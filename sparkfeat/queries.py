@@ -4614,6 +4614,117 @@ def q_flagship_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _windowed_drift_sql(features: list[str], bins: int = 10) -> str:
+    """DuckDB twin of `streaming.stream_feature_drift`'s algebra run as
+    a batch over the second-half window stream, with the profile frozen
+    on the first half: per (epoch-aligned hour, feature) the unrolled
+    bin counts and the smoothed PSI."""
+    melt_ref = "\n    UNION ALL\n    ".join(
+        f"SELECT '{f}' AS feature, CAST({f} AS DOUBLE) AS value FROM ref"
+        for f in features
+    )
+    melt_cur = "\n    UNION ALL\n    ".join(
+        f"SELECT ts, '{f}' AS feature, CAST({f} AS DOUBLE) AS value FROM cur"
+        for f in features
+    )
+    c_sums = ",\n        ".join(
+        f"SUM(CASE WHEN bkt = {i} THEN 1 ELSE 0 END) AS c{i}" for i in range(bins)
+    )
+    q_sums = ",\n        ".join(
+        f"SUM(CASE WHEN bkt = {i} THEN 1 ELSE 0 END) AS q{i}" for i in range(bins)
+    )
+    terms = " + ".join(
+        f"((c{i} + 0.5) / (n_ref + {0.5 * bins}) - (q{i} + 0.5) / (n_cur + {0.5 * bins}))"
+        f" * LN(((c{i} + 0.5) / (n_ref + {0.5 * bins}))"
+        f" / ((q{i} + 0.5) / (n_cur + {0.5 * bins})))"
+        for i in range(bins)
+    )
+    bucket = (
+        "CASE WHEN value IS NULL THEN NULL"
+        " WHEN _vmax = _vmin THEN 0"
+        f" ELSE GREATEST(0, LEAST({bins - 1}, CAST(FLOOR("
+        f"(value - _vmin) / ((_vmax - _vmin) / {float(bins)})) AS INTEGER))) END"
+    )
+    return f"""WITH {TRANSCRIPTS_CTE},
+sig AS (SELECT *, {TURN_SIGNALS_SQL} FROM transcripts),
+b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM sig),
+ref AS (SELECT sig.* FROM sig, b
+        WHERE epoch_us(ts) < CAST(FLOOR((mn + mx) / 2.0) AS BIGINT)),
+cur AS (SELECT sig.* FROM sig, b
+        WHERE epoch_us(ts) >= CAST(FLOOR((mn + mx) / 2.0) AS BIGINT)),
+lngr AS ({melt_ref}),
+edges AS (
+    SELECT feature, CAST(COUNT(value) AS BIGINT) AS n_ref,
+        MIN(value) AS _vmin, MAX(value) AS _vmax
+    FROM lngr GROUP BY feature
+    HAVING MIN(value) IS NOT NULL
+),
+prof AS (
+    SELECT l.feature,
+        {c_sums}
+    FROM (SELECT lngr.feature, {bucket} AS bkt
+          FROM lngr JOIN edges USING (feature)
+          WHERE value IS NOT NULL) l
+    GROUP BY l.feature
+),
+lngc AS ({melt_cur}),
+cb AS (
+    SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS win_us,
+        lngc.feature, {bucket} AS bkt
+    FROM lngc JOIN edges USING (feature)
+),
+agg AS (
+    SELECT win_us, feature,
+        {q_sums},
+        CAST(COUNT(bkt) AS BIGINT) AS n_cur,
+        CAST(SUM(CASE WHEN bkt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_null_cur
+    FROM cb GROUP BY win_us, feature
+)
+SELECT make_timestamp(win_us) AS window_start,
+    make_timestamp(win_us + 3600000000) AS window_end,
+    agg.feature, n_cur, n_null_cur,
+    ROUND({terms}, 6) AS psi
+FROM agg JOIN prof USING (feature) JOIN edges USING (feature)"""
+
+
+@register(
+    "windowed_drift_psi",
+    _windowed_drift_sql(["text_len", "token_est", "is_tool"]),
+    driver=False,
+)
+def q_windowed_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming drift monitor's EXACT algebra run as a batch: the
+    reference profile freezes on the first half of the time range
+    (`drift.drift_profile`), then `streaming.stream_feature_drift` —
+    whose watermark is a batch no-op — computes per-hour PSI over the
+    second half. tests/test_drift.py pins availableNow-stream ≡ this
+    batch plan window-for-window, so this oracle transitively covers
+    the live streaming path at DuckDB-oracle grade."""
+    from sparkfeat.drift import drift_profile
+    from sparkfeat.streaming import stream_feature_drift
+
+    feats = ["text_len", "token_est", "is_tool"]
+    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = sig.agg(F.min(us).alias("_mn"), F.max(us).alias("_mx"))
+    mid = F.floor((F.col("_mn") + F.col("_mx")) / F.lit(2.0)).cast("long")
+    split = sig.crossJoin(F.broadcast(bounds))
+    ref = split.where(us < mid).select("ts", *feats)
+    cur = split.where(us >= mid).select("ts", *feats)
+    out = stream_feature_drift(
+        cur, drift_profile(ref, feats), feats, window="1 hour"
+    )
+    return out.select(
+        "window_start",
+        "window_end",
+        "feature",
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.col("n_null_cur").cast("bigint").alias("n_null_cur"),
+        _r(F.col("psi")).alias("psi"),
+    )
+
+
 _PREF_PAIRS_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
 f AS (
     SELECT conv_id, turn_idx AS retry_idx,
