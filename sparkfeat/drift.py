@@ -132,6 +132,7 @@ def feature_drift(
     ref: str = "ref",
     cur: str = "cur",
     bins: int = 10,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Per-feature drift panel between ``window_col == ref`` and
     ``window_col == cur`` rows: ``(feature, n_ref, n_cur,
@@ -141,6 +142,16 @@ def feature_drift(
     Rows with other ``window_col`` values are ignored. Features whose
     reference window is entirely null get a null PSI (no edges to fit)
     but keep their null-rate row — that IS the drift signal.
+
+    ``edges`` switches PSI from the default equal-width bins to
+    EXPLICIT per-feature thresholds: a tiny ``(feature,
+    edges: array<double>)`` frame of sorted INTERIOR cut points
+    (k edges ⇒ k+1 buckets; bucket = number of edges ≤ value). Pass
+    quantile edges from `classify.fit_bins` (balanced, global fit)
+    for the industry-standard quantile-PSI variant — the edge table
+    broadcasts either way, and features absent from ``edges`` get a
+    null PSI. ``bins`` is ignored when ``edges`` is given (the
+    smoothing denominator uses each feature's own bucket count).
     """
     is_ref = F.col("_w") == ref
     is_cur = F.col("_w") == cur
@@ -172,22 +183,36 @@ def feature_drift(
         F.max(F.when(is_ref, val)).alias("_vmax"),
     )
 
-    width = (F.col("_vmax") - F.col("_vmin")) / F.lit(float(bins))
-    bucket = F.when(F.col("_vmax") == F.col("_vmin"), F.lit(0)).otherwise(
-        F.greatest(
-            F.lit(0),
-            F.least(
-                F.lit(bins - 1),
-                F.floor((F.col("value") - F.col("_vmin")) / width).cast("int"),
-            ),
+    if edges is not None:
+        edge_tbl = edges.select(
+            "feature",
+            F.col("edges").cast("array<double>").alias("_edges"),
+            (F.size("edges") + 1).cast("double").alias("_nb"),
         )
-    )
-    edges = stats.select("feature", "_vmin", "_vmax").where(F.col("_vmin").isNotNull())
+        bucket = F.size(
+            F.filter(F.col("_edges"), lambda e: e <= F.col("value"))
+        ).cast("int")
+    else:
+        width = (F.col("_vmax") - F.col("_vmin")) / F.lit(float(bins))
+        bucket = F.when(F.col("_vmax") == F.col("_vmin"), F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor((F.col("value") - F.col("_vmin")) / width).cast("int"),
+                ),
+            )
+        )
+        edge_tbl = (
+            stats.select("feature", "_vmin", "_vmax")
+            .where(F.col("_vmin").isNotNull())
+            .withColumn("_nb", F.lit(float(bins)))
+        )
     counts = (
         long.where(val.isNotNull())
-        .join(F.broadcast(edges), "feature")
-        .select("feature", "_w", bucket.alias("_b"))
-        .groupBy("feature", "_b")
+        .join(F.broadcast(edge_tbl), "feature")
+        .select("feature", "_w", "_nb", bucket.alias("_b"))
+        .groupBy("feature", "_nb", "_b")
         .agg(
             F.sum(F.when(is_ref, 1).otherwise(0)).alias("_cr"),
             F.sum(F.when(is_cur, 1).otherwise(0)).alias("_cc"),
@@ -198,8 +223,8 @@ def feature_drift(
     # only observed buckets is exact.
     n_ref_b = F.col("n_ref").cast("double")
     n_cur_b = F.col("n_cur").cast("double")
-    p = (F.col("_cr") + 0.5) / (n_ref_b + 0.5 * bins)
-    q = (F.col("_cc") + 0.5) / (n_cur_b + 0.5 * bins)
+    p = (F.col("_cr") + 0.5) / (n_ref_b + 0.5 * F.col("_nb"))
+    q = (F.col("_cc") + 0.5) / (n_cur_b + 0.5 * F.col("_nb"))
     psi = (
         counts.join(F.broadcast(stats.select("feature", "n_ref", "n_cur")), "feature")
         .groupBy("feature")

@@ -29,6 +29,7 @@ def stream_feature_drift(
     window: str = "1 hour",
     watermark: str = "2 hours",
     bins: int = 10,
+    slide: str | None = None,
 ) -> DataFrame:
     """Streaming drift monitor: PSI of each event-time window of a
     feature stream against a FROZEN reference profile
@@ -51,7 +52,10 @@ def stream_feature_drift(
     A feature with no profile row (entirely null in the reference —
     `drift_profile` omits it) is dropped by the edges join: there are
     no edges to bucket against. Monitor such features with the batch
-    null-rate panel instead."""
+    null-rate panel instead. ``slide`` turns the tumbling windows into
+    sliding ones (e.g. window="1 hour", slide="15 minutes"): each row
+    then lands in window/slide open windows — state and output volume
+    scale by the same factor."""
     from sparkfeat.drift import _bucket, _melt, psi_expr
 
     edges = profile.select("feature", "_vmin", "_vmax")
@@ -65,7 +69,10 @@ def stream_feature_drift(
     )
     agg = (
         bucketed.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("_win"), F.col("feature"))
+        .groupBy(
+            F.window(F.col(ts_col), window, slide or window).alias("_win"),
+            F.col("feature"),
+        )
         .agg(
             *[
                 F.sum(F.when(F.col("_b") == i, 1).otherwise(0)).alias(f"q{i}")

@@ -169,3 +169,86 @@ def test_stream_feature_drift_matches_batch(spark, transcripts, tmp_path):
     }
     for f in feats:
         assert got_w0[f] == pytest.approx(batch[f], rel=1e-9)
+
+
+def _py_psi_edges(ref, cur, interior):
+    """Replica of PSI with explicit interior edges (k edges, k+1 buckets)."""
+    nb = len(interior) + 1
+
+    def bucket(v):
+        return sum(1 for e in interior if e <= v)
+
+    cr, cc = [0] * nb, [0] * nb
+    for v in ref:
+        cr[bucket(v)] += 1
+    for v in cur:
+        cc[bucket(v)] += 1
+    tot = 0.0
+    for i in range(nb):
+        p = (cr[i] + 0.5) / (len(ref) + 0.5 * nb)
+        q = (cc[i] + 0.5) / (len(cur) + 0.5 * nb)
+        tot += (p - q) * math.log(p / q)
+    return tot
+
+
+def test_explicit_edges_psi_matches_replica(spark):
+    ref = [float(i) for i in range(30)]
+    cur = [float(i) + 7.0 for i in range(30)]
+    interior = [5.0, 12.0, 21.0]
+    edges = spark.createDataFrame([("x", interior)], "feature string, edges array<double>")
+    row = feature_drift(_panel(spark, ref, cur), ["x"], edges=edges).collect()[0]
+    assert row.psi == pytest.approx(_py_psi_edges(ref, cur, interior), rel=1e-9)
+    # feature missing from the edges table -> null PSI, moments intact
+    edges_other = spark.createDataFrame(
+        [("y", interior)], "feature string, edges array<double>"
+    )
+    row2 = feature_drift(_panel(spark, ref, cur), ["x"], edges=edges_other).collect()[0]
+    assert row2.psi is None and row2.mean_ref is not None
+
+
+def test_quantile_psi_composes_with_fit_bins(spark):
+    """The documented quantile-PSI composition: global balanced edges
+    from classify.fit_bins feed feature_drift's explicit-edges path."""
+    from sparkfeat.classify import fit_bins
+
+    ref = [float(i) for i in range(40)]
+    cur = [float(i) * 1.5 for i in range(40)]
+    panel = _panel(spark, ref, cur)
+    nbins = 4
+    fitted = fit_bins(
+        panel.where("_window = 'ref'"), "x", nbins, entity_col=None
+    )
+    edges = fitted.select(
+        F.lit("x").alias("feature"),
+        F.slice("edges", 2, nbins - 1).alias("edges"),  # interior cut points
+    )
+    row = feature_drift(panel, ["x"], edges=edges).collect()[0]
+    interior = fitted.collect()[0].edges[1:-1]
+    assert row.psi == pytest.approx(_py_psi_edges(ref, cur, interior), rel=1e-9)
+    # balanced edges on the ref itself -> near-uniform ref histogram
+    assert row.psi > 0.0
+
+
+def test_stream_drift_sliding_windows_batch(spark):
+    """slide < window: each value lands in window/slide windows; the
+    tumbling run is the slide == window special case."""
+    import datetime as dt
+
+    from sparkfeat.drift import drift_profile
+    from sparkfeat.streaming import stream_feature_drift
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(base + dt.timedelta(minutes=10 * i), float(i)) for i in range(12)]
+    cur = spark.createDataFrame(rows, "ts timestamp, x double")
+    profile = drift_profile(cur, ["x"])
+    tumble = stream_feature_drift(cur, profile, ["x"], window="1 hour").collect()
+    slide = stream_feature_drift(
+        cur, profile, ["x"], window="1 hour", slide="30 minutes"
+    ).collect()
+    assert sum(r.n_cur for r in tumble) == 12
+    assert sum(r.n_cur for r in slide) == 24  # every row in exactly 2 windows
+    # tumbling windows appear among the sliding ones with equal counts
+    t = {(r.window_start, r.window_end): r.n_cur for r in tumble}
+    s = {(r.window_start, r.window_end): r.n_cur for r in slide}
+    for k, v in t.items():
+        assert s[k] == v
