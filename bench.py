@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "conv_neardup_clusters",
     "feature_drift_psi",
     "flagship_drift_psi",
+    "quantile_drift_psi",
 ]
 
 

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["feature_drift", "drift_profile", "psi_expr"]
+__all__ = ["feature_drift", "drift_profile", "psi_expr", "quantile_edges"]
 
 
 def _melt(df: DataFrame, features: list[str], extra: list[str] = ()) -> DataFrame:
@@ -70,6 +70,33 @@ def _bucket(bins: int):
                 F.lit(bins - 1),
                 F.floor((F.col("value") - F.col("_vmin")) / width).cast("int"),
             ),
+        )
+    )
+
+
+def quantile_edges(
+    df: DataFrame, features: list[str], bins: int = 10
+) -> DataFrame:
+    """One-pass multi-feature quantile edge table for quantile-PSI:
+    ``(feature, edges: array<double>)`` of the ``bins - 1`` INTERIOR
+    linear-interpolated exact quantiles of each feature — the frame
+    `feature_drift(..., edges=...)` expects.
+
+    Same estimator as ``classify.fit_bins(method='exact',
+    entity_col=None)`` sliced to its interior points, but ONE melt +
+    groupBy over ALL features instead of one full-panel aggregate per
+    feature: at 100 TB that is one scan, one tiny shuffle on the
+    ``feature`` key (n_features groups), not n_features scans. The
+    exact ``percentile`` buffers each feature's values in one group —
+    for 10⁹⁺-row panels swap in ``percentile_approx`` exactly as
+    `fit_bins(method='approx')` does (the GK sketch bounds group
+    state); edges then carry the sketch's rank error into PSI, which
+    the 0.5-Laplace smoothing already dominates at that scale."""
+    long = _melt(df, features).where(F.col("value").isNotNull())
+    ps = [k / bins for k in range(1, bins)]
+    return long.groupBy("feature").agg(
+        F.percentile(F.col("value"), F.array(*[F.lit(p) for p in ps])).alias(
+            "edges"
         )
     )
 

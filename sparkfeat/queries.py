@@ -4590,6 +4590,101 @@ def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _time_split_drift(sig, ["text_len", "token_est", "is_tool"])
 
 
+_QPSI_FEATS = ["text_len", "token_est", "is_tool"]
+
+_QPSI_UNIONS = "\n    UNION ALL\n    ".join(
+    f"SELECT _w, '{f}' AS feature, CAST(\"{f}\" AS DOUBLE) AS value FROM w"
+    for f in _QPSI_FEATS
+)
+
+# Quantile-PSI twin of _drift_sql: interior edges are exact
+# linear-interp quantiles of the REFERENCE window (quantile_cont ≡
+# Spark's exact percentile, the classify.fit_bins estimator), rounded
+# to 6 decimals on BOTH engines before bucketing so the bucket
+# boundary comparison is deterministic across engines; bucket = number
+# of interior edges ≤ value (k edges ⇒ k+1 buckets).
+_QUANTILE_DRIFT_ORACLE = f"""WITH src AS (
+    SELECT * FROM (WITH {TRANSCRIPTS_CTE} SELECT *, {TURN_SIGNALS_SQL} FROM transcripts) _panel
+),
+b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM src),
+w AS (
+    SELECT src.*,
+        CASE WHEN epoch_us(ts) < CAST(FLOOR((mn + mx) / 2.0) AS BIGINT)
+             THEN 'ref' ELSE 'cur' END AS _w
+    FROM src, b
+),
+lng AS (
+    {_QPSI_UNIONS}
+),
+ed AS (
+    SELECT feature,
+        list_transform(
+            quantile_cont(value, [{", ".join(str(k / 10) for k in range(1, 10))}]),
+            e -> ROUND(e, 6)
+        ) AS edges
+    FROM lng WHERE _w = 'ref' AND value IS NOT NULL GROUP BY feature
+),
+stats AS (
+    SELECT feature,
+        CAST(COUNT(CASE WHEN _w = 'ref' THEN value END) AS BIGINT) AS n_ref,
+        CAST(COUNT(CASE WHEN _w = 'cur' THEN value END) AS BIGINT) AS n_cur
+    FROM lng GROUP BY feature
+),
+cnts AS (
+    SELECT l.feature,
+        LEN(list_filter(e.edges, x -> x <= l.value)) AS bkt,
+        SUM(CASE WHEN l._w = 'ref' THEN 1 ELSE 0 END) AS cr,
+        SUM(CASE WHEN l._w = 'cur' THEN 1 ELSE 0 END) AS cc
+    FROM lng l JOIN ed e USING (feature)
+    WHERE l.value IS NOT NULL
+    GROUP BY 1, 2
+),
+psi AS (
+    SELECT c.feature,
+        SUM(((c.cr + 0.5) / (s.n_ref + 5.0) - (c.cc + 0.5) / (s.n_cur + 5.0))
+            * LN(((c.cr + 0.5) / (s.n_ref + 5.0))
+                 / ((c.cc + 0.5) / (s.n_cur + 5.0)))) AS psi
+    FROM cnts c JOIN stats s USING (feature) GROUP BY c.feature
+)
+SELECT s.feature, s.n_ref, s.n_cur, ROUND(p.psi, 6) AS psi
+FROM stats s LEFT JOIN psi p USING (feature)"""
+
+
+@register("quantile_drift_psi", _QUANTILE_DRIFT_ORACLE, driver=False)
+def q_quantile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-PSI drift (the industry-standard PSI variant): interior
+    bin edges are the 9 exact linear-interp deciles of the REFERENCE
+    window (drift.quantile_edges — one melt + one tiny groupBy, the
+    same estimator as classify.fit_bins), fed to
+    drift.feature_drift(edges=...). Edges are rounded to 6 decimals on
+    both engines before bucketing so the boundary comparison is
+    engine-deterministic. Scale shape: three scans of the panel (edge
+    fit + moments + bucket counts), all aggregates with O(features ×
+    bins) state, edges broadcast — no windows, no collect."""
+    from sparkfeat.drift import feature_drift, quantile_edges
+
+    panel = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = panel.agg(F.min(us).alias("_mn"), F.max(us).alias("_mx"))
+    mid = F.floor((F.col("_mn") + F.col("_mx")) / F.lit(2.0)).cast("long")
+    base = panel.crossJoin(F.broadcast(bounds)).withColumn(
+        "_window", F.when(us < mid, "ref").otherwise("cur")
+    )
+    edges = quantile_edges(
+        base.where(F.col("_window") == "ref"), _QPSI_FEATS, bins=10
+    ).select(
+        "feature",
+        F.transform("edges", lambda e: F.round(e, 6)).alias("edges"),
+    )
+    out = feature_drift(base, _QPSI_FEATS, edges=edges)
+    return out.select(
+        "feature",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        _r(F.col("psi")).alias("psi"),
+    )
+
+
 _FLAGSHIP_DRIFT_ORACLE = _drift_sql(
     _FLAGSHIP_ORACLE,
     ["text_len_lr", "text_len_vol", "text_len_stoch_k", "token_est_ker"],

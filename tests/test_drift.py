@@ -252,3 +252,21 @@ def test_stream_drift_sliding_windows_batch(spark):
     s = {(r.window_start, r.window_end): r.n_cur for r in slide}
     for k, v in t.items():
         assert s[k] == v
+
+
+def test_quantile_edges_matches_fit_bins_interior(spark):
+    """quantile_edges is the one-pass multi-feature twin of
+    classify.fit_bins(method='exact', entity_col=None) sliced to the
+    interior cut points."""
+    from sparkfeat.classify import fit_bins
+    from sparkfeat.drift import quantile_edges
+
+    vals = [float(i) ** 1.3 for i in range(37)]
+    df = spark.createDataFrame(
+        [(v, 2.0 * v + 1.0) for v in vals], "x double, y double"
+    )
+    got = {r.feature: r.edges for r in quantile_edges(df, ["x", "y"], bins=5).collect()}
+    assert set(got) == {"x", "y"}
+    for col in ("x", "y"):
+        fb = fit_bins(df, col, 5, entity_col=None).collect()[0]
+        assert got[col] == pytest.approx(fb.edges[1:-1], rel=1e-12)

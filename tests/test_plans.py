@@ -202,3 +202,22 @@ def test_fingerprint_summary_no_window_hot_partition(spark, sf_dir):
     p = plan_of(out)
     assert "Window" not in p, p
     assert "HashAggregate" in p, p
+
+
+def test_feature_drift_edges_join_is_broadcast(transcripts):
+    """The explicit-edges (quantile-PSI) drift path: the per-feature
+    edge table joins onto the melted panel as a BROADCAST hash join —
+    n_features rows must never shuffle the 100 TB long stream — and
+    the whole monitor stays window-free."""
+    from sparkfeat.drift import feature_drift, quantile_edges
+
+    sig = with_turn_signals(transcripts).withColumn(
+        "_window", F.when(F.col("turn_idx") < 3, "ref").otherwise("cur")
+    )
+    feats = ["text_len", "token_est"]
+    edges = quantile_edges(sig.where("_window = 'ref'"), feats, bins=5)
+    out = feature_drift(sig, feats, edges=edges)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
