@@ -105,6 +105,10 @@ BENCH_QUERIES = [
     "feature_drift_psi",
     "flagship_drift_psi",
     "quantile_drift_psi",
+    # third as-of strategy: snapshot compiled to validity intervals,
+    # probes answered by equi+range join (the serving path; also the
+    # stream-static join code path)
+    "asof_interval_grid",
 ]
 
 

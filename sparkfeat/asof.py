@@ -147,3 +147,92 @@ def with_targets(
     for k in horizons:
         df = df.withColumn(f"{prefix}_lead_{k}", F.lead(F.col(value_col), k).over(w))
     return df
+
+
+def snapshot_intervals(
+    data: DataFrame,
+    value_cols: list[str],
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    tie_cols: tuple[str, ...] = ("turn_idx",),
+) -> DataFrame:
+    """Compile a feature snapshot into VALIDITY INTERVALS for
+    serve-time point-in-time lookup: one row per observation carrying
+    ``[_valid_from, _valid_to)`` — ``_valid_to`` is the next
+    observation's timestamp in ``(ts, *tie_cols)`` order within the
+    entity (null = open-ended, the latest observation). A backward
+    as-of probe then reduces to an interval-membership join
+    (:func:`asof_join_intervals`): each probe timestamp lands in at
+    most ONE interval per entity.
+
+    Equal-timestamp ties collapse by construction: every non-last row
+    at a given ts gets an EMPTY ``[t, t)`` interval no probe can hit,
+    so the max-``(ts, *tie_cols)`` row is the one served — exactly
+    :func:`asof_join`'s backward tie-break (pd.merge_asof's
+    last-row-in-stable-sort).
+
+    Scale shape: one ``lead`` window over hash(entity) — the same
+    single exchange the union-tag strategy pays, but paid ONCE at
+    snapshot-compile time instead of per probe batch. Write the result
+    bucketed by ``entity_col`` (iceberg.write_bucketed) and every
+    subsequent probe join co-locates; the 100 TB snapshot never
+    re-shuffles at serve time."""
+    ties = [c for c in tie_cols if c in data.columns]
+    w = Window.partitionBy(entity_col).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc_nulls_first() for c in ties]
+    )
+    keep = [c for c in dict.fromkeys(value_cols) if c != entity_col]
+    return data.select(
+        F.col(entity_col),
+        F.col(ts_col).cast("timestamp").alias("_valid_from"),
+        F.lead(F.col(ts_col).cast("timestamp")).over(w).alias("_valid_to"),
+        *[F.col(c) for c in keep],
+    )
+
+
+def asof_join_intervals(
+    probes: DataFrame,
+    intervals: DataFrame,
+    value_cols: list[str],
+    entity_col: str = "conv_id",
+    probe_ts: str = "probe_ts",
+    broadcast: bool = False,
+) -> DataFrame:
+    """Backward as-of join as an equi+range join against a
+    :func:`snapshot_intervals` table — the SERVING-path physical
+    strategy (the third, after union-tag sort-merge and cogrouped
+    merge_asof; all three are oracle-equal). LEFT join: probes before
+    their entity's first observation keep their row with null values,
+    matching :func:`asof_join`.
+
+    Because this is pure equi-join + filter algebra (no window over
+    the probe side), the SAME code path serves a STREAMING probe side
+    — see ``streaming.stream_asof_serve``. ``broadcast=True`` hints
+    the interval table broadcast-side for dim-sized snapshots (probe
+    stream never shuffles at all).
+
+    Pick the strategy by probe density: the equi key is the entity, so
+    within one entity the join inspects probes × observations pairs
+    before the range filter — fine for serving (few probes per entity
+    per batch, snapshot pre-compiled/bucketed/broadcast; measured 1.8 s
+    vs union-tag's 0.8 s even at sf0.1's dense hourly grid), but for a
+    BACKFILL-density probe grid over mega-entities use
+    :func:`asof_join`, whose sort-merge is O((n+m) log) per entity."""
+    keep = [c for c in dict.fromkeys(value_cols) if c != entity_col]
+    right = intervals.select(
+        F.col(entity_col).alias("_e"),
+        "_valid_from",
+        "_valid_to",
+        *[F.col(c) for c in keep],
+    )
+    if broadcast:
+        right = F.broadcast(right)
+    pts = F.col(probe_ts).cast("timestamp")
+    cond = (
+        (F.col(entity_col) == F.col("_e"))
+        & (pts >= F.col("_valid_from"))
+        & (F.col("_valid_to").isNull() | (pts < F.col("_valid_to")))
+    )
+    return probes.join(right, cond, "left").select(
+        *[F.col(c) for c in probes.columns], *[F.col(c) for c in keep]
+    )

@@ -597,6 +597,40 @@ def q_asof_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("asof_interval_grid", _ASOF_ORACLE, driver=False)
+def q_asof_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 as-of, THIRD physical strategy (serving path): the snapshot
+    is compiled once into validity intervals (asof.snapshot_intervals —
+    one lead window, paid at snapshot time) and each probe answers via
+    an equi+range LEFT join (asof.asof_join_intervals). The identical
+    code path serves streaming probes (streaming.stream_asof_serve,
+    stream-static join; stream ≡ batch pytest-pinned). Same DuckDB
+    native-ASOF oracle as the union-tag strategy — three independent
+    implementations of one semantic."""
+    from sparkfeat.asof import asof_join_intervals, snapshot_intervals
+
+    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    spans = sig.groupBy("conv_id").agg(
+        (
+            F.unix_micros(F.min("ts").cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp")) % 3_600_000_000
+        ).alias("_h0"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("_mx"),
+    )
+    probes = spans.select(
+        "conv_id",
+        F.explode(F.sequence(F.col("_h0"), F.col("_mx"), F.lit(3_600_000_000))).alias("_us"),
+    ).select("conv_id", F.timestamp_micros(F.col("_us")).alias("probe_ts"))
+    iv = snapshot_intervals(sig, ["text_len", "turn_idx"])
+    out = asof_join_intervals(probes, iv, ["text_len", "turn_idx"])
+    return out.select(
+        "conv_id",
+        "probe_ts",
+        _r(F.col("text_len")).alias("asof_text_len"),
+        F.col("turn_idx").cast("double").alias("asof_turn"),
+    )
+
+
 _CONFIG_ORACLE = f"""{_SIG_CTE},
 lagged AS (
     SELECT *,

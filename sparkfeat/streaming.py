@@ -382,3 +382,41 @@ def stream_preference_pairs(
     return stream.groupBy(entity_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_asof_serve(
+    probe_stream: DataFrame,
+    intervals: DataFrame,
+    value_cols: list[str],
+    entity_col: str = "conv_id",
+    probe_ts: str = "probe_ts",
+    broadcast: bool = False,
+) -> DataFrame:
+    """Point-in-time feature SERVING on a live probe stream: each
+    incoming ``(entity, probe_ts)`` is answered with the snapshot's
+    last observation at-or-before it — the flagship as-of join
+    (asof.asof_join) in streaming form, against a FROZEN
+    ``asof.snapshot_intervals`` table. This is the training/serving
+    symmetry gate in the other direction: the serving path answers
+    with literally the same join algebra the training path was built
+    from (pytest pins stream ≡ batch ≡ union-tag sort-merge).
+
+    Implementation: a stream-static LEFT join — each probe lands in at
+    most one validity interval per entity, so the result is
+    row-preserving (probes before the first observation emit nulls),
+    stateless, and watermark-free: no stream-stream range state, no
+    late-data loss. The static side is re-planned per micro-batch —
+    ``.persist()`` the interval table for hot serving, write it
+    bucketed by ``entity_col`` so the per-batch join co-locates, or
+    pass ``broadcast=True`` when the snapshot is dim-sized (the probe
+    stream then never shuffles at all)."""
+    from sparkfeat.asof import asof_join_intervals
+
+    return asof_join_intervals(
+        probe_stream,
+        intervals,
+        value_cols,
+        entity_col=entity_col,
+        probe_ts=probe_ts,
+        broadcast=broadcast,
+    )
