@@ -5075,6 +5075,54 @@ def q_resequence_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Embedding PCA / whitening (late round 5 — pytest-oracle slots; the
+# driver-50 is frozen mid-round, the rotation overlay below applies the
+# policy next round)
+# ---------------------------------------------------------------------------
+
+_COV_ORACLE = """WITH x AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS xi
+    FROM embeddings
+)
+SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+       ROUND(covar_pop(a.xi, b.xi), 6) AS cov
+FROM x a JOIN x b ON a.vec_id = b.vec_id
+GROUP BY 1, 2"""
+
+
+@register("embedding_covariance", _COV_ORACLE, driver=False)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance of the 64-dim embedding corpus, long form
+    (d² rows) — the Arrow partial-moment production path (O(d²) state
+    per task, one data pass); the expr twin is pytest-pinned equal and
+    the DuckDB oracle replays `covar_pop` over the unnested pairs."""
+    from sparkfeat.pca import covariance_long
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = covariance_long(emb, "embedding", method="arrow")
+    return out.select("i", "j", _r(F.col("cov")).alias("cov"))
+
+
+@register("embedding_pca_whiten", None, driver=False)
+def q_embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitened projection (k=8) of every embedding — rows-only slot
+    (the eigendecomposition is not SQL-expressible); the numeric
+    guarantees (matches numpy eigh, per-component unit variance,
+    orthonormal sign-pinned components) are pytest-pinned in
+    tests/test_pca.py."""
+    from sparkfeat.pca import pca_fit, pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fit = pca_fit(emb, k=8)
+    out = pca_project(emb, fit, out_col="pca", whiten=True)
+    return out.select(
+        "vec_id", *[F.round(F.col("pca")[c], 6).alias(f"pc{c}") for c in range(8)]
+    )
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
