@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     # probes answered by equi+range join (the serving path; also the
     # stream-static join code path)
     "asof_interval_grid",
+    # embedding PCA: one Arrow moment pass (O(d²) task state) + eigh +
+    # broadcast zip_with projection — times fit AND whiten-project
+    "embedding_pca_whiten",
 ]
 
 

@@ -51,7 +51,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["moments_row", "covariance_long", "pca_fit", "pca_project"]
+__all__ = [
+    "moments_row",
+    "covariance_long",
+    "correlation_long",
+    "pca_fit",
+    "pca_project",
+    "pca_inverse",
+]
 
 
 def _partial_moments(vec_col: str):
@@ -184,6 +191,37 @@ def covariance_long(
     )
 
 
+def correlation_long(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pearson correlation matrix of the vector column, long form
+    ``(i int, j int, corr double)`` — the scale-free twin of
+    :func:`covariance_long`, same single-scan shape: every cell's five
+    ingredients (Σxᵢxⱼ, Σxᵢ, Σxᵢ², Σxⱼ, Σxⱼ²) are ``element_at``
+    lookups on the ONE moment row, so the corpus is read exactly once
+    and nothing joins. Population and sample correlation are the same
+    number (the n/(n−1) factors cancel), so engines that only expose
+    sample ``corr()`` (DuckDB) replay it exactly. A zero-variance
+    dimension yields NULL (matching SQL ``corr``), never a NaN from
+    0/0."""
+    one = moments_row(df, vec_col)
+    d = F.size("s").cast("long")
+    ex = one.select(
+        "n", "s", "ss", F.posexplode("ss").alias("idx", "sxy"), d.alias("d")
+    )
+    i = (F.col("idx") / F.col("d")).cast("int")
+    j = (F.col("idx") % F.col("d")).cast("int")
+    n = F.col("n")
+    si = F.element_at("s", i + 1)
+    sj = F.element_at("s", j + 1)
+    # diagonal entries of the flattened ss: row-major cell (k, k) = k·d+k
+    sii = F.element_at("ss", (i.cast("long") * F.col("d") + i).cast("int") + 1)
+    sjj = F.element_at("ss", (j.cast("long") * F.col("d") + j).cast("int") + 1)
+    cov = F.col("sxy") - si * sj / n
+    vi = sii - si * si / n
+    vj = sjj - sj * sj / n
+    corr = F.when((vi > 0) & (vj > 0), cov / F.sqrt(vi * vj))
+    return ex.select(i.alias("i"), j.alias("j"), corr.alias("corr"))
+
+
 def pca_fit(
     df: DataFrame, vec_col: str = "embedding", k: int = 8, method: str = "arrow"
 ) -> DataFrame:
@@ -284,5 +322,50 @@ def pca_project(
         ),
     )
     return df.crossJoin(F.broadcast(packed)).withColumn(out_col, proj).drop(
+        "_comps", "_mu"
+    )
+
+
+def pca_inverse(
+    df: DataFrame,
+    fit: DataFrame,
+    proj_col: str = "pca",
+    out_col: str = "recon",
+    whiten: bool = False,
+) -> DataFrame:
+    """Reconstruct vectors from their projection — the inverse-apply
+    half of the fit/apply/inverse discipline (`normalize.py`'s N6
+    declassify applied to PCA): x̂ = μ + Σ_c z_c·√λ_c·w_c (whitened
+    input) or μ + Σ_c z_c·w_c. Same execution shape as
+    :func:`pca_project` — broadcast k-row artifact, one `zip_with`
+    fold per row, pure JVM expressions, no Python. Pass the SAME
+    ``whiten`` the projection used; a zero-variance component
+    contributes 0 either way (its z is 0 by construction). With k = d
+    the round trip is the identity (pytest-pinned); with k < d the
+    residual is the tail eigenvalue mass — the compression-error
+    audit `embedding_pca_recon_error` reports."""
+    packed = fit.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("component", "eigval", "weights"))).alias(
+            "_comps"
+        ),
+        F.first("mu").alias("_mu"),
+    )
+    recon = F.aggregate(
+        F.zip_with(
+            F.col("_comps"),
+            F.col(proj_col).cast("array<double>"),
+            lambda c, z: F.struct(
+                c["eigval"].alias("e"), c["weights"].alias("w"), z.alias("z")
+            ),
+        ),
+        F.col("_mu"),
+        lambda acc, cz: F.zip_with(
+            acc,
+            cz["w"],
+            lambda a, w: a
+            + w * cz["z"] * (F.sqrt(cz["e"]) if whiten else F.lit(1.0)),
+        ),
+    )
+    return df.crossJoin(F.broadcast(packed)).withColumn(out_col, recon).drop(
         "_comps", "_mu"
     )

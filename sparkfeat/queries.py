@@ -5123,6 +5123,70 @@ def q_embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FEATURE_CORR_ORACLE = f"""{_SIG_CTE},
+w8 AS (
+    SELECT conv_id, turn_idx,
+        COUNT(*) OVER ({_W} ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS n_in_win,
+        list(text_len) OVER ({_W} ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win
+    FROM sig
+),
+x AS (
+    SELECT conv_id, turn_idx,
+           generate_subscripts(win, 1) - 1 AS i,
+           CAST(unnest(win) AS DOUBLE) AS xi
+    FROM w8 WHERE n_in_win = 8
+)
+SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+       ROUND(corr(a.xi, b.xi), 6) AS corr
+FROM x a JOIN x b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+GROUP BY 1, 2"""
+
+
+@register("embedding_pca_recon_error", None, driver=False)
+def q_embedding_pca_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PCA compression-error audit: project to k=8, invert,
+    report the reconstruction MSE — the number a curation pipeline
+    checks before swapping raw embeddings for compressed ones.
+    Rows-only slot (eigh); the numeric guarantees (k=d round trip is
+    the identity, mean MSE == tail eigenvalue mass) are pytest-pinned
+    in tests/test_pca.py."""
+    from sparkfeat.pca import pca_fit, pca_inverse, pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fit = pca_fit(emb, k=8)
+    proj = pca_project(emb, fit, out_col="pca", whiten=True)
+    rec = pca_inverse(proj, fit, proj_col="pca", out_col="recon", whiten=True)
+    v = F.col("embedding").cast("array<double>")
+    sqerr = F.aggregate(
+        F.zip_with(v, F.col("recon"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return rec.select(
+        "vec_id", _r(sqerr / F.size("recon")).alias("recon_mse")
+    )
+
+
+@register("feature_corr_matrix", _FEATURE_CORR_ORACLE, driver=False)
+def q_feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lag correlation structure of the assembled training
+    vectors: Pearson corr matrix (8×8, long form) over the trailing-8
+    text_len windows from J6's `assemble_vectors` — the autocorrelation
+    audit a feature pipeline runs before whitening model inputs. Same
+    one-scan moment shape as embedding_covariance (every corr cell is
+    element_at algebra on the ONE moment row); the oracle replays the
+    window assembly and SQL `corr` (≡ population correlation — the
+    n/(n−1) factors cancel). text_len is integer-valued, so the
+    float32 vector cast is exact on both engines."""
+    from sparkfeat.assemble import assemble_vectors
+    from sparkfeat.pca import correlation_long
+
+    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    vec = assemble_vectors(sig, ["text_len"], length=8)
+    out = correlation_long(vec, "text_len_vec")
+    return out.select("i", "j", _r(F.col("corr")).alias("corr"))
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,

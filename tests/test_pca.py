@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from sparkfeat.pca import covariance_long, pca_fit, pca_project
+from sparkfeat.pca import correlation_long, covariance_long, pca_fit, pca_project
 
 
 @pytest.fixture(scope="module")
@@ -137,6 +137,86 @@ def test_whiten_zero_variance_component_stays_zero(spark):
     assert np.isfinite(out).all()
     ev = fit.toPandas().sort_values("component")["eigval"].to_numpy()
     np.testing.assert_allclose(out[:, ev <= 1e-12], 0.0, atol=1e-9)
+
+
+def test_correlation_matches_numpy_corrcoef(emb, emb_np):
+    pdf = correlation_long(emb).toPandas()
+    d = int(pdf["i"].max()) + 1
+    got = np.zeros((d, d))
+    got[pdf["i"].to_numpy(), pdf["j"].to_numpy()] = pdf["corr"].to_numpy()
+    want = np.corrcoef(emb_np, rowvar=False)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.diag(got), np.ones(d), atol=1e-12)
+
+
+def test_correlation_zero_variance_dim_is_null(spark):
+    rows = [([float(i), 5.0],) for i in range(10)]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    pdf = correlation_long(df).toPandas()
+    const = pdf[(pdf["i"] == 1) | (pdf["j"] == 1)]
+    assert const["corr"].isna().all()
+    assert pdf[(pdf["i"] == 0) & (pdf["j"] == 0)]["corr"].iloc[0] == 1.0
+
+
+def test_correlation_is_single_data_pass(emb):
+    plan = correlation_long(emb)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin"):
+        assert node not in plan, plan
+
+
+def test_inverse_full_rank_is_identity(emb, emb_np):
+    from sparkfeat.pca import pca_inverse
+
+    d = emb_np.shape[1]
+    for whiten in (False, True):
+        fit = pca_fit(emb, k=d)
+        proj = pca_project(emb, fit, out_col="pca", whiten=whiten)
+        rec = (
+            pca_inverse(proj, fit, proj_col="pca", out_col="recon", whiten=whiten)
+            .select("vec_id", "recon")
+            .toPandas()
+            .sort_values("vec_id")
+        )
+        np.testing.assert_allclose(
+            np.stack(rec["recon"].to_numpy()), emb_np, rtol=1e-7, atol=1e-8
+        )
+
+
+def test_inverse_truncated_mse_equals_tail_eigenmass(emb, emb_np):
+    from sparkfeat.pca import pca_inverse
+
+    k = 8
+    fit = pca_fit(emb, k=k)
+    proj = pca_project(emb, fit, out_col="pca", whiten=True)
+    rec = (
+        pca_inverse(proj, fit, proj_col="pca", out_col="recon", whiten=True)
+        .select("vec_id", "recon")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    got = np.stack(rec["recon"].to_numpy())
+    # mean squared residual over all vectors == sum of dropped eigvals / d
+    cov = np.cov(emb_np, rowvar=False, ddof=0)
+    evals = np.sort(np.linalg.eigh(cov)[0])[::-1]
+    want_mse = evals[k:].sum() / emb_np.shape[1]
+    got_mse = ((emb_np - got) ** 2).sum(axis=1).mean() / emb_np.shape[1]
+    np.testing.assert_allclose(got_mse, want_mse, rtol=1e-9)
+
+
+def test_inverse_plan_is_broadcast_jvm_only(emb):
+    from sparkfeat.pca import pca_inverse
+
+    fit = pca_fit(emb, k=2)
+    proj = pca_project(emb, fit, out_col="pca")
+    plan = (
+        pca_inverse(proj, fit, proj_col="pca")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
 
 
 def test_covariance_ignores_null_vectors(spark, emb):
