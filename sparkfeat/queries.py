@@ -5142,6 +5142,59 @@ FROM x a JOIN x b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
 GROUP BY 1, 2"""
 
 
+_QUANT_ORACLE = """WITH e AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, MAX(ABS(x)) / 127.0 AS scale FROM e GROUP BY vec_id
+),
+q AS (
+    SELECT e.vec_id, e.x,
+           CAST(ROUND(e.x / s.scale) AS INT) * s.scale AS dq
+    FROM e JOIN s USING (vec_id)
+    WHERE s.scale > 0
+),
+agg AS (
+    SELECT vec_id,
+           SUM(x * dq) AS dot,
+           SQRT(SUM(x * x)) AS nv,
+           SQRT(SUM(dq * dq)) AS nq,
+           MAX(ABS(x - dq)) AS maxerr
+    FROM q GROUP BY vec_id
+)
+SELECT a.vec_id,
+       ROUND(s.scale, 6) AS scale,
+       ROUND(a.dot / (a.nv * a.nq), 6) AS cos_sim,
+       ROUND(a.maxerr, 6) AS max_abs_err
+FROM agg a JOIN s USING (vec_id)"""
+
+
+@register("embedding_quantize_audit", _QUANT_ORACLE, driver=False)
+def q_embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization round-trip audit — the gate before
+    serving a 4×-smaller ANN index: per vector, the dequantized-vs-
+    exact cosine and the max element error (≤ scale/2 by
+    construction). Map-only expression work that fuses into the scan;
+    the oracle replays scale, ties-away-from-zero rounding, dequant
+    and the cosine from the unnested elements. Every element-level
+    double (scale, dq, |x−dq|) is bit-identical on both engines —
+    only the final sums differ by accumulation order, far inside the
+    6-dp round."""
+    from sparkfeat.similarity import quantize_audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = quantize_audit(emb, "vec_id", "embedding")
+    return out.select(
+        "vec_id",
+        _r(F.col("scale")).alias("scale"),
+        _r(F.col("cos_sim")).alias("cos_sim"),
+        _r(F.col("max_abs_err")).alias("max_abs_err"),
+    )
+
+
 @register("embedding_pca_recon_error", None, driver=False)
 def q_embedding_pca_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector PCA compression-error audit: project to k=8, invert,

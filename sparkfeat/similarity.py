@@ -520,3 +520,47 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select(probe_id, id_col, "cosine", "rk")
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column:
+    ``scale = max|x| / 127``, ``q_i = round(x_i / scale)`` (ties away
+    from zero — Spark ROUND ≡ SQL ROUND, engine-replayable) stored as
+    ``array<tinyint>`` — 4× smaller than float32, the standard memory
+    lever for serving a 10⁹-vector ANN index from RAM. Pure expression
+    work (transform/array_max), map-only, fuses into the scan; the
+    audit columns a pipeline gates on before switching the index over —
+    dequantized cosine vs the exact vector and the max absolute
+    element error (≤ scale/2 by construction, pytest-pinned) — come
+    from :func:`quantize_audit`. Zero vectors (scale 0) keep a null
+    ``q`` rather than poisoning a division."""
+    v = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.round(x / scale, 0).cast("tinyint")),
+    )
+    return df.select(
+        F.col(id_col), scale.alias("scale"), q.alias("q"), F.col(vec_col)
+    )
+
+
+def quantize_audit(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 round-trip audit: dequantized-vs-exact cosine
+    and max absolute element error. One projection over
+    :func:`quantize_int8` — still map-only, no shuffle."""
+    qd = quantize_int8(df, id_col, vec_col)
+    v = _as_double(F.col(vec_col))
+    dq = F.transform(F.col("q"), lambda qi: qi.cast("double") * F.col("scale"))
+    err = F.array_max(F.zip_with(v, dq, lambda a, b: F.abs(a - b)))
+    return qd.select(
+        id_col,
+        "scale",
+        (_dot(v, dq) / (_norm(v) * _norm(dq))).alias("cos_sim"),
+        err.alias("max_abs_err"),
+    )

@@ -618,3 +618,44 @@ def test_kmeans_beats_seed_on_clustered_corpus(spark, sf_dir):
     r_km = recall(kmeans_centroids(cl, 16, n_iter=3))
     assert r_km >= r_seed, (r_km, r_seed)
     assert r_km >= 0.95, r_km
+
+
+def test_quantize_int8_roundtrip_and_bound(spark, emb, emb_np):
+    from sparkfeat.similarity import quantize_audit, quantize_int8
+
+    ids, mat = emb_np
+    qd = quantize_int8(emb).toPandas().sort_values("vec_id")
+    scale = np.abs(mat).max(axis=1) / 127.0
+    np.testing.assert_allclose(qd["scale"].to_numpy(), scale, rtol=1e-7)
+    q = np.stack(qd["q"].to_numpy()).astype(np.float64)
+    assert np.abs(q).max() <= 127
+    # dtype is the real memory lever: int8 elements, 4x under float32
+    assert qd["q"].iloc[0].dtype == np.int8
+    # numpy rounds half-to-even vs Spark half-away — compare off-tie
+    diff = np.abs(q - mat / scale[:, None])
+    assert (diff <= 0.5 + 1e-9).all()
+    audit = quantize_audit(emb).toPandas().sort_values("vec_id")
+    # max element error bounded by half a quantization step
+    assert (
+        audit["max_abs_err"].to_numpy() <= scale / 2.0 + 1e-12
+    ).all()
+    assert (audit["cos_sim"].to_numpy() > 0.999).all()
+
+
+def test_quantize_int8_zero_vector_null(spark):
+    from sparkfeat.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, -2.0])], "vec_id long, embedding array<double>"
+    )
+    out = quantize_int8(df).toPandas().sort_values("vec_id")
+    assert out["q"].iloc[0] is None
+    assert list(out["q"].iloc[1]) == [64, -127]
+
+
+def test_quantize_audit_plan_is_map_only(emb):
+    from sparkfeat.similarity import quantize_audit
+
+    plan = quantize_audit(emb)._jdf.queryExecution().executedPlan().toString()
+    for node in ("Exchange", "SortMergeJoin", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
