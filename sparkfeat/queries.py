@@ -5142,6 +5142,53 @@ FROM x a JOIN x b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
 GROUP BY 1, 2"""
 
 
+_IVF_QUANT_ORACLE = (
+    """WITH raw AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+sc AS (
+    SELECT vec_id, MAX(ABS(x)) / 127.0 AS scale FROM raw GROUP BY vec_id
+),
+c AS (
+    SELECT raw.vec_id,
+           list(CAST(ROUND(raw.x / sc.scale) AS INT) * sc.scale
+                ORDER BY raw.i) AS v
+    FROM raw JOIN sc USING (vec_id) GROUP BY raw.vec_id
+),
+"""
+    + _IVF_ORACLE.split("),\n", 1)[1]
+)
+
+
+@register("ann_ivf_quantized", _IVF_QUANT_ORACLE, driver=False)
+def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The int8-served ANN path: IVF top-k over DEQUANTIZED int8
+    vectors (corpus, centroids and probes all quantized — exactly what
+    an index serving from 4×-compressed RAM computes). Same
+    centroids/params as ann_ivf_topk; the oracle is the identical IVF
+    replay with its corpus CTE swapped for the quantize→dequantize
+    rebuild, so a green row pins the full quantized serving math
+    end-to-end (dequantized element doubles are bit-identical per
+    engine — see embedding_quantize_audit)."""
+    from sparkfeat.similarity import ivf_topk, quantize_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dq = quantize_int8(emb).select(
+        "vec_id",
+        F.transform("q", lambda qi: qi.cast("double") * F.col("scale")).alias(
+            "embedding"
+        ),
+    )
+    probes = dq.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = ivf_topk(dq, probes, k=5, n_centroids=16, nprobe=4)
+    return out.select("probe_id", "vec_id", _r(F.col("cosine")).alias("cosine"), "rk")
+
+
 _QUANT_ORACLE = """WITH e AS (
     SELECT vec_id,
            generate_subscripts(embedding, 1) AS i,

@@ -659,3 +659,32 @@ def test_quantize_audit_plan_is_map_only(emb):
     plan = quantize_audit(emb)._jdf.queryExecution().executedPlan().toString()
     for node in ("Exchange", "SortMergeJoin", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, plan
+
+
+def test_ivf_quantized_agrees_with_float_path(emb, emb_np):
+    from sparkfeat.similarity import ivf_topk, quantize_int8
+
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=4).toPandas()
+    dq = quantize_int8(emb).select(
+        "vec_id",
+        F.transform("q", lambda qi: qi.cast("double") * F.col("scale")).alias(
+            "embedding"
+        ),
+    )
+    qprobes = dq.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    quant = ivf_topk(dq, qprobes, k=5, n_centroids=16, nprobe=4).toPandas()
+    # int8 error (~scale/2 per element) must not reorder the retrieval:
+    # per-probe top-5 sets overlap >= 4/5, and cosines agree to ~1e-3
+    overlap = 0
+    for p in range(5):
+        a = set(exact[exact.probe_id == p]["vec_id"])
+        b = set(quant[quant.probe_id == p]["vec_id"])
+        overlap += len(a & b)
+    assert overlap >= 20, overlap
+    merged = exact.merge(quant, on=["probe_id", "vec_id"], suffixes=("_e", "_q"))
+    assert (merged["cosine_e"] - merged["cosine_q"]).abs().max() < 5e-3
