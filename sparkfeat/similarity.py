@@ -236,6 +236,7 @@ def build_ivf_index(
     kmeans_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> None:
     """Fit-and-persist the IVF index — the build/serve separation a
     production ANN deployment runs: centroids (tiny) and the
@@ -245,7 +246,12 @@ def build_ivf_index(
     broadcast probe-bucket set — at 10^9 vectors a search touches
     nprobe/C of the files, not nprobe/C of the rows of every file).
     ``kmeans_iters > 0`` refines the deterministic first-C seed with
-    distributed Lloyd rounds before assignment."""
+    distributed Lloyd rounds before assignment. ``quantize=True``
+    stores the normalized vectors int8 (per-vector symmetric scale —
+    8× smaller on disk/RAM than the double array; unit vectors never
+    have scale 0) and :func:`ivf_topk_index` dequantizes on read —
+    rank drift is bounded by the ≤ scale/2 element error
+    (pytest-pinned ≥4/5 top-5 agreement vs the float index)."""
     cents = (
         kmeans_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
         if kmeans_iters
@@ -260,6 +266,16 @@ def build_ivf_index(
             F.transform("_cv", lambda x: x / F.col("_cn")).alias("_cu"),
         )
     )
+    if quantize:
+        scale = F.array_max(F.transform("_cu", F.abs)) / F.lit(127.0)
+        assigned = assigned.select(
+            id_col,
+            "cent_id",
+            scale.alias("_scale"),
+            F.transform(
+                "_cu", lambda x: F.round(x / scale, 0).cast("tinyint")
+            ).alias("_q"),
+        )
     assigned.write.mode("overwrite").partitionBy("cent_id").parquet(
         f"{path}/assignments"
     )
@@ -283,6 +299,14 @@ def ivf_topk_index(
     with the same centroids (same pre-normalized dot)."""
     cents = spark.read.parquet(f"{path}/centroids")
     assigned = spark.read.parquet(f"{path}/assignments")
+    if "_q" in assigned.columns:  # int8-stored index: dequantize on read
+        assigned = assigned.select(
+            id_col,
+            "cent_id",
+            F.transform(
+                "_q", lambda qi: qi.cast("double") * F.col("_scale")
+            ).alias("_cu"),
+        )
 
     p = probes.select(F.col(probe_id), _as_double(F.col(vec_col)).alias("_pv"))
     probe_w = Window.partitionBy(probe_id).orderBy(

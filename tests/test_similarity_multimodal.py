@@ -688,3 +688,38 @@ def test_ivf_quantized_agrees_with_float_path(emb, emb_np):
     assert overlap >= 20, overlap
     merged = exact.merge(quant, on=["probe_id", "vec_id"], suffixes=("_e", "_q"))
     assert (merged["cosine_e"] - merged["cosine_q"]).abs().max() < 5e-3
+
+
+def test_ivf_index_int8_smaller_and_agrees(spark, emb, tmp_path):
+    import os
+
+    from sparkfeat.similarity import build_ivf_index, ivf_topk_index
+
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    fpath, qpath = str(tmp_path / "f"), str(tmp_path / "q")
+    build_ivf_index(emb, fpath, n_centroids=16)
+    build_ivf_index(emb, qpath, n_centroids=16, quantize=True)
+
+    def _bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(f"{p}/assignments")
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    # int8 + per-vector scale vs array<double>: well under half the bytes
+    assert _bytes(qpath) < 0.5 * _bytes(fpath), (_bytes(qpath), _bytes(fpath))
+
+    f = ivf_topk_index(spark, fpath, probes, k=5, nprobe=4).toPandas()
+    q = ivf_topk_index(spark, qpath, probes, k=5, nprobe=4).toPandas()
+    overlap = 0
+    for p in range(5):
+        overlap += len(
+            set(f[f.probe_id == p]["vec_id"]) & set(q[q.probe_id == p]["vec_id"])
+        )
+    assert overlap >= 20, overlap
+    merged = f.merge(q, on=["probe_id", "vec_id"], suffixes=("_f", "_q"))
+    assert (merged["cosine_f"] - merged["cosine_q"]).abs().max() < 5e-3
