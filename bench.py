@@ -156,6 +156,12 @@ def run_one(name: str) -> dict[str, list[float]]:
         serve = lambda: ivf_topk_index(spark, path, probes, k=5, nprobe=4)  # noqa: E731
         serve().write.format("noop").mode("overwrite").save()
         out["ann_ivf_serve"] = [_time_noop(serve()) for _ in range(3)]
+        # the int8-stored index (quantize=True): same serve, <0.5x the bytes
+        qpath = tempfile.mkdtemp(prefix="sparkfeat_ivf_bench_q_")
+        build_ivf_index(emb, qpath, n_centroids=16, quantize=True)
+        serve_q = lambda: ivf_topk_index(spark, qpath, probes, k=5, nprobe=4)  # noqa: E731
+        serve_q().write.format("noop").mode("overwrite").save()
+        out["ann_ivf_serve_int8"] = [_time_noop(serve_q()) for _ in range(3)]
 
     spark.stop()
     return out
