@@ -723,3 +723,13 @@ def test_ivf_index_int8_smaller_and_agrees(spark, emb, tmp_path):
     assert overlap >= 20, overlap
     merged = f.merge(q, on=["probe_id", "vec_id"], suffixes=("_f", "_q"))
     assert (merged["cosine_f"] - merged["cosine_q"]).abs().max() < 5e-3
+    # the int8 index keeps the partition-pruned serving plan
+    plan = (
+        ivf_topk_index(spark, qpath, probes, k=5, nprobe=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan, plan[
+        :2000
+    ]
