@@ -5189,6 +5189,63 @@ def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_id", "vec_id", _r(F.col("cosine")).alias("cosine"), "rk")
 
 
+_SRC_CROSS_ORACLE = _minhash_oracle().replace(
+    "SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5",
+    """, pairs AS (
+    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+),
+src AS (SELECT doc_id, source FROM documents)
+SELECT LEAST(a.source, b.source) AS source_a,
+       GREATEST(a.source, b.source) AS source_b,
+       COUNT(*) AS n_pairs,
+       ROUND(AVG(est_jaccard), 6) AS mean_est_jaccard
+FROM pairs p
+JOIN src a ON p.id_a = a.doc_id
+JOIN src b ON p.id_b = b.doc_id
+GROUP BY 1, 2""",
+)
+# the replace target is the MinHash oracle's final SELECT; if that
+# oracle changes shape, fail at import instead of shipping a
+# half-replaced oracle
+assert "pairs AS (" in _SRC_CROSS_ORACLE
+
+
+@register("dedup_source_crossrates", _SRC_CROSS_ORACLE, driver=False)
+def q_dedup_source_crossrates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate which: the MinHash near-dup pairs rolled
+    up to an unordered source×source matrix (pair count + mean
+    estimated Jaccard) — the crawl-snapshot provenance audit a corpus
+    curator reads before deciding which source to drop. The pair table
+    is the small side BY CONSTRUCTION (post-LSH survivors), so both
+    provenance lookups broadcast it against the column-pruned
+    (doc_id, source) scan — the 100 TB corpus is never shuffled. The
+    oracle extends the bit-exact MinHash replay with the same rollup."""
+    from sparkfeat.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, num_perm=64, bands=16, shingle_n=2).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    src = docs.select("doc_id", "source")
+    j = (
+        src.join(
+            F.broadcast(pairs), src["doc_id"] == pairs["id_a"], "inner"
+        )
+        .select("id_a", "id_b", "est_jaccard", F.col("source").alias("_sa"))
+        .alias("l")
+    )
+    j2 = src.join(F.broadcast(j), src["doc_id"] == j["id_b"], "inner").select(
+        "_sa", F.col("source").alias("_sb"), "est_jaccard"
+    )
+    return j2.groupBy(
+        F.least("_sa", "_sb").alias("source_a"),
+        F.greatest("_sa", "_sb").alias("source_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _r(F.avg("est_jaccard")).alias("mean_est_jaccard"),
+    )
+
+
 _QUANT_ORACLE = """WITH e AS (
     SELECT vec_id,
            generate_subscripts(embedding, 1) AS i,

@@ -655,3 +655,15 @@ def test_jaccard_positional_filter_is_lossless(spark, sf_dir):
             ).collect()
         }
         assert base == pos
+
+
+def test_source_crossrates_broadcasts_pairs(spark, sf_dir):
+    """The provenance rollup joins the (small) post-LSH pair table to
+    the corpus twice — both lookups must broadcast the pair side, never
+    shuffle the corpus scan."""
+    from sparkfeat.queries import EXTRA_QUERIES, QUERIES
+
+    fn = {**QUERIES, **EXTRA_QUERIES}["dedup_source_crossrates"]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "CartesianProduct" not in plan
