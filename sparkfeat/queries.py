@@ -5354,6 +5354,13 @@ def q_feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each @register call records the query's HOME group (primary vs twin);
 # this block applies the per-round overlay in one audited place.
 #
+# Round 6 staging (rule 2: new queries take priority IN): the round-5
+# late EXTRA registrations — conv_latency_stats, agent_curation_pairs,
+# embedding_covariance, embedding_pca_whiten, embedding_pca_recon_error,
+# feature_corr_matrix, embedding_quantize_audit, ann_ivf_quantized,
+# dedup_source_crossrates — have never held a driver slot and must
+# rotate IN next round, ceding multi-round-green untouched rows.
+#
 # Round 5 overlay: the entire round-4 out-group rotates IN (all 17 —
 # 15 were driver-green in r2/r3 with code untouched since; the two span
 # operators get their first driver row); 17 queries that are driver-green
