@@ -212,3 +212,75 @@ def test_apply_bins_matches_np_histogram(spark, vals, nbins, probes):
         else:
             h, _ = np.histogram([v], edges_want)
             assert got[i] == int(np.argmax(h)), (v, edges_want.tolist())
+
+
+@st.composite
+def _vector_batch(draw):
+    d = draw(st.integers(min_value=1, max_value=6))
+    n = draw(st.integers(min_value=1, max_value=8))
+    vals = draw(
+        st.lists(
+            st.lists(
+                st.floats(
+                    min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+                ),
+                min_size=d,
+                max_size=d,
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return vals
+
+
+@given(vecs=_vector_batch())
+@settings(**SETTINGS)
+def test_quantize_int8_error_bound_property(spark, vecs):
+    """For ANY float vector (negatives, zeros, huge/tiny magnitudes):
+    q fits in int8, dequantization error per element is <= scale/2, and
+    an all-zero vector quantizes to null rather than dividing by 0."""
+    from sparkfeat.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = quantize_int8(df).toPandas().sort_values("vec_id")
+    for row, v in zip(out.itertuples(), vecs):
+        arr = np.asarray(v, dtype=np.float64)
+        amax = np.abs(arr).max()
+        if amax == 0:
+            assert row.q is None
+            continue
+        scale = amax / 127.0
+        q = np.asarray(row.q, dtype=np.float64)
+        assert np.abs(q).max() <= 127
+        assert np.abs(arr - q * scale).max() <= scale / 2 * (1 + 1e-12)
+
+
+@given(vecs=_vector_batch())
+@settings(**SETTINGS)
+def test_pca_roundtrip_property(spark, vecs):
+    """Full-rank PCA fit->project->inverse reconstructs ANY corpus
+    (degenerate dims, single rows, constant columns included) to
+    numerical identity."""
+    from sparkfeat.pca import pca_fit, pca_inverse, pca_project
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    d = len(vecs[0])
+    fit = pca_fit(df, k=d)
+    proj = pca_project(df, fit, out_col="p")
+    rec = (
+        pca_inverse(proj, fit, proj_col="p", out_col="r")
+        .select("vec_id", "r")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    got = np.stack(rec["r"].to_numpy())
+    want = np.asarray(vecs, dtype=np.float64)
+    scale = max(1.0, np.abs(want).max())
+    assert np.abs(got - want).max() <= 1e-7 * scale
