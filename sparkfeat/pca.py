@@ -53,6 +53,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "moments_row",
+    "grouped_moments",
+    "embedding_drift_stats",
     "covariance_long",
     "correlation_long",
     "pca_fit",
@@ -123,6 +125,109 @@ def moments_row(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             _fold_arrays(F.collect_list("ss")).alias("ss"),
         )
         .where(F.col("n").isNotNull())
+    )
+
+
+def _partial_moments_grouped(vec_col: str, group_col: str):
+    """Grouped twin of :func:`_partial_moments`: one output row per
+    (partition, group). Task state is O(groups × d²) — built for
+    LOW-cardinality slice keys (ref/cur, train/val), not per-entity
+    grouping."""
+
+    def gen(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby(group_col, dropna=False):
+                col = sub[vec_col].dropna()
+                if not len(col):
+                    continue
+                m = np.stack(col.to_numpy()).astype(np.float64, copy=False)
+                a = acc.get(g)
+                if a is None:
+                    acc[g] = [m.shape[0], m.sum(axis=0), m.T @ m]
+                else:
+                    a[0] += m.shape[0]
+                    a[1] += m.sum(axis=0)
+                    a[2] += m.T @ m
+        if acc:
+            yield pd.DataFrame(
+                {
+                    group_col: list(acc.keys()),
+                    "n": [a[0] for a in acc.values()],
+                    "s": [a[1].tolist() for a in acc.values()],
+                    "ss": [a[2].ravel().tolist() for a in acc.values()],
+                }
+            )
+
+    return gen
+
+
+def grouped_moments(
+    df: DataFrame, vec_col: str = "embedding", group_col: str = "_g"
+) -> DataFrame:
+    """Per-group moment aggregate ``(group, n, s, ss)`` — one data
+    pass, one row per group. The shuffle moves ≤ partitions × groups
+    moment rows (KiBs), never vectors."""
+    p = df.select(group_col, vec_col).mapInPandas(
+        _partial_moments_grouped(vec_col, group_col),
+        f"{group_col} string, n long, s array<double>, ss array<double>",
+    )
+    return p.groupBy(group_col).agg(
+        F.sum("n").alias("n"),
+        _fold_arrays(F.collect_list("s")).alias("s"),
+        _fold_arrays(F.collect_list("ss")).alias("ss"),
+    )
+
+
+def embedding_drift_stats(
+    ref: DataFrame, cur: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-distribution drift between a reference corpus slice
+    and a current one — the vector-space twin of ``drift.py``'s scalar
+    feature monitors (a retraining pipeline checks this before trusting
+    a new crawl's embeddings): per dimension, both means and population
+    variances, the absolute mean shift, and the var_cur/var_ref ratio
+    (NULL when the reference dimension is degenerate). ONE pass over
+    the union (slices tagged in-plan, grouped Arrow moment kernel),
+    then the per-dim stats pivot out of the two moment rows as pure
+    expressions — no self-join, no second scan."""
+    tagged = ref.select(F.lit("ref").alias("_g"), F.col(vec_col)).unionByName(
+        cur.select(F.lit("cur").alias("_g"), F.col(vec_col))
+    )
+    m = grouped_moments(tagged, vec_col, "_g")
+    d = F.size("s").cast("int")
+    per = m.select(
+        "_g",
+        "n",
+        F.posexplode("s").alias("i", "si"),
+        F.col("ss"),
+        d.alias("d"),
+    ).select(
+        "_g",
+        "i",
+        (F.col("si") / F.col("n")).alias("mean"),
+        (
+            F.element_at("ss", F.col("i") * F.col("d") + F.col("i") + 1)
+            / F.col("n")
+            - (F.col("si") / F.col("n")) * (F.col("si") / F.col("n"))
+        ).alias("var"),
+    )
+    agg = per.groupBy("i").agg(
+        F.max(F.when(F.col("_g") == "ref", F.col("mean"))).alias("mean_ref"),
+        F.max(F.when(F.col("_g") == "cur", F.col("mean"))).alias("mean_cur"),
+        F.max(F.when(F.col("_g") == "ref", F.col("var"))).alias("var_ref"),
+        F.max(F.when(F.col("_g") == "cur", F.col("var"))).alias("var_cur"),
+    )
+    return agg.select(
+        "i",
+        "mean_ref",
+        "mean_cur",
+        F.abs(F.col("mean_cur") - F.col("mean_ref")).alias("mean_shift"),
+        "var_ref",
+        "var_cur",
+        F.when(F.col("var_ref") > 0, F.col("var_cur") / F.col("var_ref")).alias(
+            "var_ratio"
+        ),
     )
 
 

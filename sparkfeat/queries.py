@@ -5246,6 +5246,69 @@ def q_dedup_source_crossrates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_DRIFT_ORACLE = f"""WITH e AS (
+    SELECT vec_id,
+           CASE WHEN {_hex_bucket_sql("vec_id", 25, 100)} < 80
+                THEN 'ref' ELSE 'cur' END AS g,
+           generate_subscripts(embedding, 1) - 1 AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+per AS (
+    SELECT g, CAST(i AS INT) AS i, AVG(x) AS mean, var_pop(x) AS var
+    FROM e GROUP BY 1, 2
+),
+piv AS (
+    SELECT i,
+        MAX(CASE WHEN g = 'ref' THEN mean END) AS mean_ref,
+        MAX(CASE WHEN g = 'cur' THEN mean END) AS mean_cur,
+        MAX(CASE WHEN g = 'ref' THEN var END) AS var_ref,
+        MAX(CASE WHEN g = 'cur' THEN var END) AS var_cur
+    FROM per GROUP BY 1
+)
+SELECT i,
+    ROUND(mean_ref, 6) AS mean_ref,
+    ROUND(mean_cur, 6) AS mean_cur,
+    ROUND(ABS(mean_cur - mean_ref), 6) AS mean_shift,
+    ROUND(var_ref, 6) AS var_ref,
+    ROUND(var_cur, 6) AS var_cur,
+    ROUND(CASE WHEN var_ref > 0 THEN var_cur / var_ref END, 6) AS var_ratio
+FROM piv"""
+
+
+@register("embedding_drift", _EMB_DRIFT_ORACLE, driver=False)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift audit: per-dimension mean shift and
+    population-variance ratio between an 80% reference md5-bucket slice
+    and the 20% 'new crawl' slice — the vector-space companion to the
+    scalar drift monitors. ONE union pass (grouped Arrow moment
+    kernel, O(slices×d²) task state), stats pivot out of the two
+    moment rows in-plan; the oracle replays slice tagging, AVG and
+    var_pop per (slice, dim) and the same pivot."""
+    from sparkfeat.corpus import hash_bucket
+    from sparkfeat.pca import embedding_drift_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = hash_bucket("vec_id", start=25, buckets=100)
+    out = embedding_drift_stats(
+        emb.filter(b < 80), emb.filter(b >= 80), "embedding"
+    )
+    return out.select(
+        "i",
+        *[
+            _r(F.col(c)).alias(c)
+            for c in (
+                "mean_ref",
+                "mean_cur",
+                "mean_shift",
+                "var_ref",
+                "var_cur",
+                "var_ratio",
+            )
+        ],
+    )
+
+
 _QUANT_ORACLE = """WITH e AS (
     SELECT vec_id,
            generate_subscripts(embedding, 1) AS i,

@@ -228,3 +228,57 @@ def test_covariance_ignores_null_vectors(spark, emb):
     np.testing.assert_allclose(a, b, rtol=1e-12)
     e = _cov_matrix(covariance_long(with_null, method="expr"))
     np.testing.assert_allclose(e, b, rtol=1e-9, atol=1e-12)
+
+
+def test_grouped_moments_equal_per_slice_moments(spark, emb):
+    from sparkfeat.pca import grouped_moments, moments_row
+
+    tagged = emb.withColumn(
+        "_g", F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b")
+    )
+    got = {
+        r["_g"]: r
+        for r in grouped_moments(tagged, "embedding", "_g").collect()
+    }
+    for g, pred in (("a", F.col("vec_id") % 2 == 0), ("b", F.col("vec_id") % 2 != 0)):
+        want = moments_row(emb.filter(pred), "embedding").collect()[0]
+        assert got[g]["n"] == want["n"]
+        np.testing.assert_allclose(got[g]["s"], want["s"], rtol=1e-12)
+        np.testing.assert_allclose(got[g]["ss"], want["ss"], rtol=1e-12)
+
+
+def test_embedding_drift_stats_match_numpy(spark, emb, emb_np):
+    from sparkfeat.pca import embedding_drift_stats
+
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 != 0)
+    pdf = embedding_drift_stats(ref, cur).toPandas().sort_values("i")
+    mat = emb_np  # emb_np is already vec_id-sorted
+    mref, mcur = mat[::2], mat[1::2]
+    np.testing.assert_allclose(pdf["mean_ref"], mref.mean(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(pdf["mean_cur"], mcur.mean(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(pdf["var_ref"], mref.var(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(
+        pdf["var_ratio"], mcur.var(axis=0) / mref.var(axis=0), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        pdf["mean_shift"], np.abs(mcur.mean(axis=0) - mref.mean(axis=0)), atol=1e-12
+    )
+
+
+def test_embedding_drift_is_single_pass_no_join(emb):
+    from sparkfeat.pca import embedding_drift_stats
+
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 != 0)
+    plan = (
+        embedding_drift_stats(ref, cur)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # two filtered branches of one cached-free union: each side scans
+    # once, the pivot is an aggregate — never a self-join on the moments
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
