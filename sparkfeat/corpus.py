@@ -717,3 +717,45 @@ def chunk_documents(
             " ", F.slice("_tk", F.col("_s") + 1, F.col("_e") - F.col("_s"))
         ).alias("chunk_text"),
     )
+
+
+def eval_sample(
+    docs: DataFrame,
+    k: int = 50,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "0",
+    shards: int = 32,
+) -> DataFrame:
+    """Deterministic EXACT-k per-group sample — eval-set construction
+    wants exactly k docs per language/domain, not a rate (the
+    hash-rate samplers `sample_split`/`mixture_sample` give binomial
+    counts). Order is md5(seed‖id) with id tie-break: membership is a
+    pure function of (seed, id, the group's k smallest keys) — same
+    seed replays identically on any cluster, a grown corpus only
+    swaps members whose keys enter the bottom-k.
+
+    Scale shape: exact top-k-per-group via the two-phase rank
+    (`search.bm25_topk`'s move) — a per-(group, hash-shard) window
+    prunes to k, then the global per-group window ranks only the
+    ≤ shards×k survivors, so no single task ever sees a whole group
+    (the 10⁹-doc 'en' group never lands in one window partition)."""
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    base = docs.select(group_col, id_col).withColumn("_key", key)
+    order = [F.col("_key").asc(), F.col(id_col).asc()]
+    local = Window.partitionBy(
+        group_col, F.pmod(F.hash(F.col(id_col)), F.lit(shards))
+    ).orderBy(*order)
+    pruned = base.withColumn("_lr", F.row_number().over(local)).filter(
+        F.col("_lr") <= k
+    )
+    final = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        pruned.withColumn("sample_rank", F.row_number().over(final))
+        .filter(F.col("sample_rank") <= k)
+        .select(
+            group_col,
+            id_col,
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+    )

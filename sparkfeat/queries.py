@@ -5246,6 +5246,34 @@ def q_dedup_source_crossrates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVAL_SAMPLE_ORACLE = """WITH keyed AS (
+    SELECT lang, doc_id,
+           md5('0' || ':' || CAST(doc_id AS VARCHAR)) AS key
+    FROM documents
+),
+r AS (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key, doc_id)
+               AS sample_rank
+    FROM keyed
+)
+SELECT lang, doc_id, CAST(sample_rank AS INT) AS sample_rank
+FROM r WHERE sample_rank <= 25"""
+
+
+@register("corpus_eval_sample", _EVAL_SAMPLE_ORACLE, driver=False)
+def q_corpus_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-25-per-language eval sample: md5(seed:id)
+    order, two-phase per-group top-k (no single-task window over a
+    whole language). The oracle is the single plain window the
+    two-phase plan must equal — the same
+    distributed-vs-definitional pinning as pack_sequences."""
+    from sparkfeat.corpus import eval_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return eval_sample(docs, k=25, group_col="lang", seed="0", shards=8)
+
+
 _EMB_DRIFT_ORACLE = f"""WITH e AS (
     SELECT vec_id,
            CASE WHEN {_hex_bucket_sql("vec_id", 25, 100)} < 80

@@ -486,3 +486,24 @@ def test_chunk_documents_is_map_only(spark):
         chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # fuses into the scan: zero shuffles
+
+
+def test_eval_sample_exact_k_and_shard_invariance(spark, sf_dir):
+    """Exactly k per group; the two-phase plan equals the definitional
+    single window under ANY shard count and ANY physical partitioning."""
+    from sparkfeat.corpus import eval_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = eval_sample(docs, k=10, shards=1).toPandas()
+    b = eval_sample(docs, k=10, shards=7).toPandas()
+    c = eval_sample(docs.repartition(13), k=10, shards=32).toPandas()
+    key = ["lang", "sample_rank"]
+    a, b, c = (x.sort_values(key).reset_index(drop=True) for x in (a, b, c))
+    assert list(a["doc_id"]) == list(b["doc_id"]) == list(c["doc_id"])
+    counts = a.groupby("lang")["doc_id"].count()
+    n_lang = docs.select("lang").distinct().count()
+    assert len(counts) == n_lang and (counts == 10).all()
+    # ranks are dense 1..k within each group
+    assert (
+        a.groupby("lang")["sample_rank"].apply(lambda s: sorted(s) == list(range(1, 11))).all()
+    )
