@@ -5435,6 +5435,52 @@ def q_feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("i", "j", _r(F.col("corr")).alias("corr"))
 
 
+def _semantic_decon_oracle(threshold: float = 0.42) -> str:
+    bucket = _hex_bucket_sql("vec_id", 7, 100)
+    return f"""WITH c AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (
+    SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+    FROM c
+),
+split AS (SELECT vec_id, {bucket} < 10 AS is_bench FROM embeddings),
+b AS (SELECT u FROM n JOIN split USING (vec_id) WHERE is_bench),
+co AS (SELECT n.vec_id, n.u FROM n JOIN split USING (vec_id) WHERE NOT is_bench),
+s AS (SELECT co.vec_id, list_dot_product(co.u, b.u) AS cos FROM co, b)
+SELECT vec_id, ROUND(MAX(cos), 6) AS max_cosine,
+    CAST(COUNT(*) FILTER (cos >= {threshold}) AS BIGINT) AS n_above,
+    COUNT(*) FILTER (cos >= {threshold}) > 0 AS contaminated
+FROM s GROUP BY vec_id"""
+
+
+@register("corpus_decontaminate_semantic", _semantic_decon_oracle(), driver=False)
+def q_corpus_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination — the paraphrase-
+    robust complement of corpus_decontaminate's 8-gram sweep: corpus
+    vectors whose cosine against ANY eval vector reaches 0.42 are
+    flagged. The eval set is a deterministic 10% md5 bucket of vec_id
+    (replayed positionally in the oracle); 0.42 sits ≥1.2e-3 from every
+    pair cosine at both driver SFs, far beyond cross-engine float
+    noise. Engine side is map-only over the corpus (packed broadcast
+    bench, plan-asserted); the oracle replays normalize-then-dot with
+    the same fold order as every other embedding oracle."""
+    from sparkfeat.corpus import hash_bucket
+    from sparkfeat.similarity import semantic_contamination
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_bench = hash_bucket("vec_id", start=7, buckets=100) < 10
+    out = semantic_contamination(
+        emb.filter(~is_bench), emb.filter(is_bench), threshold=0.42
+    )
+    return out.select(
+        "vec_id",
+        _r(F.col("max_cosine")).alias("max_cosine"),
+        "n_above",
+        "contaminated",
+    )
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -5449,7 +5495,8 @@ def q_feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # late EXTRA registrations — conv_latency_stats, agent_curation_pairs,
 # embedding_covariance, embedding_pca_whiten, embedding_pca_recon_error,
 # feature_corr_matrix, embedding_quantize_audit, ann_ivf_quantized,
-# dedup_source_crossrates — have never held a driver slot and must
+# dedup_source_crossrates, corpus_eval_sample, embedding_drift,
+# corpus_decontaminate_semantic — have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #
 # Round 5 overlay: the entire round-4 out-group rotates IN (all 17 —

@@ -588,3 +588,58 @@ def quantize_audit(
         (_dot(v, dq) / (_norm(v) * _norm(dq))).alias("cos_sim"),
         err.alias("max_abs_err"),
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space test-set-leakage sweep: flag every corpus vector
+    whose cosine against ANY benchmark/eval vector reaches
+    ``threshold`` — the semantic complement of
+    ``corpus.decontaminate``'s n-gram overlap check (catches
+    paraphrased eval leakage that shares no 8-gram; the pairing CCNet/
+    GPT-3-style pipelines run both of).
+
+    Scale shape: eval sets are thousands of vectors, not TBs, so the
+    WHOLE normalized bench matrix packs into ONE row (``collect_list``
+    inside an agg — the tiny side, never the corpus) and broadcast-
+    crossJoins onto the corpus scan; per corpus vector the bench
+    cosines are one in-row ``transform`` over that array. The 100 TB
+    side is MAP-ONLY — no groupBy, no exchange, no window: the sweep
+    fuses into the corpus scan (plan-asserted in tests). ``max`` and
+    ``count`` over the in-row cosine list are order-insensitive, so
+    the nondeterministic ``collect_list`` order never reaches the
+    output.
+
+    Output: one row per corpus vector — ``max_cosine`` (NULL iff the
+    bench is empty), ``n_above`` (bench vectors at/over threshold),
+    ``contaminated``.
+    """
+    b = (
+        bench.select(_as_double(F.col(vec_col)).alias("_bv"))
+        .withColumn("_bn", _norm(F.col("_bv")))
+        .select(F.transform("_bv", lambda x: x / F.col("_bn")).alias("_bu"))
+        .agg(F.collect_list("_bu").alias("_bus"))
+    )
+    c = (
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"))
+        .withColumn("_cn", _norm(F.col("_cv")))
+        .select(id_col, F.transform("_cv", lambda x: x / F.col("_cn")).alias("_cu"))
+    )
+    cos = F.transform(
+        "_bus", lambda bv: _dot(F.col("_cu"), bv)
+    )
+    scored = c.crossJoin(F.broadcast(b)).withColumn("_cos", cos)
+    n_above = F.size(
+        F.filter("_cos", lambda x: x >= F.lit(float(threshold)))
+    ).cast("bigint")
+    return scored.select(
+        F.col(id_col),
+        F.array_max("_cos").alias("max_cosine"),
+        n_above.alias("n_above"),
+        (n_above > 0).alias("contaminated"),
+    )

@@ -733,3 +733,64 @@ def test_ivf_index_int8_smaller_and_agrees(spark, emb, tmp_path):
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan, plan[
         :2000
     ]
+
+
+# ---------------------------------------------------------------------------
+# semantic contamination (embedding-space decontamination)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_contamination_hand_case(spark):
+    from sparkfeat.similarity import semantic_contamination
+
+    schema = "vec_id bigint, embedding array<float>"
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])], schema
+    )
+    bench = spark.createDataFrame([(100, [2.0, 0.0]), (101, [0.0, 3.0])], schema)
+    rows = {
+        r["vec_id"]: r
+        for r in semantic_contamination(corpus, bench, threshold=0.9).collect()
+    }
+    assert rows[1]["max_cosine"] == pytest.approx(1.0)
+    assert rows[1]["n_above"] == 1 and rows[1]["contaminated"]
+    assert rows[2]["max_cosine"] == pytest.approx(1.0)
+    assert rows[2]["n_above"] == 1 and rows[2]["contaminated"]
+    # [1,1] is 45 degrees from both axes: cos = 1/sqrt(2) < 0.9
+    assert rows[3]["max_cosine"] == pytest.approx(2 ** -0.5)
+    assert rows[3]["n_above"] == 0 and not rows[3]["contaminated"]
+    # n_above counts EVERY bench hit, not just the argmax
+    both = {
+        r["vec_id"]: r
+        for r in semantic_contamination(corpus, bench, threshold=0.5).collect()
+    }
+    assert both[3]["n_above"] == 2 and both[3]["contaminated"]
+
+
+def test_semantic_contamination_empty_bench(spark):
+    from sparkfeat.similarity import semantic_contamination
+
+    schema = "vec_id bigint, embedding array<float>"
+    corpus = spark.createDataFrame([(1, [1.0, 0.0])], schema)
+    bench = spark.createDataFrame([], schema)
+    row = semantic_contamination(corpus, bench).collect()[0]
+    assert row["max_cosine"] is None
+    assert row["n_above"] == 0 and not row["contaminated"]
+
+
+def test_semantic_contamination_corpus_side_map_only(emb):
+    """The 100 TB side never shuffles: the only exchanges in the plan
+    belong to the one-row bench pack (SinglePartition agg); the corpus
+    stream feeds a BroadcastNestedLoopJoin with no hash exchange, no
+    sort-merge, no cartesian."""
+    from sparkfeat.corpus import hash_bucket
+    from sparkfeat.similarity import semantic_contamination
+
+    is_bench = hash_bucket("vec_id", start=7, buckets=100) < 10
+    out = semantic_contamination(
+        emb.filter(~is_bench), emb.filter(is_bench), threshold=0.42
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
