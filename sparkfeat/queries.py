@@ -5481,6 +5481,47 @@ def q_corpus_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_HARDNEG_ORACLE = """WITH c AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (
+    SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+    FROM c
+),
+p AS (SELECT vec_id AS probe_id, u AS pu FROM n WHERE vec_id < 10),
+s AS (
+    SELECT p.probe_id, n.vec_id, list_dot_product(p.pu, n.u) AS cosine
+    FROM n, p WHERE n.vec_id <> p.probe_id
+),
+banded AS (SELECT * FROM s WHERE cosine >= 0.15 AND cosine < 0.42),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk
+    FROM banded
+)
+SELECT probe_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 10"""
+
+
+@register("ann_hard_negatives", _HARDNEG_ORACLE, driver=False)
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (DPR/Contriever prep): per probe, top-10 by
+    cosine INSIDE the band [0.15, 0.42) — informative negatives below
+    the positive/near-dup ceiling. Both band edges sit ≥3e-5 from every
+    probe-corpus cosine at the driver SFs (same fold order on both
+    engines → cross-engine noise ~1e-15). Band filter is map-side,
+    before the rank."""
+    from sparkfeat.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = hard_negatives(emb, probes, k=10, lo=0.15, hi=0.42)
+    return out.select(
+        "probe_id", "vec_id", _r(F.col("cosine")).alias("cosine"), "rk"
+    )
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -5496,7 +5537,8 @@ def q_corpus_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFra
 # embedding_covariance, embedding_pca_whiten, embedding_pca_recon_error,
 # feature_corr_matrix, embedding_quantize_audit, ann_ivf_quantized,
 # dedup_source_crossrates, corpus_eval_sample, embedding_drift,
-# corpus_decontaminate_semantic — have never held a driver slot and must
+# corpus_decontaminate_semantic, ann_hard_negatives — have never held a
+# driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #
 # Round 5 overlay: the entire round-4 out-group rotates IN (all 17 —

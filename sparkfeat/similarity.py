@@ -643,3 +643,61 @@ def semantic_contamination(
         n_above.alias("n_above"),
         (n_above > 0).alias("contaminated"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    lo: float = 0.15,
+    hi: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training
+    (DPR / Contriever style): for each probe, the top-``k`` corpus
+    vectors whose cosine lands in the band ``[lo, hi)`` — similar
+    enough to be informative negatives, but BELOW the positive /
+    near-dup ceiling ``hi`` (above it they'd be false negatives that
+    poison the loss).
+
+    Scale shape: probes (training queries) broadcast like every other
+    probe set here; the band filter is applied map-side BEFORE the
+    per-probe rank, so the window only ever sees in-band candidates
+    (at web scale the band is a thin shell — the filter is the whole
+    point). Ties break on corpus id, deterministic on any cluster.
+    For a 10⁹-vector corpus swap the brute scoring for the IVF bucket
+    candidates (``ivf_topk``'s assignment tables) and keep the same
+    band + rank tail.
+
+    Output: (probe_id, id, cosine, rk) — ``rk`` 1..k by cosine DESC
+    within the band.
+    """
+    p = (
+        probes.select(F.col(probe_id), _as_double(F.col(vec_col)).alias("_pv"))
+        .withColumn("_pn", _norm(F.col("_pv")))
+        .select(
+            probe_id, F.transform("_pv", lambda x: x / F.col("_pn")).alias("_pu")
+        )
+    )
+    c = (
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"))
+        .withColumn("_cn", _norm(F.col("_cv")))
+        .select(id_col, F.transform("_cv", lambda x: x / F.col("_cn")).alias("_cu"))
+    )
+    banded = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col(id_col) != F.col(probe_id))
+        .withColumn("cosine", _dot(F.col("_pu"), F.col("_cu")))
+        .filter(
+            (F.col("cosine") >= F.lit(float(lo)))
+            & (F.col("cosine") < F.lit(float(hi)))
+        )
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        banded.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(probe_id, id_col, "cosine", "rk")
+    )

@@ -794,3 +794,61 @@ def test_semantic_contamination_corpus_side_map_only(emb):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_band_and_rank(emb, emb_np):
+    """Band semantics + rank vs the numpy oracle: every returned pair
+    is in [lo, hi); ranks are exactly the in-band cosine order; no
+    in-band candidate ranked <= k is missing."""
+    from sparkfeat.similarity import hard_negatives
+
+    ids, mat = emb_np
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    lo, hi, k = 0.15, 0.42, 7
+    got = hard_negatives(emb, probes, k=k, lo=lo, hi=hi).collect()
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    row_of = {v: i for i, v in enumerate(ids)}
+    expect = {}
+    for p in range(5):
+        sims = normed @ normed[row_of[p]]
+        cand = sorted(
+            ((-s, i) for i, s in zip(ids, sims) if i != p and lo <= s < hi)
+        )[:k]
+        expect[p] = [(i, -s) for s, i in cand]
+    by_probe = {}
+    for r in sorted(got, key=lambda r: (r["probe_id"], r["rk"])):
+        assert lo <= r["cosine"] < hi
+        by_probe.setdefault(r["probe_id"], []).append((r["vec_id"], r["cosine"]))
+    assert set(by_probe) == set(expect)
+    for p, exp in expect.items():
+        assert [i for i, _ in by_probe[p]] == [i for i, _ in exp]
+        for (_, a), (_, b) in zip(by_probe[p], exp):
+            assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_hard_negatives_excludes_positives(spark):
+    """A near-duplicate of the probe (cos ~1) must NOT appear — that is
+    the whole point of the ceiling."""
+    from sparkfeat.similarity import hard_negatives
+
+    schema = "vec_id bigint, embedding array<float>"
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.001]),   # near-dup of the probe: cos ~ 1 -> excluded
+            (2, [1.0, 1.5]),     # cos ~ 0.55 -> in band
+            (3, [0.0, 1.0]),     # cos 0 -> below floor
+        ],
+        schema,
+    )
+    probes = spark.createDataFrame([(0, [1.0, 0.0])], schema).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    got = hard_negatives(corpus, probes, k=5, lo=0.2, hi=0.9).collect()
+    assert [r["vec_id"] for r in got] == [2]
