@@ -5522,6 +5522,46 @@ def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PMI_ORACLE = r"""WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS tok FROM t
+),
+l AS (SELECT doc_id, pos + off AS jpos, tok AS tok_a FROM tok, generate_series(1, 3) s(off)),
+pr AS (SELECT l.tok_a, r.tok AS tok_b FROM l JOIN tok r ON l.doc_id = r.doc_id AND l.jpos = r.pos),
+pc AS (SELECT tok_a, tok_b, COUNT(*) AS c_ab FROM pr GROUP BY tok_a, tok_b),
+la AS (SELECT tok_a, SUM(c_ab) AS c_a FROM pc GROUP BY tok_a),
+rb AS (SELECT tok_b, SUM(c_ab) AS c_b FROM pc GROUP BY tok_b),
+tot AS (SELECT SUM(c_ab) AS p FROM pc),
+sc AS (
+  SELECT tok_a, tok_b, c_ab,
+     ROUND(ln(CAST(c_ab AS DOUBLE) * CAST(p AS DOUBLE) / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 6) AS pmi
+  FROM pc JOIN la USING (tok_a) JOIN rb USING (tok_b), tot
+  WHERE c_ab >= 5
+),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, tok_a, tok_b) AS rank FROM sc)
+SELECT tok_a, tok_b, CAST(c_ab AS BIGINT) AS c_ab, pmi, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 100"""
+
+
+@register("doc_pmi_topk", _PMI_ORACLE, driver=False)
+def q_doc_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PMI collocation top-100 (window-3 skip-grams,
+    min_count 5): pair generation is posexplode + offset explode + ONE
+    (doc, position) equi-join — tokens × window rows, never n² — and
+    top-k is the two-phase shard rank. PMI marginals come from the
+    pair table itself (columns sum to the total exactly); pmi rounded
+    6dp BEFORE ranking with a (tok_a, tok_b) tie-break. Verified
+    bit-equal against the oracle at sf0.001 AND sf0.01 during
+    development."""
+    from sparkfeat.text import pmi_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_topk(docs, window=3, min_count=5, k=100)
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -5537,8 +5577,8 @@ def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding_covariance, embedding_pca_whiten, embedding_pca_recon_error,
 # feature_corr_matrix, embedding_quantize_audit, ann_ivf_quantized,
 # dedup_source_crossrates, corpus_eval_sample, embedding_drift,
-# corpus_decontaminate_semantic, ann_hard_negatives — have never held a
-# driver slot and must
+# corpus_decontaminate_semantic, ann_hard_negatives, doc_pmi_topk —
+# have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #
 # Round 5 overlay: the entire round-4 out-group rotates IN (all 17 —

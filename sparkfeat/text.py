@@ -664,3 +664,93 @@ def lang_ngram_guess_arrow(
         return pd.Series(names[out], index=texts.index)
 
     return guess(text if not isinstance(text, str) else F.col(text))
+
+
+def pmi_topk(
+    docs: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = 32,
+) -> DataFrame:
+    """Corpus-wide PMI co-occurrence top-``k``: the distributional-
+    semantics collocation table (which token pairs co-occur within a
+    ``window``-token skip-gram far above chance) — the classic feature
+    behind phrase detection, word-vector objectives and collocation-
+    aware tokenizer audits.
+
+    Directional skip-gram pairs (center, right-neighbor ≤ window);
+    PMI = ln(c_ab · P / (c_a · c_b)) with marginals taken FROM the
+    pair table (self-consistent — columns sum to P exactly, no edge-
+    effect mismatch vs raw token counts). ``pmi`` is rounded to 6
+    decimals BEFORE ranking with a (tok_a, tok_b) tie-break, so the
+    ordering is reproducible across engines.
+
+    Scale shape: pair generation is posexplode + an offset explode +
+    one (doc, position) EQUI-join — exactly tokens × window rows, never
+    the n² blowup of a within-doc theta-join, and no giant in-row pair
+    array for a heavy-tailed doc. Pair counts are a map-side-combined
+    groupBy; the two marginal tables are vocabulary-sized (equi-joined
+    back, AQE handles the Zipf head); the corpus total rides a 1-row
+    broadcast crossJoin (lazy, no driver collect). ``min_count`` prunes
+    the long tail BEFORE the marginal joins. Top-k is the two-phase
+    rank (per-shard prune → global rank over shards × k survivors);
+    the result is shard-count-independent because any global top-k row
+    is also top-k within its own shard.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(
+            F.filter(tokens(F.lower(F.col(text_col))), lambda x: x != "")
+        ).alias("_pos", "_tok"),
+    )
+    left = (
+        toks.select(
+            "_doc",
+            "_pos",
+            F.col("_tok").alias("tok_a"),
+            F.explode(F.sequence(F.lit(1), F.lit(int(window)))).alias("_off"),
+        )
+        .select(
+            "_doc", (F.col("_pos") + F.col("_off")).alias("_jpos"), "tok_a"
+        )
+    )
+    right = toks.select(
+        "_doc", F.col("_pos").alias("_jpos"), F.col("_tok").alias("tok_b")
+    )
+    pairs = left.join(right, ["_doc", "_jpos"])
+    pc = pairs.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    la = pc.groupBy("tok_a").agg(F.sum("c_ab").alias("_c_a"))
+    rb = pc.groupBy("tok_b").agg(F.sum("c_ab").alias("_c_b"))
+    tot = pc.agg(F.sum("c_ab").alias("_p"))
+    pmi = F.round(
+        F.log(
+            F.col("c_ab").cast("double")
+            * F.col("_p").cast("double")
+            / (F.col("_c_a").cast("double") * F.col("_c_b").cast("double"))
+        ),
+        6,
+    ) + F.lit(0.0)
+    scored = (
+        pc.filter(F.col("c_ab") >= int(min_count))
+        .join(la, "tok_a")
+        .join(rb, "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .select("tok_a", "tok_b", "c_ab", pmi.alias("pmi"))
+    )
+    order = [F.col("pmi").desc(), F.col("tok_a"), F.col("tok_b")]
+    local = Window.partitionBy(
+        F.pmod(F.hash("tok_a", "tok_b"), F.lit(int(shards)))
+    ).orderBy(*order)
+    final = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return (
+        scored.withColumn("_lr", F.row_number().over(local))
+        .filter(F.col("_lr") <= k)
+        .withColumn("rank", F.row_number().over(final).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("tok_a", "tok_b", F.col("c_ab").cast("bigint").alias("c_ab"), "pmi", "rank")
+    )

@@ -667,3 +667,80 @@ def test_source_crossrates_broadcasts_pairs(spark, sf_dir):
     plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def _pmi_replica(texts, window, min_count):
+    """Pure-Python replica of pmi_topk's counting + formula."""
+    import math
+    from collections import Counter
+
+    pc = Counter()
+    for t in texts:
+        ws = [w for w in t.lower().split() if w]
+        for i, a in enumerate(ws):
+            for j in range(i + 1, min(i + window, len(ws) - 1) + 1):
+                pc[(a, ws[j])] += 1
+    P = sum(pc.values())
+    ca, cb = Counter(), Counter()
+    for (a, b), c in pc.items():
+        ca[a] += c
+        cb[b] += c
+    return {
+        (a, b): (c, round(math.log(c * P / (ca[a] * cb[b])), 6))
+        for (a, b), c in pc.items()
+        if c >= min_count
+    }
+
+
+def test_pmi_topk_hand_case(spark):
+    from sparkfeat.text import pmi_topk
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the fish",
+        "a dog sat on a log",
+        "the cat sat quietly",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        (r["tok_a"], r["tok_b"]): (r["c_ab"], r["pmi"])
+        for r in pmi_topk(docs, window=2, min_count=2, k=1000).collect()
+    }
+    assert got == _pmi_replica(texts, window=2, min_count=2)
+    # ranks: pmi desc, then (tok_a, tok_b) asc — a strict total order
+    rows = sorted(
+        pmi_topk(docs, window=2, min_count=2, k=1000).collect(),
+        key=lambda r: r["rank"],
+    )
+    keys = [(-r["pmi"], r["tok_a"], r["tok_b"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_pmi_topk_shard_independent(spark, sf_dir):
+    """Two-phase top-k returns the identical table for any shard count
+    (any global top-k row is top-k within its own shard)."""
+    from sparkfeat.text import pmi_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = pmi_topk(docs, k=25, shards=1).collect()
+    b = pmi_topk(docs, k=25, shards=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pmi_topk_no_cartesian(spark, sf_dir):
+    """Pair generation is an equi-join on (doc, position): no cartesian
+    / nested-loop pair blowup anywhere in the plan (the one
+    BroadcastNestedLoopJoin is the 1-row corpus-total crossJoin)."""
+    from sparkfeat.text import pmi_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = pmi_topk(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
