@@ -759,3 +759,146 @@ def eval_sample(
             F.col("sample_rank").cast("int").alias("sample_rank"),
         )
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    stage_col: str = "ppl_bucket",
+    id_col: str = "doc_id",
+    shards: int = 64,
+    seed: str = "0",
+) -> DataFrame:
+    """Curriculum training order (Bengio et al. 2009, the data-prep
+    step): consume stages easiest-first, deterministically shuffled
+    WITHIN each stage — e.g. feed ``ppl_bucket`` 0 (most fluent) before
+    1 before 2. The difficulty label is any small-cardinality int
+    column; docs with a NULL stage (unscoreable, e.g. zero-token) are
+    excluded from the manifest by design.
+
+    Ordering machinery is :func:`global_shuffle`'s: md5(seed‖id)
+    shuffle key (no RNG state, same seed replays byte-identically on
+    any cluster), uniform shard from the key's first 8 hex digits,
+    per-(stage, shard) rank — the only corpus-sized wide op is that
+    hash-partitioned window, never a global sort. ``global_pos`` (the
+    single contiguous epoch position: every stage-s doc before every
+    stage-s+1 doc) comes from the pack_sequences move: per-(stage,
+    shard) counts → running offsets on a stages×shards-row table (the
+    one single-partition window, bounded by shards, NOT by corpus) →
+    broadcast-joined back.
+
+    Output: (id, stage, shard, pos, global_pos); reading in
+    (stage, shard, pos) order — or by ``global_pos`` — IS the
+    curriculum epoch.
+    """
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    d = docs.filter(F.col(stage_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(stage_col).cast("int").alias("stage"),
+        key.alias("shuffle_key"),
+        (F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % shards)
+        .cast("int")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("stage", "shard").orderBy("shuffle_key", id_col)
+    ranked = d.withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+    counts = ranked.groupBy("stage", "shard").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("stage", "shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "stage",
+        "shard",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offs), ["stage", "shard"])
+        .withColumn("global_pos", (F.col("_off") + F.col("pos")).cast("bigint"))
+        .select(id_col, "stage", "shard", "pos", "global_pos")
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_occurrences: int = 5,
+    min_chars: int = 10,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Cross-document line-level boilerplate removal (the CCNet /
+    RefinedWeb exact line-dedup stage): a line whose TRIMMED text
+    occurs ``>= min_occurrences`` times across the whole corpus — "Sign
+    in to continue", nav bars, cookie banners — is cut from EVERY doc
+    (all occurrences, no first-keeper: removal is a property of the
+    line alone, so the result is independent of row order and of which
+    shard saw the line first). Lines shorter than ``min_chars`` after
+    trimming never count and are never cut (short structural lines —
+    headings, blanks — are legitimately frequent).
+
+    Row-preserving: every input doc comes back, rebuilt in original
+    line order ('' if every line was boilerplate, NULL text stays
+    NULL), with per-doc audit counts.
+
+    Scale shape (100 TB lens): explode to lines (map), ONE
+    map-side-combined ``groupBy(line_key)`` count — boilerplate keys
+    are exactly the hot keys, and partial aggregation collapses them
+    before the exchange — filtered to the hot set, which is joined back
+    by equi-key: BROADCAST by default (the >= k set is tiny next to the
+    corpus; set ``broadcast_hot=False`` at extreme hot-set cardinality
+    and AQE's skew join handles the fan-in), then ONE ``groupBy(doc)``
+    rebuild whose per-task state is the doc's own kept lines (the text
+    already lived in one row). Nothing quadratic, no global sort.
+
+    Output: (id, text rebuilt, n_lines, n_removed, removed_frac).
+    """
+    trimmed = F.trim(F.col("line"))
+    lines = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+        )
+        .withColumn("lkey", F.md5(trimmed))
+        .withColumn("elig", F.length(trimmed) >= min_chars)
+    )
+    hot = (
+        lines.filter(F.col("elig"))
+        .groupBy("lkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_occurrences)
+        .select("lkey", F.lit(True).alias("_h"))
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    marked = lines.join(hot, "lkey", "left").withColumn(
+        "_hot", F.coalesce(F.col("_h"), F.lit(False))
+    )
+    kept = F.when(
+        ~F.col("_hot"), F.struct(F.col("line_no").alias("p"), F.col("line").alias("l"))
+    )
+    rebuilt = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["l"]), "\n"
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("_nl"),
+        F.sum(F.col("_hot").cast("bigint")).alias("_nr"),
+    )
+    n_lines = F.coalesce(F.col("_nl"), F.lit(0)).cast("bigint")
+    n_removed = F.coalesce(F.col("_nr"), F.lit(0)).cast("bigint")
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("_text").alias(text_col),
+            n_lines.alias("n_lines"),
+            n_removed.alias("n_removed"),
+            F.when(
+                n_lines > 0, F.round(n_removed / n_lines, 6)
+            ).alias("removed_frac"),
+        )
+    )

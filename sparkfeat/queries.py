@@ -5562,6 +5562,122 @@ def q_doc_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_topk(docs, window=3, min_count=5, k=100)
 
 
+def _curriculum_oracle(shards: int = 16, seed: str = "0") -> str:
+    # global_pos = per-(stage, shard) offset + in-group pos, where the
+    # offsets walk groups in (stage, shard) order — identically the
+    # global rank under ORDER BY (stage, shard, skey, doc_id), which is
+    # how the oracle replays the two-level offset join in one window.
+    return f"""WITH s AS (
+    SELECT doc_id,
+        CASE WHEN n_chars < 400 THEN 0
+             WHEN n_chars < 1200 THEN 1
+             ELSE 2 END AS stage,
+        md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS skey
+    FROM documents
+),
+b AS (
+    SELECT doc_id, stage, skey,
+        CAST({_hex_bucket_sql("doc_id", 1, shards, hexpr="skey")} AS INT)
+            AS shard
+    FROM s
+)
+SELECT doc_id, CAST(stage AS INT) AS stage, shard,
+    CAST(ROW_NUMBER() OVER (PARTITION BY stage, shard
+                            ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos,
+    CAST(ROW_NUMBER() OVER (ORDER BY stage, shard, skey, doc_id) - 1
+         AS BIGINT) AS global_pos
+FROM b"""
+
+
+@register("corpus_curriculum_order", _curriculum_oracle(), driver=False)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: stage docs easiest-first (here a
+    deterministic length bucket standing in for a perplexity bucket),
+    deterministically shuffled within each stage, with a single
+    contiguous ``global_pos`` across stages from the broadcast
+    per-(stage, shard) offset join. The oracle replays the md5 shuffle
+    key, hex-bucket shard, per-(stage, shard) rank, AND the composed
+    global position as one global window — so the offset-join algebra
+    is hash-checked end to end, not just the in-group ranks."""
+    from sparkfeat.corpus import curriculum_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "ppl_bucket",
+        F.when(F.col("n_chars") < 400, 0)
+        .when(F.col("n_chars") < 1200, 1)
+        .otherwise(2),
+    )
+    return curriculum_order(docs, stage_col="ppl_bucket", shards=16, seed="0")
+
+
+_LINE_DEDUP_ORACLE = """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE text IS NOT NULL
+),
+rw AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(range(1, CAST(ceil(len(ws) / 3.0) AS BIGINT) + 1),
+                     i -> array_to_string(list_slice(ws, (i-1)*3+1, i*3), ' ')),
+      chr(10)) AS t2
+  FROM w
+),
+l AS (
+  SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+  FROM (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM rw)
+),
+k AS (
+  SELECT doc_id, pos, line, md5(trim(line)) AS lkey,
+         length(trim(line)) >= 10 AS elig
+  FROM l
+),
+hot AS (SELECT lkey FROM k WHERE elig GROUP BY lkey HAVING COUNT(*) >= 5),
+m AS (SELECT k.*, hot.lkey IS NOT NULL AS is_hot FROM k LEFT JOIN hot USING (lkey)),
+r AS (
+  SELECT doc_id,
+    COALESCE(string_agg(CASE WHEN NOT is_hot THEN line END,
+                        chr(10) ORDER BY pos), '') AS text,
+    COUNT(*) AS nl,
+    SUM(CASE WHEN is_hot THEN 1 ELSE 0 END) AS nr
+  FROM m GROUP BY doc_id
+)
+SELECT d.doc_id, r.text,
+  CAST(COALESCE(r.nl, 0) AS BIGINT) AS n_lines,
+  CAST(COALESCE(r.nr, 0) AS BIGINT) AS n_removed,
+  CASE WHEN r.nl > 0 THEN ROUND(CAST(r.nr AS DOUBLE) / r.nl, 6) END
+    AS removed_frac
+FROM documents d LEFT JOIN r USING (doc_id)"""
+
+
+@register("corpus_line_dedup", _LINE_DEDUP_ORACLE, driver=False)
+def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate line removal (CCNet / RefinedWeb
+    exact line-dedup): any trimmed line occurring >= 5 times across the
+    corpus is cut from every doc; lines under 10 chars never count.
+    The synthetic corpus is single-line word soup, so the query prep
+    deterministically re-wraps each doc into 3-word lines (~11% of
+    line instances land in the hot set at sf0.01 — non-degenerate both
+    ways) before calling the operator. The oracle replays the re-wrap,
+    the trimmed-md5 key, the >= k hot set, and the in-order rebuild —
+    the rebuilt TEXT itself is hash-compared."""
+    from sparkfeat.corpus import dedup_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(ws) / F.lit(3.0)).cast("int")
+    wrapped = docs.withColumn(
+        "text",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), nl),
+                lambda i: F.array_join(F.slice(ws, (i - 1) * 3 + 1, F.lit(3)), " "),
+            ),
+            "\n",
+        ),
+    )
+    return dedup_lines(wrapped, min_occurrences=5, min_chars=10)
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -5577,7 +5693,8 @@ def q_doc_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding_covariance, embedding_pca_whiten, embedding_pca_recon_error,
 # feature_corr_matrix, embedding_quantize_audit, ann_ivf_quantized,
 # dedup_source_crossrates, corpus_eval_sample, embedding_drift,
-# corpus_decontaminate_semantic, ann_hard_negatives, doc_pmi_topk —
+# corpus_decontaminate_semantic, ann_hard_negatives, doc_pmi_topk,
+# corpus_curriculum_order, corpus_line_dedup —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

@@ -507,3 +507,159 @@ def test_eval_sample_exact_k_and_shard_invariance(spark, sf_dir):
     assert (
         a.groupby("lang")["sample_rank"].apply(lambda s: sorted(s) == list(range(1, 11))).all()
     )
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering
+# ---------------------------------------------------------------------------
+
+
+def _staged_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, ppl_bucket int")
+
+
+def test_curriculum_order_stages_contiguous_and_dense(spark):
+    """global_pos is a dense permutation of 0..N-1 in which EVERY
+    stage-s doc precedes every stage-(s+1) doc; within a (stage, shard)
+    the pos ranks are dense; null-stage docs are excluded."""
+    from sparkfeat.corpus import curriculum_order
+
+    rows = [(i, i % 3) for i in range(600)] + [(9999, None)]
+    out = curriculum_order(
+        _staged_docs(spark, rows), shards=8, seed="s1"
+    ).collect()
+    assert len(out) == 600  # null stage dropped
+    gp = sorted(r["global_pos"] for r in out)
+    assert gp == list(range(600))  # dense permutation, no gaps
+    # stage blocks are contiguous: max global_pos of stage s < min of s+1
+    by_stage = {}
+    for r in out:
+        by_stage.setdefault(r["stage"], []).append(r["global_pos"])
+    for s in (0, 1):
+        assert max(by_stage[s]) < min(by_stage[s + 1])
+    # per-(stage, shard) pos dense and consistent with global_pos order
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault((r["stage"], r["shard"]), []).append(
+            (r["pos"], r["global_pos"])
+        )
+    for grp, pairs in by_grp.items():
+        pairs.sort()
+        assert [p for p, _ in pairs] == list(range(len(pairs))), grp
+        gps = [g for _, g in pairs]
+        assert gps == sorted(gps), grp  # pos order == global order in-group
+
+
+def test_curriculum_order_deterministic_and_seeded(spark):
+    from sparkfeat.corpus import curriculum_order
+
+    d = _staged_docs(spark, [(i, i % 2) for i in range(400)])
+    a = curriculum_order(d, shards=8, seed="s1").collect()
+    b = curriculum_order(d, shards=8, seed="s1").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = curriculum_order(d, shards=8, seed="s2").collect()
+    key_a = {r["doc_id"]: r["global_pos"] for r in a}
+    key_c = {r["doc_id"]: r["global_pos"] for r in c}
+    assert key_a != key_c  # reshuffles within stages...
+    stage_a = {r["doc_id"]: r["stage"] for r in a}
+    stage_c = {r["doc_id"]: r["stage"] for r in c}
+    assert stage_a == stage_c  # ...but never across stages
+
+
+def test_curriculum_order_offsets_broadcast_no_global_sort(spark):
+    """The offsets table joins back as a BROADCAST hash join and the
+    corpus never range-partitions: the only corpus-sized exchange is
+    the (stage, shard) hash partition for the in-group window."""
+    from sparkfeat.corpus import curriculum_order
+
+    d = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).withColumn("ppl_bucket", (F.col("doc_id") % 3).cast("int"))
+    out = curriculum_order(d, shards=16)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
+    assert "rangepartitioning" not in p.lower(), p
+
+
+# ---------------------------------------------------------------------------
+# cross-document line dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+BOILER = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+
+
+def test_dedup_lines_removes_hot_keeps_unique(spark):
+    """A line occurring >= min_occurrences times is cut from EVERY doc
+    (all occurrences, no first-keeper); unique lines survive in their
+    original order; trimmed-whitespace variants share one key."""
+    from sparkfeat.corpus import dedup_lines
+
+    rows = [(i, f"unique opener {i}\n{BOILER}\nunique closer {i}") for i in range(4)]
+    rows.append((100, f"  {BOILER}  \nonly other line here"))  # padded variant
+    rows.append((200, "totally unique document line"))
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(_docs(spark, rows), min_occurrences=5).collect()
+    }
+    for i in range(4):
+        assert out[i]["text"] == f"unique opener {i}\nunique closer {i}"
+        assert out[i]["n_lines"] == 3 and out[i]["n_removed"] == 1
+    assert out[100]["text"] == "only other line here"  # padded copy also cut
+    assert out[200]["text"] == "totally unique document line"
+    assert out[200]["n_removed"] == 0 and out[200]["removed_frac"] == 0.0
+
+
+def test_dedup_lines_below_threshold_and_short_lines_kept(spark):
+    """4 occurrences < min_occurrences=5 -> kept; a short frequent line
+    (under min_chars after trim) is never counted or cut."""
+    from sparkfeat.corpus import dedup_lines
+
+    rows = [(i, f"{BOILER}\nok\nbody {i}") for i in range(4)]
+    rows += [(10 + i, f"ok\nmore body text {10 + i}") for i in range(8)]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(
+            _docs(spark, rows), min_occurrences=5, min_chars=10
+        ).collect()
+    }
+    for i in range(4):  # boiler only 4x -> kept whole
+        assert out[i]["text"] == f"{BOILER}\nok\nbody {i}"
+    for i in range(8):  # "ok" occurs 12x but is ineligible
+        assert out[10 + i]["text"] == f"ok\nmore body text {10 + i}"
+        assert out[10 + i]["n_removed"] == 0
+
+
+def test_dedup_lines_row_preserving_empty_and_null(spark):
+    """A doc that is ALL boilerplate comes back as '' (still a row);
+    NULL text stays NULL with zero counts."""
+    from sparkfeat.corpus import dedup_lines
+
+    rows = [(i, BOILER) for i in range(6)] + [(50, None)]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(_docs(spark, rows), min_occurrences=5).collect()
+    }
+    assert len(out) == 7
+    for i in range(6):
+        assert out[i]["text"] == "" and out[i]["removed_frac"] == 1.0
+        assert out[i]["n_lines"] == 1 and out[i]["n_removed"] == 1
+    assert out[50]["text"] is None
+    assert out[50]["n_lines"] == 0 and out[50]["n_removed"] == 0
+    assert out[50]["removed_frac"] is None
+
+
+def test_dedup_lines_plan_broadcast_no_cartesian(spark):
+    """The hot set joins back as a BROADCAST hash join; nothing in the
+    plan is a cartesian product or a global sort of the corpus."""
+    from sparkfeat.corpus import dedup_lines
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = (
+        dedup_lines(d, min_occurrences=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "rangepartitioning" not in p.lower(), p
