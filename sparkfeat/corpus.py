@@ -902,3 +902,112 @@ def dedup_lines(
             ).alias("removed_frac"),
         )
     )
+
+
+def epoch_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    token_col: str = "n_tok",
+    group_col: str = "source",
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Data-constrained repetition plan (Muennighoff et al. 2023: when
+    the token budget exceeds the corpus, repeat your best sources — but
+    past ~4 epochs repeated tokens stop buying loss): split
+    ``token_budget`` across groups by normalized ``weights`` (a
+    whitelist, like :func:`mixture_sample` — absent groups contribute
+    nothing), then express each group's share in EPOCHS of that group:
+    ``n_epochs_full`` whole passes plus a fractional last pass kept at
+    ``frac_ppm`` parts-per-million, the want capped at ``max_epochs``
+    passes (``capped`` flags groups whose weight asked for more).
+
+    ``frac_ppm`` is an exact integer (floor of the fractional epoch ×
+    10⁶) so the downstream hash-keep threshold — and the whole manifest
+    — is integer-stable across engines. Fully lazy, one tiny
+    groupBy(group) aggregate; zero-token groups are excluded (an epoch
+    of nothing is undefined).
+    """
+    total_w = float(sum(weights.values()))
+    want = {g: float(w) / total_w * float(token_budget) for g, w in weights.items()}
+    stats = (
+        docs.filter(F.col(group_col).isin(list(weights)))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_col)).cast("bigint").alias("tok_group"),
+        )
+        .filter(F.col("tok_group") > 0)
+    )
+    want_expr = None
+    for g, v in sorted(want.items()):
+        cond = F.col(group_col) == g
+        want_expr = (
+            F.when(cond, F.lit(v)) if want_expr is None else want_expr.when(cond, F.lit(v))
+        )
+    tokd = F.col("tok_group").cast("double")
+    cap = F.lit(float(max_epochs)) * tokd
+    eff = F.least(want_expr, cap)
+    epochs = eff / tokd
+    n_full = F.floor(epochs).cast("int")
+    return stats.select(
+        group_col,
+        "n_docs",
+        "tok_group",
+        F.round(want_expr, 6).alias("want_tokens"),
+        n_full.alias("n_epochs_full"),
+        F.floor((epochs - F.floor(epochs)) * 1_000_000)
+        .cast("bigint")
+        .alias("frac_ppm"),
+        (want_expr > cap).alias("capped"),
+    )
+
+
+def epoch_expand(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tok",
+    group_col: str = "source",
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """The action step of :func:`epoch_plan`: the per-document
+    repetition manifest. Every doc of group g appears once per full
+    epoch (``epoch`` = 0..n_full-1) plus — when the plan has a
+    fractional pass — an ``is_frac`` row kept iff the doc's
+    deterministic md5 bucket (property of the id: stable under corpus
+    growth, replayable in any engine, independent of the split/keep
+    buckets by hex offset) lands under ``frac_ppm``, so the realized
+    extra pass is an unbiased frac-rate subset with zero RNG state.
+
+    Scale shape: the plan (≤ |groups| rows) broadcasts onto the corpus
+    scan; expansion is explode(sequence) — map-only, output exactly
+    Σ_g n_g·epochs_g rows, no shuffle of the corpus at all.
+    """
+    plan = epoch_plan(
+        docs, weights, token_budget,
+        token_col=token_col, group_col=group_col, max_epochs=max_epochs,
+    )
+    n_eps = F.col("n_epochs_full") + (F.col("frac_ppm") > 0).cast("int")
+    joined = docs.select(
+        id_col, group_col, F.col(token_col).cast("bigint").alias("n_tok")
+    ).join(
+        F.broadcast(plan.select(group_col, "n_epochs_full", "frac_ppm")), group_col
+    )
+    eps = F.when(n_eps > 0, F.sequence(F.lit(0), n_eps - 1))
+    exploded = joined.select(
+        id_col, group_col, "n_tok", "n_epochs_full", "frac_ppm",
+        F.explode(eps).alias("epoch"),
+    )
+    is_frac = F.col("epoch") == F.col("n_epochs_full")
+    keep_b = hash_bucket(id_col, start=17, buckets=1_000_000)
+    return exploded.filter(~is_frac | (keep_b < F.col("frac_ppm"))).select(
+        id_col,
+        group_col,
+        "n_tok",
+        F.col("epoch").cast("int").alias("epoch"),
+        is_frac.alias("is_frac"),
+        "n_epochs_full",
+        "frac_ppm",
+    )

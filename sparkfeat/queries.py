@@ -5678,6 +5678,77 @@ def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(wrapped, min_occurrences=5, min_chars=10)
 
 
+#: repetition-plan driver query: weights/budget/max_epochs chosen so the
+#: sf0.01 gate exercises EVERY path at once — src0 wants 3.77 epochs →
+#: capped at 3.0 (frac 0), src1 lands 1 full + 0.75 fractional, src2
+#: 1 + 0.17, src3 fractional-only (0.787), the other 16 sources absent
+#: from the whitelist → excluded.
+_EPOCH_W = {"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.10}
+_EPOCH_BUDGET = 60_000
+
+
+def _epoch_oracle() -> str:
+    total = sum(_EPOCH_W.values())
+    want_case = " ".join(
+        f"WHEN '{g}' THEN {w / total * _EPOCH_BUDGET!r}"
+        for g, w in sorted(_EPOCH_W.items())
+    )
+    srcs = ", ".join(f"'{g}'" for g in sorted(_EPOCH_W))
+    return f"""WITH g AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tok
+  FROM documents WHERE source IN ({srcs})
+  GROUP BY source HAVING SUM(n_chars) > 0
+),
+p AS (
+  SELECT source,
+    LEAST(CASE source {want_case} END, 3.0 * CAST(tok AS DOUBLE))
+      / CAST(tok AS DOUBLE) AS eps
+  FROM g
+),
+q AS (
+  SELECT source,
+    CAST(FLOOR(eps) AS INT) AS n_epochs_full,
+    CAST(FLOOR((eps - FLOOR(eps)) * 1000000) AS BIGINT) AS frac_ppm
+  FROM p
+),
+e AS (
+  SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_tok,
+         q.n_epochs_full, q.frac_ppm, CAST(u.epoch AS INT) AS epoch
+  FROM documents d
+  JOIN q USING (source),
+  LATERAL UNNEST(range(0, q.n_epochs_full
+        + CASE WHEN q.frac_ppm > 0 THEN 1 ELSE 0 END)) AS u(epoch)
+)
+SELECT doc_id, source, n_tok, epoch,
+  epoch = n_epochs_full AS is_frac, n_epochs_full, frac_ppm
+FROM e
+WHERE epoch < n_epochs_full
+   OR {_hex_bucket_sql("doc_id", 17, 1_000_000)} < frac_ppm"""
+
+
+@register("corpus_epoch_manifest", _epoch_oracle(), driver=False)
+def q_corpus_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained repetition manifest (Muennighoff et al. 2023):
+    a 60k-token budget split 50/25/15/10 over four whitelisted sources,
+    each share expressed in epochs of that source capped at 3 passes —
+    full epochs expand every doc, the fractional last pass keeps docs
+    by the deterministic md5 ppm threshold. The oracle replays the
+    whole chain (group token sums, python-literal want, cap, floor
+    split into full + ppm, lateral range explode, hash keep), and the
+    manifest's plan fields are integers, so the hash check is exact."""
+    from sparkfeat.corpus import epoch_expand
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return epoch_expand(
+        docs,
+        _EPOCH_W,
+        _EPOCH_BUDGET,
+        token_col="n_chars",
+        group_col="source",
+        max_epochs=3.0,
+    )
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -5694,7 +5765,7 @@ def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # feature_corr_matrix, embedding_quantize_audit, ann_ivf_quantized,
 # dedup_source_crossrates, corpus_eval_sample, embedding_drift,
 # corpus_decontaminate_semantic, ann_hard_negatives, doc_pmi_topk,
-# corpus_curriculum_order, corpus_line_dedup —
+# corpus_curriculum_order, corpus_line_dedup, corpus_epoch_manifest —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

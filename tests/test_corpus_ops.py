@@ -663,3 +663,84 @@ def test_dedup_lines_plan_broadcast_no_cartesian(spark):
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
     assert "rangepartitioning" not in p.lower(), p
+
+
+# ---------------------------------------------------------------------------
+# data-constrained epoch plan / expansion
+# ---------------------------------------------------------------------------
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, source string, n_tok bigint")
+
+
+def test_epoch_plan_paths(spark):
+    """One fixture hits every branch: capped at max_epochs, full+frac,
+    frac-only, whitelist exclusion, zero-token exclusion. Groups of 10
+    docs x 100 tokens = 1000 tokens each."""
+    from sparkfeat.corpus import epoch_plan
+
+    rows = [(g * 100 + i, f"s{g}", 100) for g in range(4) for i in range(10)]
+    rows.append((999, "s3", 0))  # does not change s3's 1000-token sum
+    rows = [(d, s, t if d != 999 else 0) for d, s, t in rows]
+    rows.append((1000, "zero", 0))  # zero-token group -> excluded
+    d = _src_docs(spark, rows)
+    # budget 6000: s0 wants 3000 (3 epochs > cap 2) -> capped; s1 wants
+    # 1500 = 1 full + .5; s2 wants 900 = 0 full + .9; s3 wants 600 = .6;
+    # 'zero' and unlisted groups excluded.
+    w = {"s0": 0.5, "s1": 0.25, "s2": 0.15, "s3": 0.10, "zero": 0.0}
+    plan = {
+        r["source"]: r
+        for r in epoch_plan(d, w, 6000, max_epochs=2.0).collect()
+    }
+    assert set(plan) == {"s0", "s1", "s2", "s3"}
+    assert plan["s0"]["n_epochs_full"] == 2 and plan["s0"]["frac_ppm"] == 0
+    assert plan["s0"]["capped"] is True
+    assert plan["s1"]["n_epochs_full"] == 1 and plan["s1"]["frac_ppm"] == 500_000
+    assert plan["s2"]["n_epochs_full"] == 0 and plan["s2"]["frac_ppm"] == 900_000
+    assert plan["s3"]["n_epochs_full"] == 0 and plan["s3"]["frac_ppm"] == 600_000
+    assert not plan["s1"]["capped"] and not plan["s3"]["capped"]
+    assert plan["s1"]["want_tokens"] == 1500.0
+
+
+def test_epoch_expand_counts_and_determinism(spark):
+    """Every doc appears in every full epoch; the fractional pass keeps
+    a deterministic md5 subset at ~frac_ppm; reruns are identical."""
+    from sparkfeat.corpus import epoch_expand
+
+    rows = [(i, "a", 10) for i in range(400)]
+    # tokens 4000, want 10000 -> 2 full + .5 frac
+    out = epoch_expand(_src_docs(spark, rows), {"a": 1.0}, 10_000).collect()
+    again = epoch_expand(_src_docs(spark, rows), {"a": 1.0}, 10_000).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert len(by_epoch[0]) == 400 and len(by_epoch[1]) == 400
+    assert all(not r["is_frac"] for r in by_epoch[0] + by_epoch[1])
+    assert all(r["is_frac"] for r in by_epoch[2])
+    # md5 buckets are uniform: 50% +- a generous band at n=400
+    assert 140 <= len(by_epoch[2]) <= 260
+    # the fractional subset is id-deterministic: a superset rate keeps
+    # every doc the lower rate kept (thresholds nest)
+    out75 = epoch_expand(_src_docs(spark, rows), {"a": 1.0}, 11_000).collect()
+    kept50 = {r["doc_id"] for r in out if r["is_frac"]}
+    kept75 = {r["doc_id"] for r in out75 if r["is_frac"]}
+    assert kept50 <= kept75
+
+
+def test_epoch_expand_plan_broadcast_map_only(spark):
+    """The plan broadcasts onto the corpus scan and expansion is
+    map-only: no SortMergeJoin, no cartesian, no corpus exchange on the
+    probe side beyond the tiny plan aggregate."""
+    from sparkfeat.corpus import epoch_expand
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = epoch_expand(
+        d, {"src0": 0.6, "src1": 0.4}, 20_000,
+        token_col="n_chars", group_col="source",
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
