@@ -1,0 +1,114 @@
+"""In-plan closed-form linear probe: fit tiny supervised scorers over
+a 100 TB corpus with ZERO driver-side math.
+
+The CCNet / LLaMA data-prep move is "fit a cheap classifier on a
+curated seed corpus, score the whole crawl with it" (reference: the
+reference repo has no supervised fit at all; this extends its
+normalization-fit family — fit-on-slice, apply-everywhere — to a
+supervised target). For a probe over two bounded features the ridge
+normal equations are a 3×3 solve, and 3×3 Cramer's rule is plain
+arithmetic — so the WHOLE fit lives in the plan: one map-side-combined
+aggregate produces the nine sufficient-statistic moments as a single
+row, the cofactor expressions turn that row into (w0, w1, w2), and a
+broadcast cross-join streams the weights back over the corpus scan.
+No collect, no numpy, no iteration; the model fit is just another
+Catalyst subtree, which means it inherits laziness, AQE, and
+whole-stage codegen like every other operator here.
+
+Cross-engine determinism: per-doc feature arithmetic is identical IEEE
+on any engine, but Σ over doubles is order-dependent, so the nine
+moments are canonicalized to 6 decimals BEFORE the solve (the repo's
+float-parity convention) — downstream Cramer arithmetic then runs on
+bit-identical inputs everywhere.
+
+Scope: exactly two features + intercept (the 3×3 Cramer solve written
+out). For wider probes, aggregate X^T X with the Arrow moment kernel in
+:mod:`sparkfeat.pca` and solve the small system once on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _det3(a) -> Column:
+    """Determinant of a 3x3 of Columns (row-major nested list)."""
+    return (
+        a[0][0] * (a[1][1] * a[2][2] - a[1][2] * a[2][1])
+        - a[0][1] * (a[1][0] * a[2][2] - a[1][2] * a[2][0])
+        + a[0][2] * (a[1][0] * a[2][1] - a[1][1] * a[2][0])
+    )
+
+
+def linear_probe_fit(
+    df: DataFrame,
+    x1: Column,
+    x2: Column,
+    label: Column,
+    seed: Column,
+    ridge: float = 1e-3,
+) -> DataFrame:
+    """Fit ``score = w0 + w1·x1 + w2·x2`` to ``label`` by ridge least
+    squares over the rows where ``seed`` is true, entirely in-plan.
+
+    Returns a ONE-row DataFrame (n_seed, w0, w1, w2). ``ridge`` is
+    added to every diagonal entry (including the intercept's — a
+    simple, documented choice that keeps the solve non-singular on a
+    degenerate seed). Moments are rounded to 6 decimals before the
+    solve so the weights replay bit-for-bit in any engine.
+    """
+    seeded = df.filter(seed)
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    m = seeded.agg(
+        r6(F.count(F.lit(1)).cast("double")).alias("n"),
+        r6(F.sum(x1)).alias("s1"),
+        r6(F.sum(x2)).alias("s2"),
+        r6(F.sum(x1 * x1)).alias("s11"),
+        r6(F.sum(x1 * x2)).alias("s12"),
+        r6(F.sum(x2 * x2)).alias("s22"),
+        r6(F.sum(label)).alias("sy"),
+        r6(F.sum(x1 * label)).alias("sy1"),
+        r6(F.sum(x2 * label)).alias("sy2"),
+    )
+    lam = F.lit(float(ridge))
+    a = [
+        [F.col("n") + lam, F.col("s1"), F.col("s2")],
+        [F.col("s1"), F.col("s11") + lam, F.col("s12")],
+        [F.col("s2"), F.col("s12"), F.col("s22") + lam],
+    ]
+    b = [F.col("sy"), F.col("sy1"), F.col("sy2")]
+    det = _det3(a)
+    cols = [F.col("n").cast("bigint").alias("n_seed")]
+    for j, name in enumerate(("w0", "w1", "w2")):
+        aj = [[b[i] if k == j else a[i][k] for k in range(3)] for i in range(3)]
+        cols.append((_det3(aj) / det).alias(name))
+    return m.select(*cols)
+
+
+def linear_probe_score(
+    df: DataFrame,
+    x1: Column,
+    x2: Column,
+    label: Column,
+    seed: Column,
+    ridge: float = 1e-3,
+    out_col: str = "score",
+) -> DataFrame:
+    """Fit on the seed slice, score EVERY row: appends the probe
+    ``score`` (w·x, rounded 6dp) plus the fitted weights (constant
+    columns — so a value-hash of the output verifies the solve itself,
+    not just the per-row dot product).
+
+    Scale shape: the fit is one tiny aggregate; the weights come back
+    as a broadcast one-row cross-join onto the corpus scan, and scoring
+    is a map-only expression — the 100 TB side is never shuffled.
+    """
+    w = linear_probe_fit(df, x1, x2, label, seed, ridge=ridge)
+    scored = df.crossJoin(F.broadcast(w))
+    score = F.col("w0") + F.col("w1") * x1 + F.col("w2") * x2
+    return scored.withColumn(out_col, F.round(score, 6)).withColumn(
+        "w0", F.round(F.col("w0"), 6)
+    ).withColumn("w1", F.round(F.col("w1"), 6)).withColumn(
+        "w2", F.round(F.col("w2"), 6)
+    )

@@ -5749,6 +5749,96 @@ def q_corpus_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _probe_oracle() -> str:
+    # The replaced-column determinants are written in EXACTLY _det3's
+    # term order (sparkfeat/probe.py) — identical rounded moments in,
+    # identical IEEE arithmetic, bit-identical weights out.
+    bucket = _hex_bucket_sql("doc_id", 21, 100)
+    return f"""WITH f AS (
+  SELECT doc_id, lang,
+    CAST(LEN(list_filter({_TOKS}, w -> w IN {_STOP_SQL})) AS DOUBLE)
+        / LEN({_TOKS}) AS x1,
+    LEAST(CAST(LENGTH(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+        / LEN({_TOKS}) / 8.0, 1.0) AS x2,
+    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+    ({bucket} < 50) AS is_seed
+  FROM documents WHERE text IS NOT NULL
+),
+m AS (
+  SELECT ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS n,
+         ROUND(SUM(x1), 6) AS s1, ROUND(SUM(x2), 6) AS s2,
+         ROUND(SUM(x1*x1), 6) AS s11, ROUND(SUM(x1*x2), 6) AS s12,
+         ROUND(SUM(x2*x2), 6) AS s22, ROUND(SUM(y), 6) AS sy,
+         ROUND(SUM(x1*y), 6) AS sy1, ROUND(SUM(x2*y), 6) AS sy2
+  FROM f WHERE is_seed
+),
+a AS (
+  SELECT (n + 0.001) AS a00, s1 AS a01, s2 AS a02,
+         s1 AS a10, (s11 + 0.001) AS a11, s12 AS a12,
+         s2 AS a20, s12 AS a21, (s22 + 0.001) AS a22,
+         sy AS b0, sy1 AS b1, sy2 AS b2, n
+  FROM m
+),
+w AS (
+  SELECT CAST(n AS BIGINT) AS n_seed,
+    (b0*(a11*a22 - a12*a21) - a01*(b1*a22 - a12*b2)
+       + a02*(b1*a21 - a11*b2)) / det AS w0,
+    (a00*(b1*a22 - a12*b2) - b0*(a10*a22 - a12*a20)
+       + a02*(a10*b2 - b1*a20)) / det AS w1,
+    (a00*(a11*b2 - b1*a21) - a01*(a10*b2 - b1*a20)
+       + b0*(a10*a21 - a11*a20)) / det AS w2
+  FROM (SELECT *,
+          (a00*(a11*a22 - a12*a21) - a01*(a10*a22 - a12*a20)
+             + a02*(a10*a21 - a11*a20)) AS det
+        FROM a)
+)
+SELECT f.doc_id, f.lang, ROUND(f.x1, 6) AS x1, ROUND(f.x2, 6) AS x2,
+  f.is_seed, w.n_seed,
+  ROUND(w.w0 + w.w1 * f.x1 + w.w2 * f.x2, 6) AS score,
+  ROUND(w.w0, 6) AS w0, ROUND(w.w1, 6) AS w1, ROUND(w.w2, 6) AS w2
+FROM f, w"""
+
+
+@register("doc_quality_probe", _probe_oracle(), driver=False)
+def q_doc_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan closed-form linear probe (the CCNet 'fit a cheap scorer
+    on a curated seed, score the whole crawl' move): ridge-fit
+    English-ness from two bounded text stats (stopword ratio, capped
+    avg word length) on a deterministic 50% md5 seed slice — the 3x3
+    normal equations solved by Cramer cofactors ON THE MOMENT ROW, no
+    driver math — then every doc scored via a broadcast one-row
+    cross-join. The oracle replays moments (rounded 6dp before the
+    solve, the canonicalization that makes the weights engine-exact),
+    the cofactor arithmetic in _det3's exact term order, and the
+    scoring; the constant w0/w1/w2 columns make the value hash verify
+    the SOLVE, not just the dot product."""
+    from sparkfeat import text as X
+    from sparkfeat.corpus import hash_bucket
+    from sparkfeat.probe import linear_probe_score
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+    )
+    x1 = X.stopword_ratio("text")
+    x2 = F.least(X.avg_word_len("text") / 8.0, F.lit(1.0))
+    label = (F.col("lang") == "en").cast("double")
+    seed = hash_bucket("doc_id", start=21, buckets=100) < 50
+    out = linear_probe_score(docs, x1, x2, label, seed)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.round(x1, 6).alias("x1"),
+        F.round(x2, 6).alias("x2"),
+        seed.alias("is_seed"),
+        "n_seed",
+        "score",
+        "w0",
+        "w1",
+        "w2",
+    )
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -5765,7 +5855,8 @@ def q_corpus_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # feature_corr_matrix, embedding_quantize_audit, ann_ivf_quantized,
 # dedup_source_crossrates, corpus_eval_sample, embedding_drift,
 # corpus_decontaminate_semantic, ann_hard_negatives, doc_pmi_topk,
-# corpus_curriculum_order, corpus_line_dedup, corpus_epoch_manifest —
+# corpus_curriculum_order, corpus_line_dedup, corpus_epoch_manifest,
+# doc_quality_probe —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #
