@@ -1011,3 +1011,54 @@ def epoch_expand(
         "n_epochs_full",
         "frac_ppm",
     )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    n_words: int = 256,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """:func:`decontaminate` at reference-set scales where the exact
+    broadcast stops working: the benchmark's distinct gram hashes are
+    folded into an in-plan Bloom filter (:mod:`sparkfeat.bloom` — bits
+    broadcast ~30-50× smaller than the md5 strings), and every corpus
+    gram is gated map-only against the packed words. One-sided error:
+    ``n_hit_bloom >= n_hit`` exact always (no false negatives — a
+    contaminated doc is NEVER missed); the ~FPR·n_grams overcount flags
+    a small superset, which is the right failure mode for a
+    contamination screen (confirm the flagged minority exactly if
+    needed). Deterministic: same keys → same bits → same verdicts on
+    any engine.
+
+    Output mirrors :func:`decontaminate`: (id, n_grams, n_hit_bloom,
+    flagged).
+    """
+    from sparkfeat.bloom import bloom_build, bloom_gate
+
+    bench_grams = bench.select(
+        F.explode(token_ngram_hashes(text_col, n=n)).alias("gram")
+    ).distinct()
+    bloom = bloom_build(bench_grams, "gram", n_words=n_words, n_hashes=n_hashes)
+    corpus_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(token_ngram_hashes(text_col, n=n))).alias("gram"),
+    )
+    hits = (
+        bloom_gate(corpus_grams, F.col("gram"), bloom)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("bloom_hit").cast("bigint")).alias("n_hit_bloom"))
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.array_distinct(token_ngram_hashes(text_col, n=n))).alias("n_grams"),
+    )
+    return base.join(hits, id_col, "left").select(
+        id_col,
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.coalesce("n_hit_bloom", F.lit(0)).cast("bigint").alias("n_hit_bloom"),
+        (F.coalesce("n_hit_bloom", F.lit(0)) > 0).alias("flagged"),
+    )

@@ -5839,6 +5839,109 @@ def q_doc_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hex_int12_sql(hexpr: str) -> str:
+    """First 12 hex digits of a hex-string expression as a BIGINT (48
+    bits — exact everywhere), expanded positionally like
+    _hex_bucket_sql; the replay of sparkfeat.bloom's hash position."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({hexpr}, {j + 1}, 1)) - 1)"
+        f" * {16 ** (11 - j)}"
+        for j in range(12)
+    )
+    return f"({terms})"
+
+
+def _decontaminate_bloom_oracle(
+    n: int = 3, bench_pct: int = 20, n_words: int = 128, n_hashes: int = 5
+) -> str:
+    gram = " || ' ' || ".join(f"ws[i+{k}]" if k else "ws[i]" for k in range(n))
+    n_bits = n_words * 63
+    md5_h1 = "md5('h1:' || gram)"
+    md5_h2 = "md5('h2:' || gram)"
+    h1 = f"({_hex_int12_sql(md5_h1)} % {n_bits})"
+    h2 = f"({_hex_int12_sql(md5_h2)} % {n_bits - 1} + 1)"
+    return f"""WITH h AS (
+    SELECT doc_id, lower(text) AS lc, {_hex_bucket_sql("doc_id", 9, 1000)} AS bb
+    FROM documents
+),
+w AS (
+    SELECT doc_id, bb, regexp_split_to_array(lc, '\\s+') AS ws FROM h
+),
+gr AS (
+    SELECT doc_id, bb,
+        list_distinct(list_transform(generate_series(1, len(ws) - {n - 1}),
+                                     i -> md5({gram}))) AS grams
+    FROM w
+),
+bg AS (
+    SELECT DISTINCT unnest(grams) AS gram FROM gr WHERE bb < {bench_pct}
+),
+bh AS (
+    SELECT gram, {h1} AS h1, {h2} AS h2 FROM bg
+),
+bp AS (
+    SELECT (h1 + i * h2) % {n_bits} AS pos
+    FROM bh, generate_series(0, {n_hashes - 1}) s(i)
+),
+wt AS (
+    SELECT CAST(pos // 63 AS INT) AS word_idx,
+           bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+    FROM bp GROUP BY 1
+),
+corp AS (SELECT doc_id, grams FROM gr WHERE bb >= {bench_pct}),
+x AS (SELECT doc_id, unnest(grams) AS gram FROM corp),
+xh AS (
+    SELECT doc_id, gram, {h1} AS h1, {h2} AS h2 FROM x
+),
+xp AS (
+    SELECT doc_id, gram, i, (h1 + i * h2) % {n_bits} AS pos
+    FROM xh, generate_series(0, {n_hashes - 1}) s(i)
+),
+xb AS (
+    SELECT doc_id, gram,
+        bool_and(COALESCE(
+            (wt.word & (1::BIGINT << CAST(xp.pos % 63 AS INT))) != 0,
+            FALSE)) AS hit
+    FROM xp LEFT JOIN wt ON wt.word_idx = CAST(xp.pos // 63 AS INT)
+    GROUP BY doc_id, gram
+),
+hb AS (
+    SELECT doc_id, SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hit_bloom
+    FROM xb GROUP BY doc_id
+)
+SELECT corp.doc_id,
+    CAST(len(grams) AS BIGINT) AS n_grams,
+    CAST(COALESCE(n_hit_bloom, 0) AS BIGINT) AS n_hit_bloom,
+    COALESCE(n_hit_bloom, 0) > 0 AS flagged
+FROM corp LEFT JOIN hb USING (doc_id)"""
+
+
+@register("corpus_decontaminate_bloom", _decontaminate_bloom_oracle(), driver=False)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_decontaminate's scale path: the SAME 2% bench slice and
+    3-gram keys, but the bench grams fold into an in-plan Bloom filter
+    (128 words × 63 bits ≈ 10 bits/key at sf0.01, k=5 → ~1% FPR) and
+    the corpus grams are gated map-only against the packed bits —
+    bits broadcast where a 10⁹-gram string set couldn't. One-sided by
+    construction: exact-contaminated docs are always flagged; the
+    deterministic handful of false-positive grams lands identically on
+    both engines (the oracle rebuilds the words via bit_or and probes
+    with the same Kirsch–Mitzenmacher h1 + i·h2 positions from the
+    same 12-hex-digit md5 integers), so the hash check covers the FPs
+    too."""
+    from sparkfeat.corpus import decontaminate_bloom, hash_bucket
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bb = hash_bucket("doc_id", start=9, buckets=1000)
+    return decontaminate_bloom(
+        docs.filter(bb >= 20),
+        docs.filter(bb < 20),
+        n=3,
+        n_words=128,
+        n_hashes=5,
+    )
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -5856,7 +5959,7 @@ def q_doc_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_source_crossrates, corpus_eval_sample, embedding_drift,
 # corpus_decontaminate_semantic, ann_hard_negatives, doc_pmi_topk,
 # corpus_curriculum_order, corpus_line_dedup, corpus_epoch_manifest,
-# doc_quality_probe —
+# doc_quality_probe, corpus_decontaminate_bloom —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #
