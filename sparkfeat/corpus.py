@@ -1062,3 +1062,51 @@ def decontaminate_bloom(
         F.coalesce("n_hit_bloom", F.lit(0)).cast("bigint").alias("n_hit_bloom"),
         (F.coalesce("n_hit_bloom", F.lit(0)) > 0).alias("flagged"),
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split membership is a
+    property of the near-duplicate CLUSTER, never the individual doc.
+    A doc-level hash split (:func:`sample_split`) puts ~2·p·(1−p) of
+    every near-dup pair on opposite sides of the train/test fence —
+    the classic test-set-contamination failure (the eval set "novelty"
+    is a near-copy of training data, so measured loss is memorization,
+    not generalization). Here every doc inherits the split of its
+    connected-component cluster id (smallest reachable doc id through
+    the pair graph, :func:`sparkfeat.dedup.connected_components` —
+    deterministic on any cluster), so a near-dup group moves as one
+    unit by construction.
+
+    Nests with :func:`sample_split`: the cluster id is hashed with the
+    SAME bucket (start=25) and thresholds, and a singleton's cluster id
+    is its own doc id — so docs with no near-dups keep their exact
+    doc-level assignment, and adopting cluster-safety only ever moves
+    members of multi-doc clusters. Scale shape: the component labels
+    cover only non-isolated nodes (pair-graph sized, not corpus sized);
+    the corpus side is one id-projected left join + a cluster-size
+    groupBy — text never shuffles.
+
+    Output: (id, cluster_id, cluster_size, split_bucket, split).
+    """
+    from sparkfeat.dedup import neardup_clusters
+
+    lab = neardup_clusters(docs, pairs, id_col=id_col)
+    b = hash_bucket("cluster_id", start=25)
+    split = (
+        F.when(b < int(train * 1000), "train")
+        .when(b < int((train + val) * 1000), "val")
+        .otherwise("test")
+    )
+    return lab.select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        b.cast("int").alias("split_bucket"),
+        split.alias("split"),
+    )

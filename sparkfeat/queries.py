@@ -5942,6 +5942,104 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _heavy_terms_oracle(
+    k: int = 30, width: int = 1024, depth: int = 4, sample_pct: int = 25
+) -> str:
+    md5_c1 = "md5('c1:' || term)"
+    md5_c2 = "md5('c2:' || term)"
+    h1 = f"({_hex_int12_sql(md5_c1)} % {width})"
+    h2 = f"({_hex_int12_sql(md5_c2)} % {width - 1} + 1)"
+    return f"""WITH tok0 AS (
+    SELECT {_hex_bucket_sql("doc_id", 17, 1000)} AS sb,
+           unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+    FROM documents
+),
+tok AS (SELECT * FROM tok0 WHERE term <> ''),
+h AS (SELECT term, sb, {h1} AS h1, {h2} AS h2 FROM tok),
+cells AS (
+    SELECT (i * {width} + (h1 + i * h2) % {width}) AS cell,
+           COUNT(*)::BIGINT AS cnt
+    FROM h, generate_series(0, {depth - 1}) s(i)
+    GROUP BY 1
+),
+cand AS (SELECT DISTINCT term, h1, h2 FROM h WHERE sb < {sample_pct * 10}),
+est AS (
+    SELECT term, MIN(COALESCE(cnt, 0)) AS est_count
+    FROM (
+        SELECT cand.term, cells.cnt
+        FROM cand CROSS JOIN generate_series(0, {depth - 1}) s(i)
+        LEFT JOIN cells
+          ON cells.cell = i * {width} + (cand.h1 + i * cand.h2) % {width}
+    ) GROUP BY term
+)
+SELECT term, CAST(est_count AS BIGINT) AS est_count
+FROM est ORDER BY est_count DESC, term LIMIT {k}"""
+
+
+@register("doc_heavy_terms", _heavy_terms_oracle(), driver=False)
+def q_doc_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-30 terms via the in-plan count-min sketch
+    (:mod:`sparkfeat.cms` — the frequency sibling of the Bloom gate):
+    every token instance folds into a packed 1024×4 cell array whose
+    build shuffles at most partitions × depth × width combined cells —
+    NOT the term cardinality, which at 100 TB (~10¹¹ distinct n-grams)
+    is what kills the exact groupBy — and a deterministic 25% md5 doc
+    sample proposes candidates that the broadcast sketch scores
+    map-only (sample proposes, sketch disposes). Width is deliberately
+    tight at sf0.01 so real collisions occur: the oracle rebuilds the
+    SAME cells from the same Kirsch–Mitzenmacher positions and 48-bit
+    md5-prefix integers, so every overestimated count and every tie
+    (est desc, term asc) hash-matches — the check covers the sketch's
+    error behavior, not just its happy path. Estimates are one-sided
+    (never under), so a true heavy hitter can never be ranked below
+    its exact position; pytest pins top-k == exact top-k at generous
+    width and the e·N/width bound at tight width."""
+    from sparkfeat.cms import heavy_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heavy_terms(docs, k=30, width=1024, depth=4, sample_pct=25)
+
+
+def _cluster_safe_split_oracle(train: float = 0.8, val: float = 0.1) -> str:
+    t1, t2 = int(train * 1000), int((train + val) * 1000)
+    return f"""WITH cl AS (SELECT * FROM ({_neardup_clusters_oracle()}) _cl),
+b AS (
+    SELECT doc_id, cluster_id, cluster_size,
+           {_hex_bucket_sql("cluster_id", 25, 1000)} AS sb
+    FROM cl
+)
+SELECT doc_id, cluster_id, cluster_size,
+       CAST(sb AS INT) AS split_bucket,
+       CASE WHEN sb < {t1} THEN 'train'
+            WHEN sb < {t2} THEN 'val'
+            ELSE 'test' END AS split
+FROM b"""
+
+
+@register("corpus_cluster_safe_split", _cluster_safe_split_oracle(), driver=False)
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assignment is hashed from the
+    near-dup CLUSTER id (MinHash+LSH pairs → large-star/small-star
+    connected components → smallest reachable doc id), never the doc id
+    — a doc-level hash split strands ~2·p·(1−p) of every near-dup pair
+    across the train/test fence, the classic eval-contamination
+    failure. Nests with corpus_sample_split: the cluster id is hashed
+    with the SAME bucket position and thresholds, and a singleton's
+    cluster id is its own doc id, so only multi-doc-cluster members
+    ever move. The oracle replays the full chain — recursive-CTE
+    transitive closure of the same pair graph, then the same positional
+    hex bucket on the winning cluster id — so the hash check covers
+    both the component labels and the split arithmetic."""
+    from sparkfeat.corpus import cluster_safe_split
+    from sparkfeat.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, num_perm=64, bands=16, shingle_n=2).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    return cluster_safe_split(docs, pairs)
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -5959,7 +6057,8 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_source_crossrates, corpus_eval_sample, embedding_drift,
 # corpus_decontaminate_semantic, ann_hard_negatives, doc_pmi_topk,
 # corpus_curriculum_order, corpus_line_dedup, corpus_epoch_manifest,
-# doc_quality_probe, corpus_decontaminate_bloom —
+# doc_quality_probe, corpus_decontaminate_bloom, doc_heavy_terms,
+# corpus_cluster_safe_split —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #
