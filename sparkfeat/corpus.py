@@ -1110,3 +1110,51 @@ def cluster_safe_split(
         b.cast("int").alias("split_bucket"),
         split.alias("split"),
     )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    group_col: str = "source",
+    token_col: str = "n_tok",
+) -> DataFrame:
+    """Temperature-scaled source sampling weights — the multilingual /
+    multi-source mixture rule (Lample & Conneau 2019, XLM; used
+    unchanged by mT5/XLM-R/BLOOM): sample source i with probability
+    ``q_i ∝ p_i^α`` where ``p_i`` is its raw token share. ``α = 1``
+    reproduces natural proportions; ``α → 0`` is uniform; the usual
+    0.2–0.7 lifts low-resource sources without drowning the head.
+    Complements :func:`mixture_sample` (which needs target proportions
+    as INPUT) and :func:`epoch_plan` (whose ``weights`` this output
+    feeds): this operator DERIVES the mixture from the corpus itself.
+
+    All plan arithmetic, no driver math: ONE tiny groupBy(group)
+    aggregate, total and normalizer folded back as one-row broadcast
+    cross-joins. The unnormalized ``p_i^α`` terms are canonicalized to
+    9 dp BEFORE the normalizing sum (the same round-before-solve move
+    as :mod:`sparkfeat.probe`), so every downstream ratio is arithmetic
+    on identical doubles in any engine. Fully lazy.
+
+    Output per group: ``(group, tok_group, p_raw, q_temp, oversample)``
+    — ``oversample`` = q/p, the repetition factor each source needs at
+    training time (>1 = upsampled), all shares rounded to 6 dp.
+    """
+    stats = (
+        docs.groupBy(group_col)
+        .agg(F.sum(F.col(token_col)).cast("bigint").alias("tok_group"))
+        .filter(F.col("tok_group") > 0)
+    )
+    tot = stats.agg(F.sum("tok_group").cast("bigint").alias("_tot"))
+    p = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn("p_raw", F.col("tok_group").cast("double") / F.col("_tot"))
+        .withColumn("_w", F.round(F.pow("p_raw", F.lit(float(alpha))), 9))
+    )
+    z = p.agg(F.sum("_w").alias("_z"))
+    return p.crossJoin(F.broadcast(z)).select(
+        group_col,
+        "tok_group",
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round(F.col("_w") / F.col("_z"), 6).alias("q_temp"),
+        F.round(F.col("_w") / F.col("_z") / F.col("p_raw"), 6).alias("oversample"),
+    )

@@ -112,3 +112,89 @@ def linear_probe_score(
     ).withColumn("w1", F.round(F.col("w1"), 6)).withColumn(
         "w2", F.round(F.col("w2"), 6)
     )
+
+
+def shrink_group_means(
+    df: DataFrame,
+    value: Column,
+    group_col: str = "source",
+) -> DataFrame:
+    """Empirical-Bayes (James–Stein) shrinkage of per-group means —
+    the per-DOMAIN quality prior move: a web corpus has millions of
+    domains and most contribute a handful of documents, so their raw
+    mean quality is noise; the one-way random-effects model
+    ``x_ij ~ N(θ_i, σ²), θ_i ~ N(μ, τ²)`` gives the posterior mean
+    ``μ + B_i·(m_i − μ)`` with ``B_i = τ²/(τ² + σ²/n_i)`` — sparse
+    domains collapse toward the corpus mean, well-observed domains keep
+    their own signal. (Efron & Morris 1975; the standard method-of-
+    moments one-way ANOVA estimators: σ² = SSW/(N−k),
+    τ² = max(0, (MSB − σ²)/n₀), n₀ = (N − Σn_i²/N)/(k−1).)
+
+    Entirely in-plan, zero driver math (the :func:`linear_probe_fit`
+    recipe): ONE map-side-combined groupBy(group) produces per-group
+    sufficient statistics; ONE one-row aggregate over those k rows
+    produces the global moments; the variance components and shrinkage
+    are plain arithmetic on that row, broadcast back onto the k-row
+    group table. The corpus is touched exactly once and only the k-row
+    side ever re-flows — at 100 TB the second aggregate input is
+    k ≈ 10⁶ domain rows, not documents.
+
+    Cross-engine determinism: per-group sums are rounded to 6 dp, and
+    every global moment is rounded to 6 dp BEFORE the variance-
+    component arithmetic (the round-before-solve convention), so both
+    engines divide identical doubles. SSB is computed from the
+    expansion ``Σ s_i²/n_i − S²/N`` so no second pass over groups is
+    needed. Degenerate inputs (k ≤ 1 or every group a singleton) make
+    the within/between mean squares undefined — B_i coalesces to 0 and
+    every group reports the grand mean.
+
+    Output per group: ``(group, n_docs, mean_raw, shrink_b,
+    mean_shrunk, grand_mean)`` — ``grand_mean`` is a constant column so
+    the value hash verifies the global arithmetic, not just the
+    per-group map.
+    """
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        r6(F.sum(value)).alias("s_i"),
+        r6(F.sum(value * value)).alias("ss_i"),
+    )
+    g = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_i").cast("bigint").alias("N"),
+        F.sum(F.col("n_i") * F.col("n_i")).cast("bigint").alias("nn"),
+        r6(F.sum("s_i")).alias("S"),
+        # within sum of squares: Σ_i (ss_i − s_i²/n_i), each term
+        # deterministic arithmetic on the rounded per-group sums
+        r6(F.sum(F.col("ss_i") - F.col("s_i") * F.col("s_i") / F.col("n_i"))).alias(
+            "SSW"
+        ),
+        # between-groups raw moment Σ s_i²/n_i (SSB = Q − S²/N)
+        r6(F.sum(F.col("s_i") * F.col("s_i") / F.col("n_i"))).alias("Q"),
+    )
+    mu = F.col("S") / F.col("N")
+    msw = F.col("SSW") / F.nullif((F.col("N") - F.col("k")).cast("double"), F.lit(0.0))
+    msb = (F.col("Q") - F.col("S") * F.col("S") / F.col("N")) / F.nullif(
+        (F.col("k") - 1).cast("double"), F.lit(0.0)
+    )
+    n0 = (F.col("N").cast("double") - F.col("nn") / F.col("N")) / F.nullif(
+        (F.col("k") - 1).cast("double"), F.lit(0.0)
+    )
+    tau2 = F.greatest(F.lit(0.0), (msb - msw) / F.nullif(n0, F.lit(0.0)))
+    gstats = g.select(
+        mu.alias("_mu"), msw.alias("_msw"), tau2.alias("_tau2")
+    )
+    m_i = F.col("s_i") / F.col("n_i")
+    b_i = F.coalesce(
+        F.col("_tau2")
+        / F.nullif(F.col("_tau2") + F.col("_msw") / F.col("n_i"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    return per.crossJoin(F.broadcast(gstats)).select(
+        group_col,
+        F.col("n_i").alias("n_docs"),
+        r6(m_i).alias("mean_raw"),
+        r6(b_i).alias("shrink_b"),
+        r6(F.col("_mu") + b_i * (m_i - F.col("_mu"))).alias("mean_shrunk"),
+        r6(F.col("_mu")).alias("grand_mean"),
+    )

@@ -6040,6 +6040,108 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_safe_split(docs, pairs)
 
 
+def _temperature_oracle(alpha: float = 0.3) -> str:
+    return f"""WITH s AS (
+    SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tok_group
+    FROM documents GROUP BY source HAVING SUM(n_chars) > 0
+),
+t AS (SELECT CAST(SUM(tok_group) AS BIGINT) AS tot FROM s),
+p AS (
+    SELECT source, tok_group,
+           CAST(tok_group AS DOUBLE) / tot AS p_raw,
+           ROUND(POW(CAST(tok_group AS DOUBLE) / tot, {alpha}), 9) AS w
+    FROM s, t
+),
+z AS (SELECT SUM(w) AS z FROM p)
+SELECT source, tok_group,
+       ROUND(p_raw, 6) AS p_raw,
+       ROUND(w / z, 6) AS q_temp,
+       ROUND(w / z / p_raw, 6) AS oversample
+FROM p, z"""
+
+
+@register("corpus_temperature_mix", _temperature_oracle(), driver=False)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (q ∝ p^0.3, the XLM-family
+    source-sampling rule): DERIVES the per-source training mixture from
+    the corpus's own token shares — the upstream of mixture_sample /
+    epoch_plan, which consume such weights. Two one-row broadcast
+    cross-joins around one tiny groupBy; the p^α terms are rounded to
+    9 dp BEFORE the normalizing sum so both engines divide identical
+    doubles (pow is the only libm call, canonicalized immediately).
+    The hash check covers the share arithmetic end to end."""
+    from sparkfeat.corpus import temperature_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_weights(docs, alpha=0.3, token_col="n_chars")
+
+
+def _shrink_oracle() -> str:
+    # Variance-component arithmetic written in EXACTLY
+    # probe.shrink_group_means' term order — identical rounded
+    # per-group sums in, bit-identical shrinkage out.
+    return f"""WITH f AS (
+  SELECT source,
+    CAST(LEN(list_filter({_TOKS}, w -> w IN {_STOP_SQL})) AS DOUBLE)
+        / LEN({_TOKS}) AS v
+  FROM documents WHERE text IS NOT NULL
+),
+per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_i,
+         ROUND(SUM(v), 6) AS s_i, ROUND(SUM(v * v), 6) AS ss_i
+  FROM f GROUP BY source
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_i) AS BIGINT) AS nt,
+         CAST(SUM(n_i * n_i) AS BIGINT) AS nn,
+         ROUND(SUM(s_i), 6) AS s,
+         ROUND(SUM(ss_i - s_i * s_i / n_i), 6) AS ssw,
+         ROUND(SUM(s_i * s_i / n_i), 6) AS q
+  FROM per
+),
+st AS (
+  SELECT s / nt AS mu, ssw / CAST(nt - k AS DOUBLE) AS msw,
+    GREATEST(0.0,
+      ((q - s * s / nt) / CAST(k - 1 AS DOUBLE)
+         - ssw / CAST(nt - k AS DOUBLE))
+      / ((CAST(nt AS DOUBLE) - nn / nt) / CAST(k - 1 AS DOUBLE))) AS tau2
+  FROM g
+)
+SELECT per.source, per.n_i AS n_docs,
+  ROUND(s_i / n_i, 6) AS mean_raw,
+  ROUND(tau2 / (tau2 + msw / n_i), 6) AS shrink_b,
+  ROUND(mu + tau2 / (tau2 + msw / n_i) * (s_i / n_i - mu), 6)
+      AS mean_shrunk,
+  ROUND(mu, 6) AS grand_mean
+FROM per, st"""
+
+
+@register("source_quality_shrunk", _shrink_oracle(), driver=False)
+def q_source_quality_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes per-source quality prior (James–Stein / one-way
+    random-effects shrinkage): a web corpus has millions of domains,
+    most contributing a handful of docs whose raw mean quality is
+    noise — the posterior mean mu + B_i (m_i − mu) with
+    B_i = tau² / (tau² + sigma²/n_i) collapses sparse sources toward
+    the corpus mean and lets well-observed sources keep their signal
+    (the RefinedWeb-style per-domain prior). Entirely in-plan: one
+    groupBy(source) for sufficient stats, one one-row aggregate over
+    the k source rows for the method-of-moments variance components,
+    broadcast back — the corpus is scanned ONCE and only k rows ever
+    re-flow. The oracle replays the per-group rounded sums, the
+    expansion SSB = Q − S²/N, and the component arithmetic in the same
+    term order; the constant grand_mean column makes the hash verify
+    the global solve, not just the per-group map."""
+    from sparkfeat import text as X
+    from sparkfeat.probe import shrink_group_means
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+    )
+    return shrink_group_means(docs, X.stopword_ratio("text"), "source")
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -6058,7 +6160,8 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_decontaminate_semantic, ann_hard_negatives, doc_pmi_topk,
 # corpus_curriculum_order, corpus_line_dedup, corpus_epoch_manifest,
 # doc_quality_probe, corpus_decontaminate_bloom, doc_heavy_terms,
-# corpus_cluster_safe_split —
+# corpus_cluster_safe_split, corpus_temperature_mix,
+# source_quality_shrunk —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

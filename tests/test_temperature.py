@@ -1,0 +1,63 @@
+"""temperature_weights (sparkfeat/corpus.py): the α-limit identities
+(α=1 → natural shares, α=0 → uniform), the flattening direction for
+0<α<1 (head compressed, tail lifted — the whole point of the rule),
+normalization, zero-token exclusion, and laziness."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sparkfeat.corpus import temperature_weights
+
+
+def _docs(spark):
+    # token masses 7000 / 2000 / 1000 => p = .7 / .2 / .1
+    rows = (
+        [("a", 70) for _ in range(100)]
+        + [("b", 20) for _ in range(100)]
+        + [("c", 10) for _ in range(100)]
+        + [("empty", 0) for _ in range(5)]
+    )
+    return spark.createDataFrame(rows, "source string, n_tok int")
+
+
+def _by_source(df):
+    return {r["source"]: r.asDict() for r in df.collect()}
+
+
+def test_alpha_one_reproduces_natural_shares(spark):
+    got = _by_source(temperature_weights(_docs(spark), alpha=1.0))
+    assert got["a"]["q_temp"] == got["a"]["p_raw"] == 0.7
+    assert got["b"]["q_temp"] == 0.2 and got["c"]["q_temp"] == 0.1
+    assert all(abs(v["oversample"] - 1.0) < 1e-6 for v in got.values())
+
+
+def test_alpha_zero_is_uniform(spark):
+    got = _by_source(temperature_weights(_docs(spark), alpha=0.0))
+    assert all(abs(v["q_temp"] - 1 / 3) < 1e-5 for v in got.values())
+
+
+def test_fractional_alpha_flattens(spark):
+    """0<α<1 must compress the head and lift the tail, keep the rank
+    order, and stay normalized; oversample >1 exactly for tail groups."""
+    got = _by_source(temperature_weights(_docs(spark), alpha=0.3))
+    assert got["a"]["q_temp"] < got["a"]["p_raw"]
+    assert got["c"]["q_temp"] > got["c"]["p_raw"]
+    assert got["a"]["q_temp"] > got["b"]["q_temp"] > got["c"]["q_temp"]
+    assert abs(sum(v["q_temp"] for v in got.values()) - 1.0) < 3e-6
+    assert got["a"]["oversample"] < 1.0 < got["c"]["oversample"]
+
+
+def test_zero_token_groups_excluded(spark):
+    got = _by_source(temperature_weights(_docs(spark), alpha=0.3))
+    assert set(got) == {"a", "b", "c"}
+
+
+def test_build_is_lazy(spark):
+    """Constructing the plan must not fire a Spark job (the
+    mixture_sample eager-count lesson from round 4)."""
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    temperature_weights(_docs(spark), alpha=0.3)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert before == after
