@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "conv_signature",
+    "cumulative_distinct",
     "conv_dedup_exact",
     "conv_minhash_signature",
     "conv_neardup_pairs",
@@ -440,4 +441,63 @@ def resequence_turns(
         .cast("int")
         .alias("gap_before"),
         F.coalesce(F.col(ts_col) < prev_ts, F.lit(False)).alias("ts_regressed"),
+    )
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    value_col: str,
+    out_col: str | None = None,
+    key_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Running distinct-count feature: at every turn, how many DISTINCT
+    values of ``value_col`` the conversation has produced so far
+    (inclusive of the current turn; for strictly-prior semantics shift
+    the result with ``lag`` — same partitioning). The agent-telemetry
+    staple ("distinct tools invoked so far", "distinct files touched")
+    and a point-in-time feature by construction: only rows at or before
+    the current order position contribute.
+
+    Scale shape — the reason this is NOT ``collect_set`` over a running
+    window: ``size(collect_set(...))`` holds the whole set per ROW
+    (O(n²) state across a 10⁶-turn agent loop — the OOM class the
+    duplicate-span hardening removed), and a first-seen flag via
+    ``row_number over (key, value)`` costs a SECOND full-stream hash
+    exchange on ``(key, value)``. Instead the first occurrence of each
+    value is detected with ``lag`` over the SAME ``key_col``
+    partitioning re-SORTED by ``(value, order...)`` — a block boundary
+    in the value-sorted order is exactly a first occurrence — then the
+    0/1 flags cumulative-sum in the chronological sort. ONE hash
+    exchange total (ZERO on the bucketed/Iceberg ``bucket(N, conv_id)``
+    layout, like every operator in this module); the two orderings are
+    per-partition sorts, which spill instead of OOM-ing. NULL values
+    never count (flag forced 0); null placement in the value sort is
+    irrelevant because a non-null block's first row flags 1 whether its
+    predecessor is a null row or a different value.
+
+    Cross-engine determinism: ``(value, order...)`` is a total order
+    when ``order_cols`` are unique per key (``(ts, turn_idx)`` is), and
+    the flag depends only on value-block boundaries, not on engine null
+    ordering (Spark NULLS FIRST vs DuckDB NULLS LAST — both give the
+    boundary row a non-equal predecessor).
+    """
+    v = F.col(value_col)
+    w_block = Window.partitionBy(key_col).orderBy(value_col, *order_cols)
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flag = (
+        F.when(v.isNull(), 0)
+        .when(F.lag(value_col).over(w_block).eqNullSafe(v), 0)
+        .otherwise(1)
+    )
+    out = out_col or f"n_distinct_{value_col}"
+    tmp = f"_first_{value_col}"
+    return (
+        df.withColumn(tmp, flag)
+        .withColumn(out, F.sum(tmp).over(w_cum).cast("int"))
+        .drop(tmp)
     )

@@ -198,3 +198,82 @@ def shrink_group_means(
         r6(F.col("_mu") + b_i * (m_i - F.col("_mu"))).alias("mean_shrunk"),
         r6(F.col("_mu")).alias("grand_mean"),
     )
+
+
+def calibration_table(
+    df: DataFrame,
+    score: Column,
+    label: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table + expected calibration error (ECE) for a
+    probabilistic scorer — the acceptance check a quality probe needs
+    before its scores gate a 100 TB corpus: per score-bin, does the
+    empirical positive rate track the predicted score? (Guo et al.
+    2017's ECE, computed over equal-WIDTH bins between the observed
+    min/max — equal-width instead of quantile bins because quantile
+    edges need a global sort / ntile, while min/max is one map-side
+    aggregate; the standard reliability-diagram binning.)
+
+    Entirely in-plan: one one-row (min, max) aggregate broadcast back,
+    one groupBy(bin) over the corpus, then ECE = Σ n_b/N·|mean_score −
+    frac_pos| folded over the ≤ n_bins rows and broadcast onto them as
+    a constant column (so the value hash verifies the global ECE
+    arithmetic, house convention). The corpus is scanned ONCE for the
+    range and ONCE for the bin aggregate; everything downstream flows
+    k ≤ n_bins rows. Min/max are rounded to 6 dp before the bin-width
+    division and per-bin sums before the means (round-before-solve), so
+    both engines bin and divide identical doubles. A constant score
+    (hi == lo) puts every row in bin 0 via the NULLIF/COALESCE guard.
+
+    Output per occupied bin: ``(bin, n_docs, bin_lo, bin_hi,
+    mean_score, frac_pos, ece)``.
+    """
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    rng = df.agg(r6(F.min(score)).alias("_lo"), r6(F.max(score)).alias("_hi"))
+    width = F.nullif(
+        (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins)), F.lit(0.0)
+    )
+    binned = df.crossJoin(F.broadcast(rng)).withColumn(
+        "_bin",
+        F.coalesce(
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((score - F.col("_lo")) / width).cast("int"),
+                ),
+            ),
+            F.lit(0),
+        ),
+    )
+    per = (
+        binned.groupBy("_bin", "_lo", "_hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            r6(F.sum(score)).alias("_ss"),
+            r6(F.sum(label)).alias("_sl"),
+        )
+        .select(
+            F.col("_bin").alias("bin"),
+            "n_docs",
+            r6(F.col("_lo") + F.col("_bin") * (F.col("_hi") - F.col("_lo")) / n_bins)
+            .alias("bin_lo"),
+            r6(
+                F.col("_lo")
+                + (F.col("_bin") + 1) * (F.col("_hi") - F.col("_lo")) / n_bins
+            ).alias("bin_hi"),
+            r6(F.col("_ss") / F.col("n_docs")).alias("mean_score"),
+            r6(F.col("_sl") / F.col("n_docs")).alias("frac_pos"),
+        )
+    )
+    ece = per.agg(
+        r6(
+            F.sum(
+                F.col("n_docs")
+                * F.abs(F.col("mean_score") - F.col("frac_pos"))
+            )
+            / F.sum("n_docs")
+        ).alias("ece")
+    )
+    return per.crossJoin(F.broadcast(ece))

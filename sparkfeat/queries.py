@@ -6142,6 +6142,213 @@ def q_source_quality_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shrink_group_means(docs, X.stopword_ratio("text"), "source")
 
 
+def _calibration_oracle() -> str:
+    # Embeds the probe-fit CTEs of _probe_oracle (same moments, same
+    # Cramer term order), then replays calibration_table's binning:
+    # rounded (lo, hi), NULLIF-guarded equal-width bins, rounded
+    # per-bin sums, and the ECE fold — in probe.calibration_table's
+    # exact arithmetic order.
+    bucket = _hex_bucket_sql("doc_id", 21, 100)
+    return f"""WITH f AS (
+  SELECT doc_id, lang,
+    CAST(LEN(list_filter({_TOKS}, w -> w IN {_STOP_SQL})) AS DOUBLE)
+        / LEN({_TOKS}) AS x1,
+    LEAST(CAST(LENGTH(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+        / LEN({_TOKS}) / 8.0, 1.0) AS x2,
+    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+    ({bucket} < 50) AS is_seed
+  FROM documents WHERE text IS NOT NULL
+),
+m AS (
+  SELECT ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS n,
+         ROUND(SUM(x1), 6) AS s1, ROUND(SUM(x2), 6) AS s2,
+         ROUND(SUM(x1*x1), 6) AS s11, ROUND(SUM(x1*x2), 6) AS s12,
+         ROUND(SUM(x2*x2), 6) AS s22, ROUND(SUM(y), 6) AS sy,
+         ROUND(SUM(x1*y), 6) AS sy1, ROUND(SUM(x2*y), 6) AS sy2
+  FROM f WHERE is_seed
+),
+a AS (
+  SELECT (n + 0.001) AS a00, s1 AS a01, s2 AS a02,
+         s1 AS a10, (s11 + 0.001) AS a11, s12 AS a12,
+         s2 AS a20, s12 AS a21, (s22 + 0.001) AS a22,
+         sy AS b0, sy1 AS b1, sy2 AS b2
+  FROM m
+),
+w AS (
+  SELECT
+    (b0*(a11*a22 - a12*a21) - a01*(b1*a22 - a12*b2)
+       + a02*(b1*a21 - a11*b2)) / det AS w0,
+    (a00*(b1*a22 - a12*b2) - b0*(a10*a22 - a12*a20)
+       + a02*(a10*b2 - b1*a20)) / det AS w1,
+    (a00*(a11*b2 - b1*a21) - a01*(a10*b2 - b1*a20)
+       + b0*(a10*a21 - a11*a20)) / det AS w2
+  FROM (SELECT *,
+          (a00*(a11*a22 - a12*a21) - a01*(a10*a22 - a12*a20)
+             + a02*(a10*a21 - a11*a20)) AS det
+        FROM a)
+),
+sc AS (
+  SELECT f.y, ROUND(w.w0 + w.w1 * f.x1 + w.w2 * f.x2, 6) AS s
+  FROM f, w
+),
+r AS (SELECT ROUND(MIN(s), 6) AS lo, ROUND(MAX(s), 6) AS hi FROM sc),
+b AS (
+  SELECT COALESCE(LEAST(9, GREATEST(0,
+           CAST(FLOOR((s - lo) / NULLIF((hi - lo) / 10.0, 0))
+                AS INTEGER))), 0) AS bin,
+         s, y, lo, hi
+  FROM sc, r
+),
+per AS (
+  SELECT bin, lo, hi, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(SUM(s), 6) AS ss, ROUND(SUM(y), 6) AS sl
+  FROM b GROUP BY bin, lo, hi
+),
+p2 AS (
+  SELECT bin, n_docs,
+    ROUND(lo + bin * (hi - lo) / 10, 6) AS bin_lo,
+    ROUND(lo + (bin + 1) * (hi - lo) / 10, 6) AS bin_hi,
+    ROUND(ss / n_docs, 6) AS mean_score,
+    ROUND(sl / n_docs, 6) AS frac_pos
+  FROM per
+),
+e AS (SELECT ROUND(SUM(n_docs * ABS(mean_score - frac_pos))
+                   / SUM(n_docs), 6) AS ece FROM p2)
+SELECT p2.*, e.ece FROM p2, e"""
+
+
+@register("probe_calibration", _calibration_oracle(), driver=False)
+def q_probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + ECE for the quality probe — the acceptance
+    check before probe scores gate a corpus: per equal-width score bin
+    (min/max from one map-side aggregate, NO global sort — the reason
+    quantile bins are avoided at 100 TB), the empirical positive rate
+    vs the mean predicted score, plus the Guo et al. 2017 expected
+    calibration error folded over the ≤10 bin rows and broadcast back
+    as a constant column (the hash verifies the global ECE arithmetic,
+    not just the per-bin means). The oracle embeds the full probe-fit
+    replay (rounded moments, Cramer term order) and the exact binning
+    arithmetic."""
+    from sparkfeat import text as X
+    from sparkfeat.corpus import hash_bucket
+    from sparkfeat.probe import calibration_table, linear_probe_score
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+    )
+    x1 = X.stopword_ratio("text")
+    x2 = F.least(X.avg_word_len("text") / 8.0, F.lit(1.0))
+    label = (F.col("lang") == "en").cast("double")
+    seed = hash_bucket("doc_id", start=21, buckets=100) < 50
+    scored = linear_probe_score(docs, x1, x2, label, seed)
+    return calibration_table(scored, F.col("score"), label)
+
+
+def _cumdistinct_oracle() -> str:
+    def flag(col: str) -> str:
+        return (
+            f"CASE WHEN {col} IS NULL THEN 0 "
+            f"WHEN LAG({col}) OVER (PARTITION BY conv_id "
+            f"ORDER BY {col}, ts, turn_idx) IS NOT DISTINCT FROM {col} "
+            f"THEN 0 ELSE 1 END"
+        )
+
+    return f"""WITH {TRANSCRIPTS_CTE},
+f AS (
+  SELECT conv_id, turn_idx, ts,
+    {flag("tool")} AS ft,
+    {flag("role")} AS fr,
+    {flag("text")} AS fx
+  FROM transcripts
+)
+SELECT conv_id, turn_idx,
+  CAST(SUM(ft) OVER w AS INTEGER) AS n_distinct_tool,
+  CAST(SUM(fr) OVER w AS INTEGER) AS n_distinct_role,
+  CAST(SUM(fx) OVER w AS INTEGER) AS n_distinct_text
+FROM f
+WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+             ROWS UNBOUNDED PRECEDING)"""
+
+
+@register("conv_distinct_sofar", _cumdistinct_oracle(), driver=False)
+def q_conv_distinct_sofar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-count turn features (distinct tools / roles /
+    texts seen so far per conversation) — the agent-telemetry staple,
+    point-in-time by construction. NOT collect_set-over-window (O(n²)
+    state on a 10⁶-turn agent loop) and NOT row_number over
+    (conv, value) (a second full-stream exchange): first occurrences
+    are lag-detected in a value-re-sorted pass of the SAME conv_id
+    partitioning, then cumulative-summed chronologically — ONE hash
+    exchange for all three features (zero on the bucketed table),
+    plan-asserted. The oracle replays the block-boundary flags and the
+    running sums; value-sort null placement provably cancels (each
+    non-null block's first row flags 1 under either engine's null
+    order)."""
+    from sparkfeat.conv import cumulative_distinct
+    from sparkfeat.schema import transcripts_from_events
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = cumulative_distinct(t, "tool")
+    out = cumulative_distinct(out, "role")
+    out = cumulative_distinct(out, "text")
+    return out.select(
+        "conv_id", "turn_idx", "n_distinct_tool", "n_distinct_role",
+        "n_distinct_text",
+    )
+
+
+def _trend_oracle(window: int = 6, min_periods: int = 3) -> str:
+    return f"""WITH {TRANSCRIPTS_CTE},
+s AS (
+  SELECT conv_id, turn_idx, ts,
+    CAST(LENGTH(text) AS DOUBLE) AS y,
+    CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+         AS DOUBLE) AS x
+  FROM transcripts
+),
+m AS (
+  SELECT conv_id, turn_idx,
+    CAST(COUNT(y) OVER w AS DOUBLE) AS n,
+    SUM(CASE WHEN y IS NOT NULL THEN x END) OVER w AS sx,
+    SUM(y) OVER w AS sy,
+    SUM(x * y) OVER w AS sxy,
+    SUM(CASE WHEN y IS NOT NULL THEN x * x END) OVER w AS sxx
+  FROM s
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+               ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT conv_id, turn_idx,
+  ROUND(CASE WHEN n >= {min_periods}
+        THEN (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) END, 6)
+      AS trend_slope
+FROM m"""
+
+
+@register("rolling_trend_slope", _trend_oracle(), driver=False)
+def q_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend slope of the price-like signal (text_len)
+    over the trailing 6 turns — the momentum sibling of T4 volatility,
+    closed form from five trailing-window sums (no UDF, no second
+    exchange: x is the conv-global row_number, and slope is invariant
+    to the affine shift between global and window-local positions).
+    Trailing-only frame = zero temporal leakage by construction.
+    Integer-valued signal × integer x → every sum exact in doubles, so
+    the division replays bit-for-bit; the oracle computes the same
+    normal-equation sums over the same frame."""
+    from sparkfeat.schema import transcripts_from_events, with_turn_signals
+    from sparkfeat.transforms import rolling_slope
+
+    t = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        _r(rolling_slope("text_len", window=6, min_periods=3)).alias(
+            "trend_slope"
+        ),
+    )
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -6161,7 +6368,8 @@ def q_source_quality_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_curriculum_order, corpus_line_dedup, corpus_epoch_manifest,
 # doc_quality_probe, corpus_decontaminate_bloom, doc_heavy_terms,
 # corpus_cluster_safe_split, corpus_temperature_mix,
-# source_quality_shrunk —
+# source_quality_shrunk, probe_calibration, conv_distinct_sofar,
+# rolling_trend_slope —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

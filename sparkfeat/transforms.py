@@ -467,3 +467,48 @@ FRAME_TRANSFORMS = {
     "gadf": window_image_feature,
     "mtf": window_image_feature,
 }
+
+
+def rolling_slope(
+    y: str | Column,
+    window: int,
+    min_periods: int = 3,
+    entity_col: str = "conv_id",
+) -> Column:
+    """Rolling OLS trend slope of ``y`` against within-window row
+    position over the trailing ``window`` turns — the "is this signal
+    drifting up or down right now" feature (the momentum sibling of T4
+    volatility; no reference counterpart — the reference's transform
+    family stops at level/return/dispersion, SURVEY.md §2 T1–T11).
+
+    Closed form, zero UDFs: with x = row position and n/Σx/Σy/Σxy/Σx²
+    as trailing-window aggregates, slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²).
+    x is ``row_number`` within the conversation (any affine shift of x
+    leaves the slope invariant, so window-local vs global positions are
+    equivalent — global row_number keeps it ONE pass over the same
+    conv_id partitioning every other transform uses; no extra
+    exchange). Windows with fewer than ``min_periods`` non-null y, or
+    zero x-variance (single row), yield null — the T4/T5 convention.
+
+    Point-in-time by construction: the frame is trailing-only, so no
+    value at ts_t reads turns > t (the leakage invariant
+    `audit.leakage_audit` checks).
+
+    Determinism: with integer-valued signals (text_len, token_est) and
+    integer x every sum is exact in doubles, so the division is
+    bit-identical in any engine; for fractional signals round the
+    output (house convention) — the oracle replays the same sums.
+    """
+    col = value(y)
+    x = F.row_number().over(w_entity(entity_col)).cast("double")
+    fr = trailing(window, entity_col)
+    # count only rows where y is non-null; x-moments must match the
+    # SAME row subset or the normal equations mix inconsistent sums
+    xv = F.when(col.isNotNull(), x)
+    n = F.count(xv).over(fr).cast("double")
+    sx = F.sum(xv).over(fr)
+    sy = F.sum(col).over(fr)
+    sxy = F.sum(xv * col).over(fr)
+    sxx = F.sum(xv * xv).over(fr)
+    denom = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    return F.when(n >= min_periods, (n * sxy - sx * sy) / denom)

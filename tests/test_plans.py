@@ -221,3 +221,57 @@ def test_feature_drift_edges_join_is_broadcast(transcripts):
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_shrinkage_one_corpus_shuffle_components_broadcast(spark, sf_dir):
+    """shrink_group_means: the corpus contributes exactly ONE
+    hash-exchange (the groupBy(source) sufficient-stats aggregate);
+    the variance components come back over BROADCAST exchanges, never
+    a re-shuffle of data rows — at 100 TB only the k-row group table
+    re-flows."""
+    from sparkfeat.probe import shrink_group_means
+    from sparkfeat.text import stopword_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    out = shrink_group_means(docs, stopword_ratio("text"), "source")
+    p = plan_of(out)
+    assert n_shuffles(out) <= 2, p  # group stats + the k-row global agg
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Window" not in p, p
+
+
+def test_temperature_weights_broadcast_only(spark, sf_dir):
+    """temperature_weights: one tiny groupBy; the total and the
+    normalizer fold back as one-row BROADCAST cross-joins (never a
+    shuffled join), and no window/global sort appears."""
+    from sparkfeat.corpus import temperature_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = temperature_weights(docs, alpha=0.3, token_col="n_chars")
+    p = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Window" not in p, p
+
+
+def test_calibration_bins_broadcast_no_sort(spark, sf_dir):
+    """calibration_table: equal-width binning must come from a
+    broadcast (min,max) row — NO global sort / ntile window (the
+    quantile-bin trap at corpus scale), no cartesian."""
+    from sparkfeat.probe import calibration_table
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .withColumn("score", F.length("text").cast("double"))
+        .withColumn("y", (F.col("lang") == "en").cast("double"))
+    )
+    out = calibration_table(docs, F.col("score"), F.col("y"))
+    p = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Sort [" not in p, p  # no global sort anywhere in the plan
