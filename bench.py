@@ -112,6 +112,11 @@ BENCH_QUERIES = [
     # embedding PCA: one Arrow moment pass (O(d²) task state) + eigh +
     # broadcast zip_with projection — times fit AND whiten-project
     "embedding_pca_whiten",
+    # late round 5 feature-family additions: running distinct-count
+    # turn features (one exchange for three stacked features) and the
+    # closed-form rolling OLS trend slope
+    "conv_distinct_sofar",
+    "rolling_trend_slope",
 ]
 
 
