@@ -6325,6 +6325,159 @@ SELECT conv_id, turn_idx,
 FROM m"""
 
 
+def _hll_oracle() -> str:
+    from sparkfeat.hll import ALPHA_64, M_REGS, W_BITS
+
+    md5h = "md5('hll:' || tok)"
+    bitlen = "CASE " + " ".join(
+        f"WHEN w >= {1 << b} THEN {b + 1}" for b in range(W_BITS - 1, -1, -1)
+    ) + " ELSE 0 END"
+    am2 = ALPHA_64 * M_REGS * M_REGS
+    return f"""WITH t AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+h AS (
+  SELECT source, {_hex_int12_sql(md5h)} AS hv FROM t
+),
+r AS (
+  SELECT source, hv >> {W_BITS} AS j,
+         {W_BITS + 1} - ({bitlen.replace("w >=", f"(hv % {1 << W_BITS}) >=")})
+             AS rho
+  FROM h
+),
+m AS (SELECT source, j, MAX(rho) AS mr FROM r GROUP BY source, j),
+p AS (
+  SELECT source, CAST(COUNT(*) AS INTEGER) AS regs_hit,
+         SUM(1.0 / (1::BIGINT << mr)) AS sp
+  FROM m GROUP BY source
+)
+SELECT source, regs_hit,
+  ROUND(CASE WHEN {am2} / (sp + ({M_REGS} - regs_hit)) <= {2.5 * M_REGS}
+              AND ({M_REGS} - regs_hit) > 0
+        THEN ROUND({float(M_REGS)} * LN({float(M_REGS)}
+                   / ({M_REGS} - regs_hit)), 9)
+        ELSE {am2} / (sp + ({M_REGS} - regs_hit)) END, 3) AS est_distinct
+FROM p"""
+
+
+@register("source_distinct_hll", _hll_oracle(), driver=False)
+def q_source_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality via the in-plan
+    HyperLogLog — the sketch-trilogy completion (Bloom = membership,
+    CMS = frequency, HLL = cardinality): exact countDistinct of
+    n-grams at 100 TB shuffles ~10¹¹ (group, key) rows, the HLL build
+    shuffles at most groups × 64 register rows (map-side max-combined)
+    and the key stream never hash-exchanges. Deterministic md5
+    registers, exact threshold-CASE bit_length (no float log), exact
+    power-of-two harmonic sums (order-independent in a double), ln
+    canonicalized 9 dp in the linear-count branch — the whole estimate
+    replays bit-for-bit in SQL, collisions and bias included."""
+    from sparkfeat.hll import hll_distinct
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+    )
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    )
+    return hll_distinct(toks, F.col("tok"), "source")
+
+
+def _hll_overlap_oracle() -> str:
+    from sparkfeat.hll import ALPHA_64, M_REGS, W_BITS
+
+    md5h = "md5('hll:' || tok)"
+    bitlen = "CASE " + " ".join(
+        f"WHEN w >= {1 << b} THEN {b + 1}" for b in range(W_BITS - 1, -1, -1)
+    ) + " ELSE 0 END"
+    am2 = ALPHA_64 * M_REGS * M_REGS
+
+    def est(hit: str, sp: str) -> str:
+        s = f"({sp} + ({M_REGS} - {hit}))"
+        v = f"({M_REGS} - {hit})"
+        raw = f"{am2} / {s}"
+        lin = f"ROUND({float(M_REGS)} * LN({float(M_REGS)} / {v}), 9)"
+        return (
+            f"CASE WHEN {raw} <= {2.5 * M_REGS} AND {v} > 0 "
+            f"THEN {lin} ELSE {raw} END"
+        )
+
+    def hit(m: str) -> str:
+        return f"SUM(CASE WHEN {m} > 0 THEN 1 ELSE 0 END)"
+
+    def sp(m: str) -> str:
+        return f"SUM(CASE WHEN {m} > 0 THEN 1.0 / (1::BIGINT << {m}) ELSE 0 END)"
+
+    return f"""WITH t AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+h AS (
+  SELECT source, {_hex_int12_sql(md5h)} AS hv FROM t
+),
+r AS (
+  SELECT source, hv >> {W_BITS} AS j,
+         {W_BITS + 1} - ({bitlen.replace("w >=", f"(hv % {1 << W_BITS}) >=")})
+             AS rho
+  FROM h
+),
+m AS (SELECT source, j, MAX(rho) AS mr FROM r GROUP BY source, j),
+d AS (
+  SELECT s.source, g.j, COALESCE(m.mr, 0) AS mr
+  FROM (SELECT DISTINCT source FROM m) s
+  CROSS JOIN (SELECT unnest(range(0, {M_REGS})) AS j) g
+  LEFT JOIN m ON m.source = s.source AND m.j = g.j
+),
+u AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         a.mr AS ma, b.mr AS mb, GREATEST(a.mr, b.mr) AS mu
+  FROM d a JOIN d b ON a.j = b.j AND a.source < b.source
+),
+e AS (
+  SELECT src_a, src_b,
+         {est(hit("ma"), sp("ma"))} AS ea,
+         {est(hit("mb"), sp("mb"))} AS eb,
+         {est(hit("mu"), sp("mu"))} AS eu
+  FROM u GROUP BY src_a, src_b
+)
+SELECT src_a, src_b,
+  ROUND(ea, 3) AS est_a, ROUND(eb, 3) AS est_b,
+  ROUND(eu, 3) AS est_union,
+  ROUND(GREATEST(0.0, ea + eb - eu), 3) AS est_inter,
+  ROUND(GREATEST(0.0, ea + eb - eu) / eu, 3) AS jaccard
+FROM e"""
+
+
+@register("source_overlap_hll", _hll_overlap_oracle(), driver=False)
+def q_source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source vocabulary overlap from mergeable HLL registers
+    alone (inclusion–exclusion: |A∩B| ≈ |A|+|B|−|A∪B| where the union
+    estimate reads the elementwise-max registers) — the source-overlap
+    planning tool at a cost independent of corpus size: after the
+    register build (key stream never hash-exchanges) the pair join is
+    groups × 64 register rows, never keys. The oracle replays the
+    dense register vectors, the exact power-of-two harmonic folds, and
+    the inclusion–exclusion arithmetic; estimation noise (±13% at
+    m=64) is identical in both engines because it is a deterministic
+    function of the md5 registers."""
+    from sparkfeat.hll import hll_overlap, hll_registers
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+    )
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    )
+    return hll_overlap(hll_registers(toks, F.col("tok"), "source"), "source")
+
+
 @register("rolling_trend_slope", _trend_oracle(), driver=False)
 def q_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling OLS trend slope of the price-like signal (text_len)
@@ -6369,7 +6522,7 @@ def q_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc_quality_probe, corpus_decontaminate_bloom, doc_heavy_terms,
 # corpus_cluster_safe_split, corpus_temperature_mix,
 # source_quality_shrunk, probe_calibration, conv_distinct_sofar,
-# rolling_trend_slope —
+# rolling_trend_slope, source_distinct_hll, source_overlap_hll —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #
