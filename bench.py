@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     # closed-form rolling OLS trend slope
     "conv_distinct_sofar",
     "rolling_trend_slope",
+    # in-plan HLL: per-source distinct tokens with no key shuffle
+    "source_distinct_hll",
 ]
 
 

@@ -6478,6 +6478,61 @@ def q_source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_overlap(hll_registers(toks, F.col("tok"), "source"), "source")
 
 
+def _rollcorr_oracle(window: int = 8, min_periods: int = 3) -> str:
+    return f"""WITH {TRANSCRIPTS_CTE},
+s AS (
+  SELECT conv_id, turn_idx, ts,
+    CAST(LENGTH(text) AS DOUBLE) AS x,
+    CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS y
+  FROM transcripts
+),
+m AS (
+  SELECT conv_id, turn_idx,
+    CAST(COUNT(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END)
+         OVER w AS DOUBLE) AS n,
+    SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END) OVER w AS sx,
+    SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END) OVER w AS sy,
+    SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x * x END)
+        OVER w AS sxx,
+    SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y * y END)
+        OVER w AS syy,
+    SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x * y END)
+        OVER w AS sxy
+  FROM s
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+               ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT conv_id, turn_idx,
+  ROUND(CASE WHEN n >= {min_periods}
+              AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        THEN (n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+      AS len_tok_corr
+FROM m"""
+
+
+@register("rolling_len_tok_corr", _rollcorr_oracle(), driver=False)
+def q_rolling_len_tok_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between the price-like (text_len)
+    and volume-like (token_est) signals over the trailing 8 turns —
+    the bivariate member of the closed-form window-stat family (six
+    trailing sums + one quotient, all codegen, same single conv_id
+    exchange, trailing-only = leakage-free). Pairwise-complete null
+    handling: a row missing either signal drops from all six moments.
+    Integer signals keep the sums exact and sqrt is IEEE-exact, so the
+    oracle's identical normal-form arithmetic hash-matches."""
+    from sparkfeat.schema import transcripts_from_events, with_turn_signals
+    from sparkfeat.transforms import rolling_corr
+
+    t = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        _r(rolling_corr("text_len", "token_est", window=8, min_periods=3))
+        .alias("len_tok_corr"),
+    )
+
+
 @register("rolling_trend_slope", _trend_oracle(), driver=False)
 def q_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling OLS trend slope of the price-like signal (text_len)
@@ -6522,7 +6577,8 @@ def q_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc_quality_probe, corpus_decontaminate_bloom, doc_heavy_terms,
 # corpus_cluster_safe_split, corpus_temperature_mix,
 # source_quality_shrunk, probe_calibration, conv_distinct_sofar,
-# rolling_trend_slope, source_distinct_hll, source_overlap_hll —
+# rolling_trend_slope, source_distinct_hll, source_overlap_hll,
+# rolling_len_tok_corr —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

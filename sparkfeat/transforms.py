@@ -512,3 +512,44 @@ def rolling_slope(
     sxx = F.sum(xv * xv).over(fr)
     denom = F.nullif(n * sxx - sx * sx, F.lit(0.0))
     return F.when(n >= min_periods, (n * sxy - sx * sy) / denom)
+
+
+def rolling_corr(
+    x: str | Column,
+    y: str | Column,
+    window: int,
+    min_periods: int = 3,
+    entity_col: str = "conv_id",
+) -> Column:
+    """Rolling Pearson correlation between two per-turn signals over
+    the trailing ``window`` turns — the co-movement feature ("do reply
+    length and tool usage rise together in this conversation right
+    now?"), the bivariate sibling of :func:`rolling_slope` built from
+    the same closed-form trailing-window sums (six of them), zero UDFs,
+    zero extra exchanges, trailing-only frame = leakage-free.
+
+    Rows where EITHER signal is null drop from ALL six moments (the
+    pairwise-complete convention — mixing per-signal subsets corrupts
+    the cross moment). Windows with fewer than ``min_periods`` complete
+    pairs, or zero variance in either signal, yield null.
+
+    Determinism: integer-valued signals keep every sum exact in a
+    double; sqrt is IEEE-correctly-rounded everywhere, so the quotient
+    replays bit-for-bit (round the output per the house convention).
+    """
+    xc, yc = value(x), value(y)
+    both = xc.isNotNull() & yc.isNotNull()
+    xv = F.when(both, xc)
+    yv = F.when(both, yc)
+    fr = trailing(window, entity_col)
+    n = F.count(xv).over(fr).cast("double")
+    sx, sy = F.sum(xv).over(fr), F.sum(yv).over(fr)
+    sxx = F.sum(xv * xv).over(fr)
+    syy = F.sum(yv * yv).over(fr)
+    sxy = F.sum(xv * yv).over(fr)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    return F.when(
+        (n >= min_periods) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+    )

@@ -84,3 +84,65 @@ def test_no_extra_exchange(transcripts):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_rolling_corr_matches_pandas(spark):
+    """rolling_corr == pandas rolling(...).corr on a seeded frame,
+    incl. pairwise-null handling and the perfect +/-1 edges."""
+    import pandas as pd
+
+    from sparkfeat.transforms import rolling_corr
+
+    rng = np.random.default_rng(5)
+    n = 40
+    xs = [float(v) for v in np.round(rng.uniform(0, 50, n))]
+    ys = [x * 2 + float(np.round(rng.uniform(0, 20))) for x in xs]
+    xs[7], ys[13] = None, None  # pairwise-complete drops
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("a", i, xs[i], ys[i], t0 + dt.timedelta(minutes=i))
+            for i in range(n)
+        ],
+        "conv_id string, turn_idx int, x double, y double, ts timestamp",
+    )
+    got = {
+        r["turn_idx"]: r["c"]
+        for r in df.select(
+            "turn_idx", F.round(rolling_corr("x", "y", 6), 6).alias("c")
+        ).collect()
+    }
+    pdf = pd.DataFrame({"x": xs, "y": ys}, dtype=float)
+    # pandas rolling corr uses pairwise-complete rows the same way
+    want = pdf["x"].rolling(6, min_periods=3).corr(pdf["y"])
+    for i in range(n):
+        w = want.iloc[i]
+        if pd.isna(w) or got[i] is None:
+            assert pd.isna(w) and got[i] is None, i
+        else:
+            assert got[i] == pytest.approx(w, abs=2e-6), i
+
+
+def test_rolling_corr_sign_and_degenerate(spark):
+    from sparkfeat.transforms import rolling_corr
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # y = -x → corr -1; then a constant-x stretch → null (zero var)
+        ("a", i, float(i), float(-i), t0 + dt.timedelta(minutes=i))
+        for i in range(6)
+    ] + [
+        ("b", i, 5.0, float(i), t0 + dt.timedelta(minutes=i))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, x double, y double, ts timestamp"
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["c"]
+        for r in df.select(
+            "conv_id", "turn_idx", F.round(rolling_corr("x", "y", 6), 6).alias("c")
+        ).collect()
+    }
+    assert got[("a", 5)] == pytest.approx(-1.0, abs=1e-9)
+    assert all(got[("b", i)] is None for i in range(6))  # zero x-variance
