@@ -1158,3 +1158,124 @@ def temperature_weights(
         F.round(F.col("_w") / F.col("_z"), 6).alias("q_temp"),
         F.round(F.col("_w") / F.col("_z") / F.col("p_raw"), 6).alias("oversample"),
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "0",
+    shards: int = 32,
+) -> DataFrame:
+    """Deterministic weighted EXACT-k per-group sample without
+    replacement — Efraimidis–Spirakis A-Res (2006): give every row the
+    key ``ln(u) / w`` (``u`` uniform, ``w`` its weight) and keep the k
+    LARGEST keys; marginal inclusion probability is proportional to
+    weight. The quality-weighted eval-set / seed-corpus builder: "k
+    docs per language, preferring high-quality ones" — the weighted
+    upgrade of :func:`eval_sample` (which this mirrors exactly at
+    uniform weights in machinery, sharing its two-phase rank).
+
+    Determinism: ``u = (h + 1) / 2⁴⁸ ∈ (0, 1]`` from the first 12 hex
+    digits of ``md5(seed ‖ id)`` — no RNG state, same seed replays
+    byte-identically on any cluster; ``ln`` (the one libm call) is
+    canonicalized to 9 dp BEFORE the rank compare (house convention),
+    ties broken by id. Rows with NULL or non-positive weight are
+    excluded (they have zero inclusion probability in the limit
+    anyway; documents with no mass can't be sampled).
+
+    Scale shape: exact top-k-per-group via the two-phase rank
+    (`eval_sample` / `search.bm25_topk`'s move) — per-(group, shard)
+    windows prune to k, the global per-group window ranks only
+    ≤ shards × k survivors, so a 10⁹-doc group never lands in one
+    window partition.
+
+    Output: ``(group_col, id_col, weight, sample_rank)``.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 48))
+    w = F.col(weight_col).cast("double")
+    base = (
+        docs.filter(w.isNotNull() & (w > 0))
+        .select(group_col, id_col, w.alias("weight"))
+        .withColumn("_r", F.round(F.log(u) / F.col("weight"), 9))
+    )
+    order = [F.col("_r").desc(), F.col(id_col).asc()]
+    local = Window.partitionBy(
+        group_col, F.pmod(F.hash(F.col(id_col)), F.lit(shards))
+    ).orderBy(*order)
+    pruned = base.withColumn("_lr", F.row_number().over(local)).filter(
+        F.col("_lr") <= k
+    )
+    final = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        pruned.withColumn("sample_rank", F.row_number().over(final))
+        .filter(F.col("sample_rank") <= k)
+        .select(
+            group_col,
+            id_col,
+            "weight",
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+    )
+
+
+def mixture_sample_from(
+    docs: DataFrame,
+    weights: DataFrame,
+    frac: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str = "q_temp",
+) -> DataFrame:
+    """:func:`mixture_sample` with the target mixture supplied as a
+    DATAFRAME instead of a Python dict — the composition joint that
+    lets :func:`temperature_weights` (or any learned mixture) feed the
+    sampler in ONE lazy plan with zero driver round-trip: derive
+    q ∝ p^α from the corpus, turn it into per-group keep rates, flag
+    every doc — a single composed DAG, no collect of the weights.
+
+    Same rate math (waterfilling cap at 1.0), same md5-bucket keep
+    machinery, same scale shape (two tiny aggregates + broadcast
+    joins; the corpus-sized side is map-only). Groups absent from
+    ``weights`` get rate 0 (a mixture spec is a whitelist).
+    """
+    counts_raw = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_group"))
+    total_df = counts_raw.agg(F.sum("n_group").alias("_total"))
+    counts = counts_raw.crossJoin(F.broadcast(total_df))
+    # NB: guard the whitelist with when(), NOT coalesce(least(1.0, x))
+    # — least() IGNORES nulls in Spark and DuckDB alike, so a missing
+    # weight would silently become rate 1.0 (keep the whole group)
+    raw = F.col("_q") * (F.lit(float(frac)) * F.col("_total")) / F.col("n_group")
+    rate = F.when(F.col("_q").isNull(), F.lit(0.0)).otherwise(
+        F.least(F.lit(1.0), raw)
+    )
+    rates = counts.join(
+        weights.select(group_col, F.col(weight_col).alias("_q")),
+        group_col,
+        "left",
+    ).select(group_col, "n_group", rate.alias("_rate"))
+    b_keep = hash_bucket(id_col, start=13, buckets=1_000_000)
+    return (
+        docs.select(id_col, group_col)
+        .join(F.broadcast(rates), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("n_group").cast("bigint").alias("n_group"),
+            F.col("_rate").alias("rate"),
+            (b_keep < F.floor(F.col("_rate") * 1_000_000).cast("bigint")).alias(
+                "keep"
+            ),
+        )
+    )

@@ -6387,6 +6387,98 @@ def q_source_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(toks, F.col("tok"), "source")
 
 
+def _temperature_sample_oracle(alpha: float = 0.3, frac: float = 0.5) -> str:
+    return f"""WITH s AS (
+    SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tok_group
+    FROM documents GROUP BY source HAVING SUM(n_chars) > 0
+),
+t2 AS (SELECT CAST(SUM(tok_group) AS BIGINT) AS tot_tok FROM s),
+p AS (
+    SELECT source,
+           ROUND(POW(CAST(tok_group AS DOUBLE) / tot_tok, {alpha}), 9) AS w
+    FROM s, t2
+),
+z AS (SELECT SUM(w) AS z FROM p),
+q AS (SELECT source, ROUND(w / z, 6) AS q_temp FROM p, z),
+c AS (SELECT source, COUNT(*) AS n_group FROM documents GROUP BY source),
+t AS (SELECT COUNT(*) AS tot FROM documents),
+r AS (
+    SELECT c.source, c.n_group,
+        CASE WHEN q.q_temp IS NULL THEN 0.0
+             ELSE LEAST(1.0, q.q_temp * ({frac!r} * tot) / c.n_group)
+        END AS rate
+    FROM c CROSS JOIN t LEFT JOIN q ON q.source = c.source
+),
+h AS (
+    SELECT doc_id, source, {_hex_bucket_sql("doc_id", 13, 1_000_000)} AS kb
+    FROM documents
+)
+SELECT doc_id, h.source,
+    CAST(n_group AS BIGINT) AS n_group,
+    ROUND(rate, 6) AS rate,
+    kb < CAST(FLOOR(rate * 1000000) AS BIGINT) AS keep
+FROM h JOIN r ON h.source = r.source"""
+
+
+@register("corpus_temperature_sample", _temperature_sample_oracle(), driver=False)
+def q_corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed mixture pipeline in ONE lazy plan: derive the
+    temperature mixture q ∝ p^0.3 from the corpus's own token shares
+    (temperature_weights), convert it to per-source keep rates with the
+    waterfilling cap, and flag every doc by the md5-bucket threshold
+    (mixture_sample_from — the DataFrame-weights composition joint; no
+    driver round-trip, no collect of the weights). The oracle replays
+    the whole composition: power weights, normalizer, rate math, and
+    the positional hash keep."""
+    from sparkfeat.corpus import mixture_sample_from, temperature_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = temperature_weights(docs, alpha=0.3, group_col="source",
+                            token_col="n_chars")
+    out = mixture_sample_from(docs, w, frac=0.5, group_col="source")
+    return out.select(
+        "doc_id", "source", "n_group", _r(F.col("rate")).alias("rate"), "keep"
+    )
+
+
+def _weighted_sample_oracle(k: int = 20) -> str:
+    md5h = "md5('0:' || CAST(doc_id AS VARCHAR))"
+    return f"""WITH b AS (
+  SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+    ROUND(LN(({_hex_int12_sql(md5h)} + 1) / {float(1 << 48)})
+          / CAST(n_chars AS DOUBLE), 9) AS r
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+rk AS (
+  SELECT lang, doc_id, weight,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY r DESC, doc_id ASC)
+        AS sample_rank
+  FROM b
+)
+SELECT lang, doc_id, weight, CAST(sample_rank AS INTEGER) AS sample_rank
+FROM rk WHERE sample_rank <= {k}"""
+
+
+@register("corpus_weighted_sample", _weighted_sample_oracle(), driver=False)
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted exact-k per-group sample (Efraimidis–Spirakis A-Res):
+    rank key ln(u)/w with u a deterministic md5 uniform — marginal
+    inclusion probability proportional to weight, no RNG state, same
+    seed replays on any cluster. The quality/size-weighted eval-set
+    builder (here: k=20 docs per language weighted by n_chars). Spark
+    runs the two-phase top-k (per-(group, shard) prune, then rank
+    ≤ shards×k survivors — a 10⁹-doc group never fills one window
+    partition); the oracle ranks directly — identical results because
+    the prune is exactness-preserving. ln canonicalized 9 dp before
+    the rank compare, ties broken by id."""
+    from sparkfeat.corpus import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(
+        docs, k=20, weight_col="n_chars", group_col="lang", seed="0"
+    )
+
+
 def _hll_overlap_oracle() -> str:
     from sparkfeat.hll import ALPHA_64, M_REGS, W_BITS
 
@@ -6578,7 +6670,8 @@ def q_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_cluster_safe_split, corpus_temperature_mix,
 # source_quality_shrunk, probe_calibration, conv_distinct_sofar,
 # rolling_trend_slope, source_distinct_hll, source_overlap_hll,
-# rolling_len_tok_corr —
+# rolling_len_tok_corr, corpus_weighted_sample,
+# corpus_temperature_sample —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

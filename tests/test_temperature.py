@@ -6,6 +6,7 @@ normalization, zero-token exclusion, and laziness."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from sparkfeat.corpus import temperature_weights
 
@@ -59,5 +60,51 @@ def test_build_is_lazy(spark):
     tracker = spark.sparkContext.statusTracker()
     before = len(tracker.getJobIdsForGroup() or [])
     temperature_weights(_docs(spark), alpha=0.3)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert before == after
+
+
+def test_mixture_sample_from_composition(spark):
+    """temperature_weights → mixture_sample_from composes in ONE lazy
+    plan: rates follow q·frac·N/n_g with the waterfilling cap, groups
+    missing from the weights get rate 0, and the kept fraction tracks
+    the rate."""
+    from sparkfeat.corpus import mixture_sample_from, temperature_weights
+
+    rows = (
+        [("big", i, 100) for i in range(2000)]
+        + [("small", 10_000 + i, 100) for i in range(100)]
+        + [("zero", 20_000 + i, 0) for i in range(50)]  # no token mass
+    )
+    docs = spark.createDataFrame(rows, "source string, doc_id long, n_tok int")
+    w = temperature_weights(docs, alpha=0.3, group_col="source")
+    out = mixture_sample_from(
+        docs, w, frac=0.3, group_col="source", id_col="doc_id"
+    )
+    rows_out = out.collect()
+    by = {}
+    for r in rows_out:
+        by.setdefault(r["source"], []).append(r)
+    # temperature lifts the tail: the small group's rate caps at 1.0
+    # (its q share times the budget exceeds its size)
+    assert by["small"][0]["rate"] == 1.0
+    assert all(r["keep"] for r in by["small"])
+    # the big group is downsampled: 0 < rate < 1, kept fraction ~ rate
+    rate_big = by["big"][0]["rate"]
+    assert 0.0 < rate_big < 1.0
+    kept = sum(r["keep"] for r in by["big"]) / len(by["big"])
+    assert kept == pytest.approx(rate_big, abs=0.03)
+    # zero-token source is absent from the weights -> rate 0, none kept
+    assert all(r["rate"] == 0.0 and not r["keep"] for r in by["zero"])
+
+
+def test_mixture_sample_from_is_lazy(spark):
+    from sparkfeat.corpus import mixture_sample_from, temperature_weights
+
+    docs = _docs(spark)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    w = temperature_weights(docs, alpha=0.3)
+    mixture_sample_from(docs, w, group_col="source", id_col="n_tok")
     after = len(tracker.getJobIdsForGroup() or [])
     assert before == after
