@@ -1,0 +1,221 @@
+"""Arena-style pairwise-outcome aggregation: turn a table of "A beat
+B" judgments into a global leaderboard — the curation step that sits
+downstream of :func:`sparkfeat.conv.preference_pairs` and of any
+LLM-judge sweep (chatbot-arena-style evals, best-of-n response
+selection, source-quality tournaments).
+
+Two operators:
+
+* :func:`bt_strengths` — Bradley–Terry (1952) maximum-likelihood
+  strengths via a FIXED number of unrolled Minorize–Maximize
+  iterations (Hunter 2004, "MM algorithms for generalized
+  Bradley-Terry models"): ``s_i ← W_i / Σ_j n_ij / (s_i + s_j)``,
+  renormalized to mean 1 each round. Everything stays in the plan —
+  the match matrix is a tiny aggregate of the (possibly 100 TB) raw
+  judgment stream, and the T iterations are T joins + aggregates over
+  that players²-bounded table; no driver loop over data, no collect.
+  Every iteration canonicalizes to 9 dp BEFORE the next compare
+  (house convention) so the full trajectory — not just the fixed
+  point — replays bit-for-bit in any engine; the DuckDB oracle
+  unrolls the identical CTE chain.
+* :func:`winrate_matrix` — the per-(i, j) empirical win rate with a
+  Wilson lower confidence bound (the leaderboard companion that says
+  which head-to-head cells are actually supported by data). Pure
+  closed-form column algebra; one aggregate.
+
+Scale shape: the only corpus-sized operation in either operator is the
+FIRST ``groupBy(winner, loser)`` — a map-side-combined count whose
+output is bounded by players², independent of judgment volume. The MM
+iterations and the Wilson bound never touch raw rows again. At 10⁹
+judgments over 10³ players the shuffle carries ≤10⁶ rows.
+
+Degeneracy guard: raw BT is undefined for players with zero wins (or
+zero losses — their MLE diverges). ``prior`` adds a virtual half-win
+in EACH direction of every OBSERVED pairing (Davidson-style
+regularization); with prior > 0 every s_i stays positive and finite
+and the iteration is a contraction on the observed comparison graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bt_strengths(
+    judgments: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    n_iter: int = 5,
+    prior: float = 0.1,
+) -> DataFrame:
+    """Bradley–Terry strengths from a raw judgment stream, T unrolled
+    MM iterations in one lazy plan.
+
+    Input: one row per judgment, ``winner_col`` / ``loser_col`` naming
+    the two players (rows where either side is NULL, or where winner
+    == loser — self-play carries no pairwise information — are
+    dropped). Output:
+    ``(player, wins, games, strength)`` with ``strength`` the 9
+    dp-canonicalized MM iterate after ``n_iter`` rounds, normalized to
+    mean 1 over players each round (BT is scale-free; the mean-1 gauge
+    is arithmetic-only — no log/exp — so it is engine-exact).
+
+    The update (Hunter 2004 eq. 2, with the symmetric pair total
+    ``n_ij = w_ij + w_ji + 2·prior``):
+
+        s_i ← W_i / Σ_{j≠i} n_ij / (s_i + s_j)
+
+    where ``W_i = wins_i + prior·(distinct observed opponents)`` —
+    the prior's virtual half-win each way enters both numerator and
+    pair totals, keeping every player's strength positive and finite.
+
+    Scale: the judgment stream collapses to ≤players² rows in ONE
+    map-side-combined count; each iteration joins the current
+    strengths (players rows) onto that matrix twice by key and
+    re-aggregates — broadcast-sized both sides for any realistic
+    leaderboard. ``n_iter`` is a plan-depth knob, not a convergence
+    loop: 5 rounds lands within ~1% of the fixed point on
+    well-connected graphs (pytest asserts monotone log-likelihood and
+    planted-order recovery); raise it for tighter gaps.
+    """
+    j = judgments.filter(
+        F.col(winner_col).isNotNull()
+        & F.col(loser_col).isNotNull()
+        & (F.col(winner_col) != F.col(loser_col))
+    )
+    # Directed win counts: one corpus-sized aggregate, players²-bounded.
+    wins = (
+        j.select(
+            F.col(winner_col).cast("string").alias("a"),
+            F.col(loser_col).cast("string").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # Symmetrize to per-ordered-pair totals n_ij (+ the prior's virtual
+    # half-win each way: w'_ij = w_ij + prior, so n_ij picks up 2·prior
+    # once per unordered observed pair).
+    rev = wins.select(
+        F.col("b").alias("a"), F.col("a").alias("b"), F.col("w").alias("w_rev")
+    )
+    pairs = wins.join(rev, ["a", "b"], "full").select(
+        "a",
+        "b",
+        F.coalesce("w", F.lit(0)).alias("w_int"),
+        (F.coalesce("w", F.lit(0)) + F.coalesce("w_rev", F.lit(0))).alias(
+            "n_int"
+        ),
+    )
+    # Per-player totals: wins/games stay exact integers; the
+    # regularized _W adds the prior once per observed opponent.
+    totals = pairs.groupBy(F.col("a").alias("player")).agg(
+        (
+            F.sum("w_int").cast("double")
+            + F.lit(float(prior)) * F.count(F.lit(1)).cast("double")
+        ).alias("_W"),
+        F.sum("w_int").cast("bigint").alias("wins"),
+        F.sum("n_int").cast("bigint").alias("games"),
+    )
+    s = totals.select("player", F.lit(1.0).alias("s"))
+    for _ in range(n_iter):
+        si = s.select(F.col("player").alias("a"), F.col("s").alias("s_i"))
+        sj = s.select(F.col("player").alias("b"), F.col("s").alias("s_j"))
+        denom = (
+            pairs.join(si, "a")
+            .join(sj, "b")
+            .groupBy(F.col("a").alias("player"))
+            .agg(
+                F.sum(
+                    (F.col("n_int") + F.lit(2.0 * prior))
+                    / (F.col("s_i") + F.col("s_j"))
+                ).alias("_D")
+            )
+        )
+        raw = totals.join(denom, "player").select(
+            "player", (F.col("_W") / F.col("_D")).alias("_raw")
+        )
+        # Mean-1 gauge fix, arithmetic only; canonicalize BEFORE the
+        # next iteration reads s so the trajectory replays anywhere.
+        # A GLOBAL window (players-sized table — no bottleneck), not a
+        # crossJoin of two more self-references: the strengths plan is
+        # self-referential across iterations, so every extra reference
+        # multiplies the unrolled tree (4^T leaves froze Catalyst
+        # analysis at T=5; the window form is 2^T).
+        w_all = Window.partitionBy()
+        s = raw.select(
+            "player",
+            F.round(
+                F.col("_raw")
+                * F.count(F.lit(1)).over(w_all)
+                / F.sum("_raw").over(w_all),
+                9,
+            ).alias("s"),
+        )
+    return totals.join(s, "player").select(
+        "player", "wins", "games", F.col("s").alias("strength")
+    )
+
+
+def winrate_matrix(
+    judgments: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    z: float = 1.96,
+) -> DataFrame:
+    """Head-to-head leaderboard cells: for every ordered observed pair
+    (a, b), the empirical win rate of a over b and its Wilson-score
+    lower confidence bound at normal quantile ``z`` (default 95%) —
+    the standard "is this cell supported or noise" gate (rank by the
+    bound, not the rate: a 1/1 record stops outranking 70/100).
+
+    Output: ``(a, b, wins, games, win_rate, wilson_lb)``, rates 6
+    dp-canonicalized. Wilson (1927):
+
+        (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+
+    — closed-form column algebra on the players²-bounded count matrix;
+    ``sqrt`` is IEEE-correctly-rounded, so 6 dp canonicalization makes
+    it engine-exact. One corpus-sized aggregate, nothing else touches
+    raw judgments.
+    """
+    j = judgments.filter(
+        F.col(winner_col).isNotNull()
+        & F.col(loser_col).isNotNull()
+        & (F.col(winner_col) != F.col(loser_col))
+    )
+    wins = (
+        j.select(
+            F.col(winner_col).cast("string").alias("a"),
+            F.col(loser_col).cast("string").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rev = wins.select(
+        F.col("b").alias("a"), F.col("a").alias("b"), F.col("w").alias("w_rev")
+    )
+    cells = wins.join(rev, ["a", "b"], "full").select(
+        "a",
+        "b",
+        F.coalesce("w", F.lit(0)).alias("wins"),
+        (F.coalesce("w", F.lit(0)) + F.coalesce("w_rev", F.lit(0))).alias(
+            "games"
+        ),
+    )
+    n = F.col("games").cast("double")
+    p = F.col("wins").cast("double") / n
+    z2 = F.lit(z * z)
+    lb = (
+        p
+        + z2 / (2 * n)
+        - F.lit(z) * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    ) / (1 + z2 / n)
+    return cells.select(
+        "a",
+        "b",
+        "wins",
+        "games",
+        F.round(p, 6).alias("win_rate"),
+        F.round(lb, 6).alias("wilson_lb"),
+    )

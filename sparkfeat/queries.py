@@ -6649,6 +6649,135 @@ def q_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic arena judgments from documents: doc 2k vs doc 2k+1
+#: (one equi-join on doc_id div 2), the longer doc's SOURCE wins, tie
+#: to the even (smaller-id) doc — a synthetic LLM-judge sweep whose
+#: every judgment replays bit-for-bit in any engine.
+_ARENA_JUDGMENTS_CTE = """e AS (
+    SELECT doc_id // 2 AS half, source AS s_e, n_chars AS c_e
+    FROM documents WHERE doc_id % 2 = 0
+),
+o AS (
+    SELECT doc_id // 2 AS half, source AS s_o, n_chars AS c_o
+    FROM documents WHERE doc_id % 2 = 1
+),
+judg AS (
+    SELECT CASE WHEN c_e >= c_o THEN s_e ELSE s_o END AS winner,
+           CASE WHEN c_e >= c_o THEN s_o ELSE s_e END AS loser
+    FROM e JOIN o USING (half)
+),
+wmat AS (
+    SELECT winner AS a, loser AS b, COUNT(*) AS w
+    FROM judg WHERE winner <> loser GROUP BY winner, loser
+),
+cells AS (
+    SELECT COALESCE(w1.a, w2.b) AS a, COALESCE(w1.b, w2.a) AS b,
+           COALESCE(w1.w, 0) AS w_int,
+           COALESCE(w1.w, 0) + COALESCE(w2.w, 0) AS n_int
+    FROM wmat w1 FULL JOIN wmat w2 ON w1.a = w2.b AND w1.b = w2.a
+)"""
+
+
+def _arena_judgments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("half"),
+        F.col("source").alias("s_e"),
+        F.col("n_chars").alias("c_e"),
+    )
+    od = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.expr("doc_id div 2").alias("half"),
+        F.col("source").alias("s_o"),
+        F.col("n_chars").alias("c_o"),
+    )
+    won = F.col("c_e") >= F.col("c_o")
+    return ev.join(od, "half").select(
+        F.when(won, F.col("s_e")).otherwise(F.col("s_o")).alias("winner"),
+        F.when(won, F.col("s_o")).otherwise(F.col("s_e")).alias("loser"),
+    )
+
+
+def _arena_bt_oracle(n_iter: int = 5, prior: float = 0.1) -> str:
+    ctes = [
+        _ARENA_JUDGMENTS_CTE,
+        f"""tot AS (
+    SELECT a AS player,
+           CAST(SUM(w_int) AS DOUBLE) + {prior!r} * COUNT(*) AS wreg,
+           CAST(SUM(w_int) AS BIGINT) AS wins,
+           CAST(SUM(n_int) AS BIGINT) AS games
+    FROM cells GROUP BY a
+)""",
+        "s0 AS (SELECT player, 1.0 AS s FROM tot)",
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(f"""d{k} AS (
+    SELECT p.a AS player, SUM((p.n_int + {2 * prior!r}) / (si.s + sj.s)) AS d
+    FROM cells p
+    JOIN s{k - 1} si ON si.player = p.a
+    JOIN s{k - 1} sj ON sj.player = p.b
+    GROUP BY p.a
+),
+s{k} AS (
+    SELECT r.player,
+           ROUND(r.raw * (COUNT(*) OVER ()) / (SUM(r.raw) OVER ()), 9) AS s
+    FROM (
+        SELECT t.player, t.wreg / d{k}.d AS raw
+        FROM tot t JOIN d{k} ON d{k}.player = t.player
+    ) r
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT t.player, t.wins, t.games, ROUND(s{n_iter}.s, 6) AS strength
+FROM tot t JOIN s{n_iter} ON s{n_iter}.player = t.player"""
+    )
+
+
+@register("arena_bt_strengths", _arena_bt_oracle(), driver=False)
+def q_arena_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry leaderboard (sparkfeat.arena.bt_strengths) over a
+    deterministic source-vs-source judgment stream mined from the
+    documents table (doc 2k vs 2k+1, longer doc's source wins): the
+    arena-style "pairwise LLM-judge results → global strengths"
+    aggregation, 5 unrolled in-plan MM iterations (Hunter 2004), every
+    iterate 9 dp-canonicalized. The oracle replays the ENTIRE
+    trajectory — judgment mining, directed counts, symmetrized pair
+    matrix, regularized win totals, all five MM rounds with the mean-1
+    gauge, and the final join — so the value hash verifies the
+    iteration itself, not just the fixed point's neighborhood."""
+    from sparkfeat.arena import bt_strengths
+
+    out = bt_strengths(_arena_judgments(spark, sf_dir), n_iter=5, prior=0.1)
+    return out.select(
+        "player", "wins", "games", _r(F.col("strength")).alias("strength")
+    )
+
+
+_ARENA_WINRATE_ORACLE = f"""WITH {_ARENA_JUDGMENTS_CTE}
+SELECT a, b,
+    CAST(w_int AS BIGINT) AS wins,
+    CAST(n_int AS BIGINT) AS games,
+    ROUND(w_int / CAST(n_int AS DOUBLE), 6) AS win_rate,
+    ROUND((w_int / CAST(n_int AS DOUBLE) + (1.96 * 1.96) / (2 * n_int)
+           - 1.96 * SQRT(w_int / CAST(n_int AS DOUBLE)
+                         * (1 - w_int / CAST(n_int AS DOUBLE)) / n_int
+                         + (1.96 * 1.96) / (4.0 * n_int * n_int)))
+          / (1 + (1.96 * 1.96) / n_int), 6) AS wilson_lb
+FROM cells"""
+
+
+@register("arena_winrate_matrix", _ARENA_WINRATE_ORACLE, driver=False)
+def q_arena_winrate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head win-rate cells with Wilson lower confidence bounds
+    (sparkfeat.arena.winrate_matrix) over the same deterministic
+    source-vs-source judgments as arena_bt_strengths — the leaderboard
+    companion that ranks cells by supported evidence (the bound), not
+    the raw rate. Closed-form column algebra on the players²-bounded
+    count matrix; oracle replays the Wilson formula termwise."""
+    from sparkfeat.arena import winrate_matrix
+
+    return winrate_matrix(_arena_judgments(spark, sf_dir), z=1.96)
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -6671,7 +6800,7 @@ def q_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # source_quality_shrunk, probe_calibration, conv_distinct_sofar,
 # rolling_trend_slope, source_distinct_hll, source_overlap_hll,
 # rolling_len_tok_corr, corpus_weighted_sample,
-# corpus_temperature_sample —
+# corpus_temperature_sample, arena_bt_strengths, arena_winrate_matrix —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

@@ -1,0 +1,160 @@
+"""bt_strengths / winrate_matrix (sparkfeat/arena.py): parity with an
+independent pure-python MM implementation, planted-strength order
+recovery, log-likelihood monotonicity across iterations, prior
+degeneracy guard, and Wilson-bound closed-form checks."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sparkfeat.arena import bt_strengths, winrate_matrix
+
+
+def _py_bt(matches, n_iter=5, prior=0.1):
+    """Independent reference: same MM update, same mean-1 gauge, same
+    9 dp canonicalization, written from the Hunter 2004 paper not from
+    the Spark code. ``matches`` = {(a, b): wins_of_a_over_b}."""
+    players = sorted({p for ab in matches for p in ab})
+    obs = {}  # ordered observed pairs with directed int wins
+    for (a, b), w in matches.items():
+        obs[(a, b)] = obs.get((a, b), 0) + w
+        obs.setdefault((b, a), 0)
+    W = {p: 0.0 for p in players}
+    opp = {p: set() for p in players}
+    for (a, b), w in obs.items():
+        W[a] += w
+        opp[a].add(b)
+    for p in players:
+        W[p] += prior * len(opp[p])
+    s = {p: 1.0 for p in players}
+    for _ in range(n_iter):
+        d = {}
+        for p in players:
+            d[p] = sum(
+                (obs[(p, q)] + obs[(q, p)] + 2 * prior) / (s[p] + s[q])
+                for q in opp[p]
+            )
+        raw = {p: W[p] / d[p] for p in players}
+        tot = sum(raw.values())
+        s = {p: round(raw[p] * len(players) / tot, 9) for p in players}
+    return s
+
+
+def _loglik(matches, s):
+    return sum(
+        w * math.log(s[a] / (s[a] + s[b])) for (a, b), w in matches.items() if w
+    )
+
+
+MATCHES = {
+    ("gpt", "llama"): 30, ("llama", "gpt"): 10,
+    ("gpt", "mistral"): 25, ("mistral", "gpt"): 15,
+    ("llama", "mistral"): 22, ("mistral", "llama"): 18,
+    ("gpt", "tiny"): 12, ("tiny", "gpt"): 1,
+    ("mistral", "tiny"): 9, ("tiny", "mistral"): 3,
+}
+
+
+def _judgments(spark, matches=MATCHES):
+    rows = [(a, b) for (a, b), w in matches.items() for _ in range(w)]
+    return spark.createDataFrame(rows, "winner string, loser string")
+
+
+def test_matches_independent_mm_reference(spark):
+    got = {
+        r["player"]: (r["wins"], r["games"], r["strength"])
+        for r in bt_strengths(_judgments(spark)).collect()
+    }
+    want_s = _py_bt(MATCHES)
+    assert set(got) == set(want_s)
+    for p, s in want_s.items():
+        assert got[p][2] == pytest.approx(s, abs=1e-9), p
+    # integer audit columns are exact
+    assert got["gpt"][0] == 30 + 25 + 12
+    assert got["gpt"][1] == 40 + 40 + 13
+    assert got["tiny"][0] == 4 and got["tiny"][1] == 25
+
+
+def test_planted_order_recovered(spark):
+    got = bt_strengths(_judgments(spark)).collect()
+    order = [r["player"] for r in sorted(got, key=lambda r: -r["strength"])]
+    # gpt dominates everyone; tiny loses nearly everything; mistral
+    # edges llama DESPITE losing their head-to-head 18-22 — its 15/40
+    # vs gpt beats llama's 10/40 against the strongest opponent, which
+    # BT weighs more than the close direct cell (fixed point:
+    # mistral 0.892 vs llama 0.874). Exactly the strength-of-schedule
+    # correction a raw win-rate leaderboard can't make.
+    assert order == ["gpt", "mistral", "llama", "tiny"]
+
+
+def test_loglik_monotone_in_iterations(spark):
+    """MM is an ascent algorithm: likelihood at n_iter=k+2 >= at k."""
+    j = _judgments(spark)
+    lls = []
+    for it in (1, 3, 5):
+        s = {r["player"]: r["strength"] for r in
+             bt_strengths(j, n_iter=it).collect()}
+        lls.append(_loglik(MATCHES, s))
+    assert lls[0] <= lls[1] + 1e-12 and lls[1] <= lls[2] + 1e-12
+    # and 5 iterations is near the fixed point: one more barely moves it
+    s6 = {r["player"]: r["strength"] for r in
+          bt_strengths(j, n_iter=6).collect()}
+    s5 = {r["player"]: r["strength"] for r in
+          bt_strengths(j, n_iter=5).collect()}
+    assert max(abs(s6[p] - s5[p]) for p in s5) < 0.02
+
+
+def test_zero_win_player_stays_finite(spark):
+    """A player with zero wins has a divergent raw MLE; the prior keeps
+    the strength positive, finite, and strictly smallest."""
+    m = {("a", "b"): 5, ("b", "c"): 5, ("a", "c"): 7}
+    got = {r["player"]: r for r in bt_strengths(_judgments(spark, m)).collect()}
+    assert got["c"]["wins"] == 0
+    assert 0.0 < got["c"]["strength"] < got["b"]["strength"]
+    assert got["a"]["strength"] == max(r["strength"] for r in got.values())
+
+
+def test_nulls_and_self_play_dropped(spark):
+    rows = [("a", "b")] * 3 + [("b", "a")] * 1 + [
+        ("a", None), (None, "b"), ("a", "a"), ("b", "b"),
+    ]
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    got = {r["player"]: r for r in bt_strengths(df).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"]["wins"] == 3 and got["a"]["games"] == 4
+    assert got["a"]["strength"] > got["b"]["strength"]
+
+
+def test_winrate_matrix_wilson(spark):
+    got = {(r["a"], r["b"]): r for r in
+           winrate_matrix(_judgments(spark)).collect()}
+    cell = got[("gpt", "llama")]
+    assert cell["wins"] == 30 and cell["games"] == 40
+    assert cell["win_rate"] == 0.75
+    # textbook Wilson lower bound at z=1.96
+    p, n, z = 0.75, 40.0, 1.96
+    lb = (p + z * z / (2 * n) - z * math.sqrt(
+        p * (1 - p) / n + z * z / (4 * n * n))) / (1 + z * z / n)
+    assert cell["wilson_lb"] == pytest.approx(round(lb, 6), abs=1e-6)
+    # the mirror cell complements the rate and both directions exist
+    mirror = got[("llama", "gpt")]
+    assert mirror["wins"] == 10 and mirror["games"] == 40
+    assert mirror["win_rate"] == 0.25
+    # rank-by-bound beats rank-by-rate: 1/1 must not outrank 30/40
+    m = {("x", "y"): 1, ("gpt", "llama"): 30, ("llama", "gpt"): 10}
+    g2 = {(r["a"], r["b"]): r for r in
+          winrate_matrix(_judgments(spark, m)).collect()}
+    assert g2[("x", "y")]["win_rate"] == 1.0
+    assert g2[("x", "y")]["wilson_lb"] < g2[("gpt", "llama")]["wilson_lb"]
+
+
+def test_build_is_lazy(spark):
+    j = _judgments(spark)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    bt_strengths(j)
+    winrate_matrix(j)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert before == after
