@@ -6778,6 +6778,105 @@ def q_arena_winrate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winrate_matrix(_arena_judgments(spark, sf_dir), z=1.96)
 
 
+#: pointwise rewards mined from events: each user's purchase events
+#: are a "prompt group" of scored candidates (group ≈ 13 candidates at
+#: sf0.01 — the realistic GRPO fan-out).
+_REWARDS_CTE = """r AS (
+    SELECT user_id AS group_id, event_id AS cand_id, value AS reward
+    FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+)"""
+
+_GRPO_ORACLE = f"""WITH {_REWARDS_CTE},
+m AS (
+    SELECT group_id, cand_id, reward,
+           COUNT(*) OVER (PARTITION BY group_id) AS n,
+           SUM(reward) OVER (PARTITION BY group_id) AS s,
+           SUM(reward * reward) OVER (PARTITION BY group_id) AS ss
+    FROM r
+)
+SELECT group_id, cand_id, ROUND(reward, 6) AS reward,
+    CAST(n AS INTEGER) AS n_g, ROUND(s / n, 6) AS mean_g,
+    ROUND((reward - s / n)
+          / (SQRT(GREATEST(ss / n - (s / n) * (s / n), 0.0)) + 1e-6),
+          6) AS advantage
+FROM m"""
+
+_RLOO_ORACLE = f"""WITH {_REWARDS_CTE},
+m AS (
+    SELECT group_id, cand_id, reward,
+           COUNT(*) OVER (PARTITION BY group_id) AS n,
+           SUM(reward) OVER (PARTITION BY group_id) AS s
+    FROM r
+)
+SELECT group_id, cand_id, ROUND(reward, 6) AS reward,
+    CAST(n AS INTEGER) AS n_g, ROUND(s / n, 6) AS mean_g,
+    ROUND(CASE WHEN n > 1 THEN reward - (s - reward) / (n - 1) END,
+          6) AS advantage
+FROM m"""
+
+_BON_ORACLE = f"""WITH {_REWARDS_CTE},
+rk AS (
+    SELECT group_id, cand_id, reward,
+           ROW_NUMBER() OVER (
+               PARTITION BY group_id ORDER BY reward DESC, cand_id ASC
+           ) AS bon_rank
+    FROM r
+)
+SELECT group_id, cand_id, ROUND(reward, 6) AS reward,
+    CAST(bon_rank AS INTEGER) AS bon_rank
+FROM rk WHERE bon_rank <= 3"""
+
+
+def _event_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("group_id"),
+            F.col("event_id").alias("cand_id"),
+            F.col("value").alias("reward"),
+        )
+    )
+
+
+@register("reward_grpo_advantages", _GRPO_ORACLE, driver=False)
+def q_reward_grpo_advantages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRPO group-relative advantages (sparkfeat.reward.
+    group_advantages, DeepSeekMath eq. 3): each user's purchase events
+    are a prompt group of scored candidates; advantage = (r − mean_g)
+    / (pop-std_g + eps) from ONE window pass on the single group_id
+    exchange. Degenerate all-equal groups hit the eps floor (A = 0,
+    no NaN). Oracle replays count/sum/sum-of-squares, the clamped
+    variance, and the eps-floored quotient termwise."""
+    from sparkfeat.reward import group_advantages
+
+    return group_advantages(_event_rewards(spark, sf_dir), method="grpo")
+
+
+@register("reward_rloo_advantages", _RLOO_ORACLE, driver=False)
+def q_reward_rloo_advantages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLOO leave-one-out advantages (sparkfeat.reward.
+    group_advantages, Ahmadian et al. 2024): A_i = r_i − mean of the
+    OTHER candidates' rewards — the unbiased baseline, zero-sum within
+    every group (pytest-asserted); singleton groups yield NULL. Same
+    single-exchange window shape as the GRPO variant."""
+    from sparkfeat.reward import group_advantages
+
+    return group_advantages(_event_rewards(spark, sf_dir), method="rloo")
+
+
+@register("reward_best_of_n", _BON_ORACLE, driver=False)
+def q_reward_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n rejection-sampling keep-list (sparkfeat.reward.
+    best_of_n, k=3): top-3 candidates per prompt group by reward,
+    ties broken by cand_id so the selection replays bit-for-bit;
+    NULL rewards can never win. The BoN/rejection-sampling curation
+    extractor over the same event-mined reward groups."""
+    from sparkfeat.reward import best_of_n
+
+    return best_of_n(_event_rewards(spark, sf_dir), k=3)
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -6800,7 +6899,8 @@ def q_arena_winrate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # source_quality_shrunk, probe_calibration, conv_distinct_sofar,
 # rolling_trend_slope, source_distinct_hll, source_overlap_hll,
 # rolling_len_tok_corr, corpus_weighted_sample,
-# corpus_temperature_sample, arena_bt_strengths, arena_winrate_matrix —
+# corpus_temperature_sample, arena_bt_strengths, arena_winrate_matrix,
+# reward_grpo_advantages, reward_rloo_advantages, reward_best_of_n —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #
