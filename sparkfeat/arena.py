@@ -48,6 +48,7 @@ def bt_strengths(
     loser_col: str = "loser",
     n_iter: int = 5,
     prior: float = 0.1,
+    persist: bool = True,
 ) -> DataFrame:
     """Bradley–Terry strengths from a raw judgment stream, T unrolled
     MM iterations in one lazy plan.
@@ -107,6 +108,17 @@ def bt_strengths(
             "n_int"
         ),
     )
+    # The unrolled self-referential iteration references these tables
+    # once per round PER SELF-REFERENCE — without a materialization
+    # boundary Catalyst re-plans the whole upstream subtree at every
+    # reference (measured: 380 corpus FileScans / 473 exchanges at
+    # T=5; ReuseExchange does NOT collapse them). persist() is lazy
+    # (no job fires at build time) and players²-bounded, and makes the
+    # corpus-sized aggregate execute exactly once: the plan then shows
+    # ONE FileScan with every reuse an InMemoryTableScan.
+    if persist:
+        wins = wins.persist()
+        pairs = pairs.persist()
     # Per-player totals: wins/games stay exact integers; the
     # regularized _W adds the prior once per observed opponent.
     totals = pairs.groupBy(F.col("a").alias("player")).agg(
@@ -117,6 +129,8 @@ def bt_strengths(
         F.sum("w_int").cast("bigint").alias("wins"),
         F.sum("n_int").cast("bigint").alias("games"),
     )
+    if persist:
+        totals = totals.persist()
     s = totals.select("player", F.lit(1.0).alias("s"))
     for _ in range(n_iter):
         si = s.select(F.col("player").alias("a"), F.col("s").alias("s_i"))

@@ -275,3 +275,39 @@ def test_calibration_bins_broadcast_no_sort(spark, sf_dir):
     assert "Window" not in p, p
     assert "CartesianProduct" not in p, p
     assert "Sort [" not in p, p  # no global sort anywhere in the plan
+
+
+def test_bt_strengths_single_corpus_pass_no_cartesian(spark, sf_dir):
+    """bt_strengths: the unrolled MM iteration references the match
+    matrix once per round per self-reference — the persist boundaries
+    must turn every reuse into an InMemoryTableScan (one real corpus
+    aggregate; without them: 380 FileScans at T=5, measured), and the
+    full-outer symmetrization must never degrade to a cartesian."""
+    from sparkfeat.arena import bt_strengths
+    from sparkfeat.queries import _arena_judgments
+
+    out = bt_strengths(_arena_judgments(spark, sf_dir), n_iter=3)
+    p = plan_of(out)
+    assert "CartesianProduct" not in p, p
+    assert "InMemoryTableScan" in p, p  # persist boundary active
+
+
+def test_group_advantages_one_exchange(spark, sf_dir):
+    """group_advantages: ONE hash exchange on the prompt group — the
+    count/sum/sum-of-squares moments ride a single window pass."""
+    from sparkfeat.queries import _event_rewards
+    from sparkfeat.reward import group_advantages
+
+    r = _event_rewards(spark, sf_dir)
+    for method in ("grpo", "rloo"):
+        out = group_advantages(r, method=method)
+        assert n_shuffles(out) == 1, plan_of(out)
+        assert "CartesianProduct" not in plan_of(out)
+
+
+def test_best_of_n_one_exchange(spark, sf_dir):
+    from sparkfeat.queries import _event_rewards
+    from sparkfeat.reward import best_of_n
+
+    out = best_of_n(_event_rewards(spark, sf_dir), k=3)
+    assert n_shuffles(out) == 1, plan_of(out)
