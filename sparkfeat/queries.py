@@ -6877,6 +6877,36 @@ def q_reward_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_of_n(_event_rewards(spark, sf_dir), k=3)
 
 
+_DATACARD_ORACLE = """SELECT source, lang,
+    CAST(GROUPING(source, lang) AS INTEGER) AS gid,
+    COUNT(*) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+    ROUND(AVG(n_chars), 6) AS avg_chars,
+    CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+    CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_null_text,
+    ROUND(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS null_text_frac
+FROM documents GROUP BY ROLLUP (source, lang)"""
+
+
+@register("corpus_datacard", _DATACARD_ORACLE, driver=False)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan rollup data-card (sparkfeat.report.corpus_datacard):
+    per-(source, lang) doc/char stats plus every roll-up margin and
+    the grand total from ONE corpus scan + ONE exchange (map-side
+    grouping-set expansion; plan-asserted no join/window/second scan).
+    grouping_id disambiguates rolled-up NULLs from real NULL dims —
+    pytest pins that Spark's bitmask convention equals DuckDB's
+    GROUPING(a, b). The only multi-dimensional-aggregate surface in
+    the repo; the oracle is the literal SQL ROLLUP."""
+    from sparkfeat.report import corpus_datacard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_datacard(docs)
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -6900,7 +6930,8 @@ def q_reward_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rolling_trend_slope, source_distinct_hll, source_overlap_hll,
 # rolling_len_tok_corr, corpus_weighted_sample,
 # corpus_temperature_sample, arena_bt_strengths, arena_winrate_matrix,
-# reward_grpo_advantages, reward_rloo_advantages, reward_best_of_n —
+# reward_grpo_advantages, reward_rloo_advantages, reward_best_of_n,
+# corpus_datacard —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

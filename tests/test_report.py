@@ -1,0 +1,79 @@
+"""corpus_datacard (sparkfeat/report.py): margin arithmetic against
+hand-computed values, grouping_id bitmask convention (incl. the
+real-NULL-dimension ambiguity gid resolves), null-size handling, and
+the one-exchange/no-join plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkfeat.report import corpus_datacard
+
+
+def _docs(spark):
+    rows = [
+        ("web", "en", "a", 10), ("web", "en", "b", 20),
+        ("web", "de", None, 30),
+        ("book", "en", "c", None),      # null size: counted, no moments
+        ("book", None, "d", 5),          # REAL null lang in a leaf cell
+    ]
+    return spark.createDataFrame(
+        rows, "source string, lang string, text string, n_chars int"
+    )
+
+
+def _key(r):
+    return (r["gid"], r["source"], r["lang"])
+
+
+def test_rollup_margins_hand_computed(spark):
+    got = {_key(r): r for r in corpus_datacard(_docs(spark)).collect()}
+    # leaf cells: gid 0
+    leaf = got[(0, "web", "en")]
+    assert (leaf["n_docs"], leaf["n_chars"], leaf["avg_chars"]) == (2, 30, 15.0)
+    assert (leaf["min_chars"], leaf["max_chars"]) == (10, 20)
+    assert leaf["n_null_text"] == 0 and leaf["null_text_frac"] == 0.0
+    # the REAL-null-lang leaf is gid 0 with lang NULL — distinguishable
+    # from the rolled-up margin (book, NULL) at gid 1
+    real_null = got[(0, "book", None)]
+    assert real_null["n_docs"] == 1 and real_null["n_chars"] == 5
+    book_margin = got[(1, "book", None)]
+    assert book_margin["n_docs"] == 2       # c + d
+    assert book_margin["n_chars"] == 5      # null size skipped in sum
+    assert book_margin["min_chars"] == 5 and book_margin["max_chars"] == 5
+    # per-source margin for web: 3 docs, one null text
+    web = got[(1, "web", None)]
+    assert (web["n_docs"], web["n_chars"], web["n_null_text"]) == (3, 60, 1)
+    assert web["null_text_frac"] == pytest.approx(round(1 / 3, 6))
+    # grand total: gid 3
+    tot = got[(3, None, None)]
+    assert (tot["n_docs"], tot["n_chars"]) == (5, 65)
+    assert tot["avg_chars"] == pytest.approx(round(65 / 4, 6))  # null skipped
+    # row count: 4 leaves + 2 source margins + 1 total
+    assert len(got) == 7
+
+
+def test_null_size_cell_moments_are_null(spark):
+    got = {_key(r): r for r in corpus_datacard(_docs(spark)).collect()}
+    cell = got[(0, "book", "en")]
+    assert cell["n_docs"] == 1
+    assert cell["n_chars"] is None and cell["avg_chars"] is None
+    assert cell["min_chars"] is None and cell["max_chars"] is None
+
+
+def test_plan_one_exchange_no_join(spark):
+    from tests.test_plans import n_shuffles, plan_of
+
+    out = corpus_datacard(_docs(spark))
+    assert n_shuffles(out) == 1, plan_of(out)
+    p = plan_of(out)
+    assert "Join" not in p and "Window" not in p, p
+    assert "Expand" in p, p  # the map-side grouping-set expansion
+
+
+def test_build_is_lazy(spark):
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    corpus_datacard(_docs(spark))
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert before == after
