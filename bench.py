@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     "rolling_trend_slope",
     # in-plan HLL: per-source distinct tokens with no key shuffle
     "source_distinct_hll",
+    # one-scan rollup data-card: every release-summary margin from a
+    # single Expand + exchange (0.51 s at sf0.1)
+    "corpus_datacard",
 ]
 
 
