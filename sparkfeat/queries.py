@@ -6907,6 +6907,104 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_datacard(docs)
 
 
+#: two deterministic corpus snapshots from one table: the "previous
+#: crawl" misses every doc_id ≡ 3 (mod 11); the "new crawl" misses
+#: every doc_id ≡ 7 (mod 19) and re-extracted every doc_id ≡ 0
+#: (mod 13) with a ' v2' suffix (NULL text stays NULL through the
+#: append in both engines, so null-text docs re-extract to unchanged).
+_SNAPSHOT_DIFF_CTE = """old AS (
+    SELECT doc_id, source, text FROM documents WHERE doc_id % 11 <> 3
+),
+new AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 19 <> 7
+),
+o AS (
+    SELECT doc_id AS id,
+           md5(COALESCE(CAST(text AS VARCHAR), CHR(0))) AS fp_old,
+           source AS src_old
+    FROM old
+),
+n AS (
+    SELECT doc_id AS id,
+           md5(COALESCE(CAST(text AS VARCHAR), CHR(0))) AS fp_new,
+           source AS src_new
+    FROM new
+),
+diff AS (
+    SELECT COALESCE(o.id, n.id) AS doc_id,
+        COALESCE(src_new, src_old) AS source,
+        CASE WHEN fp_old IS NULL THEN 'added'
+             WHEN fp_new IS NULL THEN 'removed'
+             WHEN fp_old <> fp_new THEN 'changed'
+             ELSE 'unchanged' END AS status
+    FROM o FULL JOIN n ON o.id = n.id
+)"""
+
+
+def _snapshot_pair(spark: SparkSession, sf_dir: str):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = d.filter(F.col("doc_id") % 11 != 3).select("doc_id", "source", "text")
+    new = d.filter(F.col("doc_id") % 19 != 7).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return old, new
+
+
+@register(
+    "corpus_snapshot_diff",
+    f"WITH {_SNAPSHOT_DIFF_CTE} SELECT doc_id, source, status FROM diff",
+    driver=False,
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two corpus snapshots (sparkfeat.report.
+    snapshot_diff): full-outer join on doc_id over map-side md5
+    fingerprints (null-sentinel-coded so ('a', NULL)/(NULL, 'a') can't
+    collide) classifying every doc added/removed/changed/unchanged —
+    the promote-or-recompute audit for a recurring crawl. The join
+    shuffles only (id, fp, source), never the text (plan-asserted).
+    Snapshots are derived deterministically from the documents table;
+    the oracle replays derivation, fingerprints, and the CASE."""
+    from sparkfeat.report import snapshot_diff
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return snapshot_diff(old, new)
+
+
+_SNAPSHOT_CHURN_ORACLE = f"""WITH {_SNAPSHOT_DIFF_CTE}
+SELECT source,
+    CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_added,
+    CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_removed,
+    CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_changed,
+    CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_unchanged,
+    ROUND(SUM(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS churn_frac
+FROM diff GROUP BY source"""
+
+
+@register("corpus_snapshot_churn", _SNAPSHOT_CHURN_ORACLE, driver=False)
+def q_corpus_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source churn rollup of the snapshot diff (sparkfeat.report.
+    snapshot_churn): status counts + churn_frac, the single number a
+    promotion gate thresholds. Composes snapshot_diff → one
+    conditional-sum aggregate; oracle replays the whole composition."""
+    from sparkfeat.report import snapshot_churn, snapshot_diff
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return snapshot_churn(snapshot_diff(old, new))
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -6931,7 +7029,7 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rolling_len_tok_corr, corpus_weighted_sample,
 # corpus_temperature_sample, arena_bt_strengths, arena_winrate_matrix,
 # reward_grpo_advantages, reward_rloo_advantages, reward_best_of_n,
-# corpus_datacard —
+# corpus_datacard, corpus_snapshot_diff, corpus_snapshot_churn —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

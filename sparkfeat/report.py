@@ -67,3 +67,86 @@ def corpus_datacard(
             ).alias("null_text_frac"),
         )
     )
+
+
+def _row_fp(cols: tuple[str, ...]):
+    """Null-unambiguous row fingerprint: md5 over '\\x01'-joined values
+    with NULL encoded as a '\\x00' sentinel (plain concat_ws SKIPS
+    nulls, making ('a', NULL) collide with (NULL, 'a'))."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols
+    ]
+    return F.md5(F.concat_ws("\x01", *parts))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    compare_cols: tuple[str, ...] = ("text",),
+    carry_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """CDC between two corpus snapshots: one full-outer equi-join on
+    ``id_col`` classifying every document as ``added`` (new only),
+    ``removed`` (old only), ``changed`` (both, ``compare_cols``
+    fingerprint differs) or ``unchanged`` — the audit a recurring
+    crawl/ingest runs before promoting a snapshot, and the input to
+    incremental recompute (recompute exactly the non-``unchanged``
+    set instead of the corpus).
+
+    ``carry_cols`` are reported from the NEW side, falling back to the
+    old side for removed docs. Output: ``(id_col, carry_cols…,
+    status)``.
+
+    Scale shape: each side is pre-projected to (id, fingerprint,
+    carry) — the md5 runs map-side in the scan stage, so the join
+    shuffles two narrow streams, never the text; on snapshots stored
+    bucketed by ``id_col`` (the iceberg posture) the exchanges elide
+    entirely. No window, no skew surface (doc ids are unique per
+    side).
+    """
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        _row_fp(compare_cols).alias("_fp_old"),
+        *[F.col(c).alias(f"_old_{c}") for c in carry_cols],
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        _row_fp(compare_cols).alias("_fp_new"),
+        *[F.col(c).alias(f"_new_{c}") for c in carry_cols],
+    )
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "_id", "full").select(
+        F.col("_id").alias(id_col),
+        *[
+            F.coalesce(F.col(f"_new_{c}"), F.col(f"_old_{c}")).alias(c)
+            for c in carry_cols
+        ],
+        status.alias("status"),
+    )
+
+
+def snapshot_churn(
+    diff: DataFrame, dims: tuple[str, ...] = ("source",)
+) -> DataFrame:
+    """Per-``dims`` churn rollup of a :func:`snapshot_diff` table:
+    counts per status plus ``churn_frac`` = (added + removed +
+    changed) / total — the promote/abort gate number. One map-side
+    pivot (conditional sums), one exchange on ``dims``."""
+    n_add = F.sum((F.col("status") == "added").cast("bigint"))
+    n_rem = F.sum((F.col("status") == "removed").cast("bigint"))
+    n_chg = F.sum((F.col("status") == "changed").cast("bigint"))
+    n_same = F.sum((F.col("status") == "unchanged").cast("bigint"))
+    total = F.count(F.lit(1))
+    return diff.groupBy(*dims).agg(
+        n_add.alias("n_added"),
+        n_rem.alias("n_removed"),
+        n_chg.alias("n_changed"),
+        n_same.alias("n_unchanged"),
+        F.round((n_add + n_rem + n_chg) / total, 6).alias("churn_frac"),
+    )

@@ -77,3 +77,75 @@ def test_build_is_lazy(spark):
     corpus_datacard(_docs(spark))
     after = len(tracker.getJobIdsForGroup() or [])
     assert before == after
+
+
+def _snap(spark):
+    from sparkfeat.report import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "web", "a"), (2, "web", "b"), (3, "book", "c"),
+         (4, "book", None), (5, "web", "e")],
+        "doc_id int, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "web", "a"),            # unchanged
+         (2, "web", "b2"),           # changed
+         (4, "book", "d-now"),       # changed (was NULL text)
+         (5, "web", None),           # changed (now NULL text)
+         (6, "news", "f")],          # added; doc 3 removed
+        "doc_id int, source string, text string",
+    )
+    return snapshot_diff(old, new)
+
+
+def test_snapshot_diff_statuses(spark):
+    got = {r["doc_id"]: (r["status"], r["source"]) for r in _snap(spark).collect()}
+    assert got == {
+        1: ("unchanged", "web"),
+        2: ("changed", "web"),
+        3: ("removed", "book"),   # carry falls back to the old side
+        4: ("changed", "book"),   # NULL -> value is a change, not a crash
+        5: ("changed", "web"),    # value -> NULL likewise
+        6: ("added", "news"),
+    }
+
+
+def test_snapshot_null_ambiguity_guard(spark):
+    """('a', NULL) vs (NULL, 'a') must NOT collide: the sentinel-coded
+    fingerprint distinguishes them where concat_ws would not."""
+    from sparkfeat.report import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "s", "a", None)], "doc_id int, source string, t1 string, t2 string"
+    )
+    new = spark.createDataFrame(
+        [(1, "s", None, "a")], "doc_id int, source string, t1 string, t2 string"
+    )
+    got = snapshot_diff(old, new, compare_cols=("t1", "t2")).collect()
+    assert got[0]["status"] == "changed"
+
+
+def test_snapshot_churn(spark):
+    from sparkfeat.report import snapshot_churn
+
+    got = {r["source"]: r for r in snapshot_churn(_snap(spark)).collect()}
+    web = got["web"]
+    assert (web["n_added"], web["n_removed"], web["n_changed"],
+            web["n_unchanged"]) == (0, 0, 2, 1)
+    assert web["churn_frac"] == pytest.approx(round(2 / 3, 6))
+    assert got["news"]["n_added"] == 1 and got["news"]["churn_frac"] == 1.0
+    book = got["book"]
+    assert (book["n_removed"], book["n_changed"]) == (1, 1)
+
+
+def test_snapshot_diff_plan_narrow_join(spark):
+    """The join must shuffle (id, fp, carry) projections — the text
+    column may not survive into either exchange."""
+    from tests.test_plans import plan_of
+
+    p = plan_of(_snap(spark))
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+    import re
+    for ex in re.findall(r"Exchange hashpartitioning\[[^\]]*\]", p):
+        assert "text" not in ex, p
