@@ -7005,6 +7005,45 @@ def q_corpus_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_churn(snapshot_diff(old, new))
 
 
+@register(
+    "corpus_incremental_features",
+    f"""WITH {_SNAPSHOT_DIFF_CTE}
+SELECT doc_id, source,
+    CAST(LEN({_TOKS}) AS INT) AS n_tok,
+    CAST(LENGTH(text) AS INT) AS len_chars
+FROM new""",
+    driver=False,
+)
+def q_corpus_incremental_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental feature recompute (sparkfeat.report.
+    incremental_update): snapshot_diff gates the feature pipeline to
+    the added/changed slice via LEFT SEMI joins; unchanged docs carry
+    their previous feature rows forward; removed docs drop. The
+    correctness law — incremental result == full recompute over the
+    new snapshot — IS the oracle (features over the new CTE); the
+    carry-path-really-carries property is pinned separately in pytest
+    with sentinel-poisoned old features (an oracle can't see the
+    difference, a sentinel can)."""
+    from sparkfeat import text as X
+    from sparkfeat.report import incremental_update, snapshot_diff
+
+    old, new = _snapshot_pair(spark, sf_dir)
+
+    def features(docs: DataFrame) -> DataFrame:
+        return docs.select(
+            "doc_id",
+            "source",
+            X.token_count("text").alias("n_tok"),
+            F.length("text").cast("int").alias("len_chars"),
+        )
+
+    return incremental_update(
+        snapshot_diff(old, new), features(old), new, features
+    )
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -7029,7 +7068,8 @@ def q_corpus_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rolling_len_tok_corr, corpus_weighted_sample,
 # corpus_temperature_sample, arena_bt_strengths, arena_winrate_matrix,
 # reward_grpo_advantages, reward_rloo_advantages, reward_best_of_n,
-# corpus_datacard, corpus_snapshot_diff, corpus_snapshot_churn —
+# corpus_datacard, corpus_snapshot_diff, corpus_snapshot_churn,
+# corpus_incremental_features —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

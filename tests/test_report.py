@@ -149,3 +149,67 @@ def test_snapshot_diff_plan_narrow_join(spark):
     import re
     for ex in re.findall(r"Exchange hashpartitioning\[[^\]]*\]", p):
         assert "text" not in ex, p
+
+
+def test_incremental_update_equals_full_recompute_and_carries(spark):
+    """The law: incremental == feature_fn(new) row-for-row; AND
+    sentinel-poisoned old rows for unchanged docs survive (the carry
+    path reads the old table, it does not silently recompute)."""
+    import pyspark.sql.functions as F
+
+    from sparkfeat.report import incremental_update, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "s", "aa"), (2, "s", "bb"), (3, "s", "cc")],
+        "doc_id int, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "s", "aa"), (2, "s", "bb-changed"), (4, "s", "dddd")],
+        "doc_id int, source string, text string",
+    )
+
+    def features(docs):
+        return docs.select("doc_id", F.length("text").alias("n_chars"))
+
+    diff = snapshot_diff(old, new)
+    # poison: unchanged doc 1 gets a sentinel feature value; if the
+    # operator recomputed it, the sentinel would be lost
+    old_feats = spark.createDataFrame(
+        [(1, -777), (2, 2), (3, 2)], "doc_id int, n_chars int"
+    )
+    got = {
+        r["doc_id"]: r["n_chars"]
+        for r in incremental_update(diff, old_feats, new, features).collect()
+    }
+    assert got == {1: -777, 2: 10, 4: 4}  # carried sentinel, 2 fresh, 3 gone
+    # with truthful old features the law holds exactly
+    honest = features(old)
+    got2 = {
+        r["doc_id"]: r["n_chars"]
+        for r in incremental_update(diff, honest, new, features).collect()
+    }
+    want = {r["doc_id"]: r["n_chars"] for r in features(new).collect()}
+    assert got2 == want
+
+
+def test_incremental_update_plan_semi_gates(spark):
+    import pyspark.sql.functions as F
+
+    from sparkfeat.report import incremental_update, snapshot_diff
+    from tests.test_plans import plan_of
+
+    old = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source"),
+        F.col("id").cast("string").alias("text"),
+    )
+    new = old.withColumn(
+        "text", F.when(F.col("doc_id") % 3 == 0, F.lit("x")).otherwise(F.col("text"))
+    )
+    diff = snapshot_diff(old, new)
+    out = incremental_update(
+        diff, old.select("doc_id", F.length("text").alias("n")), new,
+        lambda d: d.select("doc_id", F.length("text").alias("n")),
+    )
+    p = plan_of(out)
+    assert p.count("LeftSemi") == 2, p
+    assert "CartesianProduct" not in p, p
