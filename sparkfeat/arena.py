@@ -48,7 +48,7 @@ def bt_strengths(
     loser_col: str = "loser",
     n_iter: int = 5,
     prior: float = 0.1,
-    persist: bool = True,
+    lineage: str = "persist",
 ) -> DataFrame:
     """Bradley–Terry strengths from a raw judgment stream, T unrolled
     MM iterations in one lazy plan.
@@ -79,7 +79,33 @@ def bt_strengths(
     loop: 5 rounds lands within ~1% of the fixed point on
     well-connected graphs (pytest asserts monotone log-likelihood and
     planted-order recovery); raise it for tighter gaps.
+
+    ``lineage`` controls how the self-referential unrolled iteration
+    is kept from re-executing its upstream (raw plan: 380 corpus
+    FileScans at T=5, measured). ``'persist'`` (default) lazily caches
+    the boundary tables — build fires NO job (the house laziness law),
+    the corpus aggregate executes once, and every reuse is an
+    InMemoryTableScan; the cost is a constant ~seconds of scheduling
+    for the 2^T tiny cached stages, independent of corpus size (at
+    100 TB the one real aggregate dominates). ``'cut'`` additionally
+    truncates lineage with ``localCheckpoint(eager=False)`` per
+    iterate — 5.6× lower total latency (A/B at sf0.01: 8.3 s vs
+    1.5 s, bit-identical rows), but under AQE the checkpoint
+    finalizes query stages at BUILD time (jobs fire before any
+    action), so it is the serving/benchmark option, not the default;
+    it also ties recompute to executor-local blocks (avoid with
+    dynamic allocation). ``'none'`` leaves the raw plan — debugging
+    only.
     """
+    if lineage not in ("cut", "persist", "none"):
+        raise ValueError(f"unknown lineage {lineage!r}")
+
+    def _bound(df: DataFrame) -> DataFrame:
+        if lineage == "cut":
+            return df.localCheckpoint(eager=False)
+        if lineage == "persist":
+            return df.persist()
+        return df
     j = judgments.filter(
         F.col(winner_col).isNotNull()
         & F.col(loser_col).isNotNull()
@@ -94,6 +120,9 @@ def bt_strengths(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # Bound wins BEFORE the self-join below references it twice — this
+    # is the line that makes the corpus aggregate run exactly once.
+    wins = _bound(wins)
     # Symmetrize to per-ordered-pair totals n_ij (+ the prior's virtual
     # half-win each way: w'_ij = w_ij + prior, so n_ij picks up 2·prior
     # once per unordered observed pair).
@@ -112,13 +141,9 @@ def bt_strengths(
     # once per round PER SELF-REFERENCE — without a materialization
     # boundary Catalyst re-plans the whole upstream subtree at every
     # reference (measured: 380 corpus FileScans / 473 exchanges at
-    # T=5; ReuseExchange does NOT collapse them). persist() is lazy
-    # (no job fires at build time) and players²-bounded, and makes the
-    # corpus-sized aggregate execute exactly once: the plan then shows
-    # ONE FileScan with every reuse an InMemoryTableScan.
-    if persist:
-        wins = wins.persist()
-        pairs = pairs.persist()
+    # T=5; ReuseExchange does NOT collapse them). Both boundaries are
+    # lazy (no job fires at build time) and players²-bounded.
+    pairs = _bound(pairs)
     # Per-player totals: wins/games stay exact integers; the
     # regularized _W adds the prior once per observed opponent.
     totals = pairs.groupBy(F.col("a").alias("player")).agg(
@@ -129,8 +154,7 @@ def bt_strengths(
         F.sum("w_int").cast("bigint").alias("wins"),
         F.sum("n_int").cast("bigint").alias("games"),
     )
-    if persist:
-        totals = totals.persist()
+    totals = _bound(totals)
     s = totals.select("player", F.lit(1.0).alias("s"))
     for _ in range(n_iter):
         si = s.select(F.col("player").alias("a"), F.col("s").alias("s_i"))
@@ -166,6 +190,8 @@ def bt_strengths(
                 9,
             ).alias("s"),
         )
+        if lineage == "cut":
+            s = s.localCheckpoint(eager=False)
     return totals.join(s, "player").select(
         "player", "wins", "games", F.col("s").alias("strength")
     )

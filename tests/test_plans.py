@@ -279,17 +279,23 @@ def test_calibration_bins_broadcast_no_sort(spark, sf_dir):
 
 def test_bt_strengths_single_corpus_pass_no_cartesian(spark, sf_dir):
     """bt_strengths: the unrolled MM iteration references the match
-    matrix once per round per self-reference — the persist boundaries
-    must turn every reuse into an InMemoryTableScan (one real corpus
-    aggregate; without them: 380 FileScans at T=5, measured), and the
-    full-outer symmetrization must never degrade to a cartesian."""
+    matrix once per round per self-reference — a lineage boundary must
+    keep the corpus aggregate from re-executing (raw plan: 380
+    FileScans at T=5, measured), and the full-outer symmetrization
+    must never degrade to a cartesian. Default 'persist' (lazy)
+    shows every reuse as an InMemoryTableScan; 'cut' collapses the
+    final plan to the last iterate's RDD (no parquet scan at all)."""
     from sparkfeat.arena import bt_strengths
     from sparkfeat.queries import _arena_judgments
 
-    out = bt_strengths(_arena_judgments(spark, sf_dir), n_iter=3)
-    p = plan_of(out)
+    j = _arena_judgments(spark, sf_dir)
+    p = plan_of(bt_strengths(j, n_iter=3))
     assert "CartesianProduct" not in p, p
-    assert "InMemoryTableScan" in p, p  # persist boundary active
+    assert "InMemoryTableScan" in p, p  # lazy persist boundary active
+    p2 = plan_of(bt_strengths(j, n_iter=3, lineage="cut"))
+    assert "ExistingRDD" in p2 or "Scan ExistingRDD" in p2, p2
+    assert "FileScan parquet" not in p2, p2  # lineage fully truncated
+    assert "CartesianProduct" not in p2, p2
 
 
 def test_group_advantages_one_exchange(spark, sf_dir):
