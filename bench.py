@@ -122,6 +122,13 @@ BENCH_QUERIES = [
     # one-scan rollup data-card: every release-summary margin from a
     # single Expand + exchange (0.51 s at sf0.1)
     "corpus_datacard",
+    # final round-5 batch: length-bucketed dynamic batching (two-phase
+    # rank + broadcast offsets), the map-only normalization scrub
+    # (regexp chain + Arrow NFC), and pairwise Cohen's kappa over the
+    # 3-rater judgment stream
+    "corpus_length_batches",
+    "doc_clean_text",
+    "arena_rater_kappa",
 ]
 
 

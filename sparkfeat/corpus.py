@@ -1279,3 +1279,113 @@ def mixture_sample_from(
             ),
         )
     )
+
+
+def length_batches(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 16,
+    max_batch_tokens: int = 256,
+    cap_tokens: int = 512,
+    shards: int = 64,
+    seed: str = "0",
+) -> DataFrame:
+    """Length-bucketed dynamic-batching manifest — the max-tokens
+    batching every SFT/eval loader runs (fairseq/T5 style): examples
+    are bucketed by token length, padded to the bucket's upper edge,
+    and packed into batches of ``max_batch_tokens`` PADDED tokens, so
+    every batch is a dense rectangle and the padding waste is bounded
+    by ``bucket_width − 1`` per example. Unlike :func:`pack_sequences`
+    (which concatenates and splits across doc boundaries — the
+    pretraining mode), examples here stay ATOMIC — the instruction-
+    tuning / eval mode where splitting an example corrupts it.
+
+    Within a bucket the pad length is constant (``pad_len =
+    (bucket+1)·bucket_width``), so the token budget collapses to an
+    exact per-bucket ``batch_size = max(1, floor(budget / pad_len))``
+    and greedy fill ≡ ``batch_id = floor(rank / batch_size)`` — the
+    one case where budget batching IS integer math, which is exactly
+    why the bucketing comes first. Order within a bucket is the
+    deterministic md5(seed‖id) shuffle (same seed replays on any
+    cluster; batches are i.i.d.-ish in length AND content). Docs longer
+    than ``cap_tokens`` are truncated for budgeting (``n_trunc_tokens``
+    audits the loss); zero-token / null docs are excluded.
+
+    Scale shape: :func:`curriculum_order`'s two-phase rank — per-
+    (bucket, shard) window rank plus a buckets×shards-row offset table
+    broadcast back — so a 10⁹-example bucket never lands in one window
+    partition and the only corpus-sized wide op is the hash-partitioned
+    window. Everything else is integer Column math that fuses into the
+    scan.
+
+    Output: (id, n_tok, bucket, pad_len, batch_size, batch_id,
+    pos_in_batch, pad_waste, n_trunc_tokens); reading in
+    (bucket, batch_id, pos_in_batch) order materializes the batches.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    d = (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).alias("n_tok"),
+            key.alias("_key"),
+            (F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % shards)
+            .cast("int")
+            .alias("_shard"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn("_cap", F.least(F.col("n_tok"), F.lit(cap_tokens)))
+        .withColumn(
+            "bucket",
+            F.floor((F.col("_cap") - 1) / bucket_width).cast("int"),
+        )
+        .withColumn(
+            "pad_len", ((F.col("bucket") + 1) * bucket_width).cast("int")
+        )
+        .withColumn(
+            "batch_size",
+            F.greatest(
+                F.floor(F.lit(max_batch_tokens) / F.col("pad_len")), F.lit(1)
+            ).cast("int"),
+        )
+    )
+    w = Window.partitionBy("bucket", "_shard").orderBy("_key", id_col)
+    ranked = d.withColumn("_pos", (F.row_number().over(w) - 1).cast("bigint"))
+    counts = ranked.groupBy("bucket", "_shard").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_off = (
+        Window.partitionBy("bucket")
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "bucket",
+        "_shard",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+    )
+    rank = F.col("_off") + F.col("_pos")
+    pos_in_batch = rank % F.col("batch_size")
+    # exact integer division: subtract the remainder first — the
+    # quotient of a double division can round UP across an integer
+    # boundary at extreme rank, floor()ing to the wrong batch.
+    batch_id = (rank - pos_in_batch) / F.col("batch_size")
+    return (
+        ranked.join(F.broadcast(offs), ["bucket", "_shard"])
+        .select(
+            F.col(id_col),
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            "bucket",
+            "pad_len",
+            "batch_size",
+            batch_id.cast("bigint").alias("batch_id"),
+            pos_in_batch.cast("int").alias("pos_in_batch"),
+            (F.col("pad_len") - F.col("_cap")).cast("int").alias("pad_waste"),
+            (F.col("n_tok") - F.col("_cap")).cast("bigint").alias(
+                "n_trunc_tokens"
+            ),
+        )
+    )

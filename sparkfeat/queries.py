@@ -7044,6 +7044,280 @@ def q_corpus_incremental_features(
     )
 
 
+# ---------------------------------------------------------------------------
+# Inter-rater agreement (sparkfeat.arena.rater_agreement)
+# ---------------------------------------------------------------------------
+
+#: deterministic 3-rater judgment stream over documents: the shared
+#: ground label is a doc property (n_chars decile), each rater covers
+#: an independent md5-bucket 85% slice and flips the label on an
+#: independent 15% slice — raters agree above chance but not perfectly,
+#: so every kappa branch carries real signal. Replayed bucket-for-bucket.
+_RATER_SPECS = (("r1", 15, 3), ("r2", 17, 7), ("r3", 19, 11))
+
+
+def _rater_judgments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from sparkfeat.corpus import hash_bucket
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = F.when((F.col("n_chars") % 10) < 6, F.lit("good")).otherwise(
+        F.lit("bad")
+    )
+    flipped = F.when(base == "good", F.lit("bad")).otherwise(F.lit("good"))
+    parts = []
+    for rid, cov_s, flip_s in _RATER_SPECS:
+        lab = F.when(
+            hash_bucket("doc_id", start=flip_s, buckets=1000) < 150, flipped
+        ).otherwise(base)
+        parts.append(
+            d.filter(hash_bucket("doc_id", start=cov_s, buckets=1000) < 850)
+            .select(
+                F.col("doc_id").alias("item_id"),
+                F.lit(rid).alias("rater_id"),
+                lab.alias("label"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), parts)
+
+
+def _rater_kappa_oracle() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, '{rid}' AS r,
+    CASE WHEN {_hex_bucket_sql("doc_id", flip_s, 1000)} < 150
+         THEN (CASE WHEN b = 'good' THEN 'bad' ELSE 'good' END)
+         ELSE b END AS l
+FROM base WHERE {_hex_bucket_sql("doc_id", cov_s, 1000)} < 850"""
+        for rid, cov_s, flip_s in _RATER_SPECS
+    )
+    return f"""WITH base AS (
+    SELECT doc_id,
+        CASE WHEN (n_chars % 10) < 6 THEN 'good' ELSE 'bad' END AS b
+    FROM documents
+),
+j AS ({arms}),
+p AS (
+    SELECT a.r AS ra, b.r AS rb, a.l AS la, b.l AS lb
+    FROM j a JOIN j b ON a.doc_id = b.doc_id AND a.r < b.r
+),
+cells AS (SELECT ra, rb, la, lb, COUNT(*) AS cnt FROM p GROUP BY ALL),
+ma AS (SELECT ra, rb, la, SUM(cnt) AS na FROM cells GROUP BY ALL),
+mb AS (SELECT ra, rb, lb, SUM(cnt) AS nb FROM cells GROUP BY ALL),
+pn AS (
+    SELECT ma.ra, ma.rb, SUM(na * nb) AS pe_num
+    FROM ma JOIN mb ON ma.ra = mb.ra AND ma.rb = mb.rb AND ma.la = mb.lb
+    GROUP BY ma.ra, ma.rb
+),
+tot AS (SELECT ra, rb, SUM(cnt) AS n_shared FROM cells GROUP BY ALL),
+ag AS (SELECT ra, rb, SUM(cnt) AS n_agree FROM cells WHERE la = lb
+       GROUP BY ALL),
+f AS (
+    SELECT t.ra, t.rb, t.n_shared, COALESCE(ag.n_agree, 0) AS n_agree,
+        ROUND(COALESCE(ag.n_agree, 0) / CAST(t.n_shared AS DOUBLE), 6) AS po,
+        ROUND(pe_num / (CAST(t.n_shared AS DOUBLE) * t.n_shared), 6) AS pe
+    FROM tot t
+    LEFT JOIN ag ON ag.ra = t.ra AND ag.rb = t.rb
+    JOIN pn ON pn.ra = t.ra AND pn.rb = t.rb
+)
+SELECT ra AS rater_a, rb AS rater_b,
+    CAST(n_shared AS BIGINT) AS n_shared,
+    CAST(n_agree AS BIGINT) AS n_agree,
+    po, pe,
+    CASE WHEN pe < 1.0 THEN ROUND((po - pe) / (1.0 - pe), 6) END AS kappa
+FROM f"""
+
+
+@register("arena_rater_kappa", _rater_kappa_oracle(), driver=False)
+def q_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cohen's kappa over a deterministic 3-rater judgment
+    stream (sparkfeat.arena.rater_agreement) — the above-chance
+    agreement audit a labeling pipeline runs before its judgments train
+    a reward model. The stream plants a shared ground label plus
+    per-rater md5-bucket coverage (85%) and label-flip noise (15%), so
+    observed agreement is high but kappa discounts the chance floor;
+    the oracle replays the judgment mining, the item self-join, the
+    confusion cells, both marginal vectors, and the rounded po/pe
+    quotient end to end."""
+    from sparkfeat.arena import rater_agreement
+
+    return rater_agreement(_rater_judgments(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Corpus text normalization (sparkfeat.text.clean_text)
+# ---------------------------------------------------------------------------
+
+#: deterministic noise enrichment: the synthetic corpus is clean ASCII,
+#: so the query plants doc_id-derived unicode noise — zero-width, NBSP,
+#: curly quotes + em-dash + rsquo, a decomposed e+combining-acute (NFC
+#: must compose it), a C0 control, double spaces — mirrored chr-for-chr
+#: in the oracle. The scrub itself is the operator under test.
+_CLEAN_AUG_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' a' || chr(8203) || 'b' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' c' || chr(160) || 'd' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(8220) || 'q' || chr(8221)"
+    " || ' ' || chr(8212) || ' don' || chr(8217) || 't' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' e' || chr(769) || 'clair' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' ctl' || chr(20) ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN '  wide   gap' ELSE '' END"
+)
+
+
+def _clean_aug_col() -> Column:
+    did = F.col("doc_id")
+    br = [
+        (3, " a​b"),
+        (4, " c d"),
+        (5, " “q” — don’t"),
+        (7, " éclair"),
+        (11, " ctl\x14"),
+        (2, "  wide   gap"),
+    ]
+    return F.concat(
+        F.col("text"),
+        *[
+            F.when(did % m == 0, F.lit(s)).otherwise(F.lit(""))
+            for m, s in br
+        ],
+    )
+
+
+def _clean_text_oracle() -> str:
+    """Stepwise CTE chain mirroring clean_text (the _pii_oracle shape):
+    NFC first, then each kind's count on the PREVIOUS kind's output.
+    Patterns are embedded as resolved literal codepoints — the one
+    escape dialect Java regex and RE2 agree on byte-for-byte."""
+    from sparkfeat.text import CLEAN_PATTERNS
+
+    steps, acc = [], []
+    prev_tbl, prev_txt = "a", "t0"
+    for i, (kind, pat, rep) in enumerate(CLEAN_PATTERNS):
+        p, r = pat.replace("'", "''"), rep.replace("'", "''")
+        carried = (", " + ", ".join(acc)) if acc else ""
+        steps.append(
+            f"s{i} AS (SELECT doc_id{carried}, "
+            f"CAST(len(regexp_extract_all({prev_txt}, '{p}')) AS INT) AS n_{kind}, "
+            f"regexp_replace({prev_txt}, '{p}', '{r}', 'g') AS t{i + 1} "
+            f"FROM {prev_tbl})"
+        )
+        acc.append(f"n_{kind}")
+        prev_tbl, prev_txt = f"s{i}", f"t{i + 1}"
+    return (
+        f"WITH raw AS (SELECT doc_id, {_CLEAN_AUG_SQL} AS t_raw FROM documents),\n"
+        "a AS (SELECT doc_id, t_raw, nfc_normalize(t_raw) AS t0 FROM raw),\n"
+        + ",\n".join(steps)
+        + f",\nfin AS (SELECT {prev_tbl}.*, raw.t_raw,"
+        f" trim(regexp_replace({prev_txt}, '  +', ' ', 'g')) AS tc"
+        f" FROM {prev_tbl} JOIN raw USING (doc_id))\n"
+        f"SELECT doc_id, {', '.join(acc)}, "
+        "CAST(LENGTH(tc) AS INT) AS clean_len, md5(tc) AS clean_fp, "
+        "(t_raw IS DISTINCT FROM tc) AS changed "
+        "FROM fin"
+    )
+
+
+@register("doc_clean_text", _clean_text_oracle(), driver=False)
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization (sparkfeat.text.clean_text): strips
+    control/zero-width codepoints, folds unicode spaces to ASCII,
+    canonicalizes curly quotes and long dashes, collapses space runs,
+    NFC-composes — the byte-noise cleanup that runs BEFORE any
+    fingerprint/dedup stage so invisible characters can't split
+    identical documents into different hashes. Map-only regexp chain
+    (whole-stage codegen; NFC is the one Arrow crossing). The corpus
+    is clean ASCII, so the query plants deterministic doc_id-derived
+    noise (mirrored chr-for-chr in the oracle) covering every scrub
+    kind plus a decomposed accent the NFC pass must compose; emits the
+    cleaned text's length + md5 and the stepwise per-kind counts."""
+    from sparkfeat.text import CLEAN_PATTERNS, clean_text
+
+    docs = _docs(spark, sf_dir)
+    aug = docs.select("doc_id", _clean_aug_col().alias("text"))
+    out = clean_text(aug, nfc=True)
+    kinds = [f"n_{k}" for k, _, _ in CLEAN_PATTERNS]
+    return out.select(
+        "doc_id",
+        *kinds,
+        F.length("clean_text").cast("int").alias("clean_len"),
+        F.md5("clean_text").alias("clean_fp"),
+        "changed",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed dynamic-batching manifest (sparkfeat.corpus.length_batches)
+# ---------------------------------------------------------------------------
+
+
+def _length_batches_oracle(
+    width: int = 16,
+    budget: int = 256,
+    cap: int = 512,
+    shards: int = 64,
+    seed: str = "0",
+) -> str:
+    return f"""WITH t AS (
+    SELECT doc_id,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                        x -> x <> '')) AS n_tok,
+        md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS skey
+    FROM documents
+),
+d AS (
+    SELECT doc_id, n_tok, skey,
+        CAST({_hex_bucket_sql("doc_id", 1, shards, hexpr="skey")} AS INT)
+            AS shard,
+        LEAST(n_tok, {cap}) AS capt
+    FROM t WHERE n_tok > 0
+),
+b AS (
+    SELECT *,
+        CAST((capt - 1) // {width} AS INT) AS bucket,
+        CAST(((capt - 1) // {width} + 1) * {width} AS INT) AS pad_len
+    FROM d
+),
+s AS (
+    SELECT *,
+        CAST(GREATEST(FLOOR({budget}.0 / pad_len), 1) AS INT) AS batch_size,
+        ROW_NUMBER() OVER (
+            PARTITION BY bucket ORDER BY shard, skey, doc_id) - 1 AS rnk
+    FROM b
+)
+SELECT doc_id,
+    CAST(n_tok AS BIGINT) AS n_tok,
+    bucket, pad_len, batch_size,
+    CAST((rnk - (rnk % batch_size)) // batch_size AS BIGINT) AS batch_id,
+    CAST(rnk % batch_size AS INT) AS pos_in_batch,
+    CAST(pad_len - capt AS INT) AS pad_waste,
+    CAST(n_tok - capt AS BIGINT) AS n_trunc_tokens
+FROM s"""
+
+
+@register("corpus_length_batches", _length_batches_oracle(), driver=False)
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed max-tokens batching manifest
+    (sparkfeat.corpus.length_batches): examples bucketed by token
+    length (width 16, capped at 512), padded to the bucket edge, packed
+    into 256-padded-token batches in deterministic md5-shuffled order —
+    the instruction-tuning/eval loader's dynamic batching, with
+    examples ATOMIC (vs pack_sequences' concat-and-split). The oracle
+    replays the token count, hex shard, bucket/pad/batch-size integer
+    math, and the two-phase rank as one direct per-bucket window —
+    exactness of the shard-offset composition is what's under test."""
+    from sparkfeat.corpus import length_batches
+
+    return length_batches(
+        _docs(spark, sf_dir),
+        bucket_width=16,
+        max_batch_tokens=256,
+        cap_tokens=512,
+        shards=64,
+        seed="0",
+    )
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -7069,7 +7343,8 @@ def q_corpus_incremental_features(
 # corpus_temperature_sample, arena_bt_strengths, arena_winrate_matrix,
 # reward_grpo_advantages, reward_rloo_advantages, reward_best_of_n,
 # corpus_datacard, corpus_snapshot_diff, corpus_snapshot_churn,
-# corpus_incremental_features —
+# corpus_incremental_features, arena_rater_kappa, doc_clean_text,
+# corpus_length_batches —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

@@ -754,3 +754,86 @@ def pmi_topk(
         .filter(F.col("rank") <= k)
         .select("tok_a", "tok_b", F.col("c_ab").cast("bigint").alias("c_ab"), "pmi", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus text normalization (control/zero-width scrub, unicode spaces,
+# punctuation canonicalization, optional NFC)
+# ---------------------------------------------------------------------------
+
+#: (kind, pattern, replacement) in scrub ORDER — counts are stepwise on
+#: the progressively cleaned text (the scrub_pii convention), so each
+#: codepoint is attributed to exactly one kind. Patterns stay in the
+#: Java-regex ∩ RE2 common subset so the DuckDB oracle replays them
+#: byte-for-byte ('g' flag on the DuckDB side; Spark replaces globally
+#: by default).
+CLEAN_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    # C0 controls minus \t\n\r, plus DEL — dropped outright
+    ("ctrl", "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""),
+    # zero-width space/non-joiner/joiner, BOM, soft hyphen — dropped
+    ("zw", "[\u200b\u200c\u200d\ufeff\u00ad]", ""),
+    # unicode space family → ASCII space
+    ("unispace", "[\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]", " "),
+    # curly quotes / primes → ASCII
+    ("squote", "[\u2018\u2019\u201a\u2032]", "'"),
+    ("dquote", "[\u201c\u201d\u201e\u2033]", "\""),
+    # en/em/horizontal-bar dashes, minus sign → hyphen
+    ("dash", "[\u2013\u2014\u2015\u2212]", "-"),
+)
+
+
+def clean_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nfc: bool = False,
+    collapse_spaces: bool = True,
+) -> DataFrame:
+    """Corpus text normalization — the cleanup pass that runs before any
+    hashing/dedup stage so that byte-level noise (zero-width chars,
+    NBSP, curly quotes) can't split otherwise-identical documents into
+    different fingerprints: strips control and zero-width codepoints,
+    folds the unicode space family to ASCII space, canonicalizes curly
+    quotes and long dashes, optionally collapses space runs, and
+    (``nfc=True``) applies Unicode NFC composition.
+
+    Counting is STEPWISE on the progressively cleaned text (the
+    :func:`scrub_pii` convention) so every codepoint is attributed to
+    exactly one kind and the counts reconcile with the diff. The regex
+    chain is pure ``regexp_replace`` Column algebra — whole-stage
+    codegen, map-only, fuses into the scan; at 100 TB this is a free
+    rider on whatever pass reads the text. NFC is the one Python
+    crossing (``unicodedata.normalize`` has no JVM-expression
+    equivalent), Arrow-batched and applied FIRST so the regex scrubs
+    see composed codepoints; null text passes through as null.
+
+    Returns ``clean_text`` + per-kind counts ``n_ctrl / n_zw /
+    n_unispace / n_squote / n_dquote / n_dash`` and ``changed``.
+    """
+    cur: Column = F.col(text_col)
+    if nfc:
+        from pyspark.sql.types import StringType
+
+        @F.pandas_udf(StringType())
+        def _nfc(s: pd.Series) -> pd.Series:
+            import unicodedata
+
+            return s.map(
+                lambda t: unicodedata.normalize("NFC", t)
+                if t is not None
+                else None
+            )
+
+        cur = _nfc(cur)
+    out: list[Column] = [F.col(id_col)]
+    for kind, pat, rep in CLEAN_PATTERNS:
+        out.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, rep)
+    if collapse_spaces:
+        cur = F.trim(F.regexp_replace(cur, "  +", " "))
+    out.append(cur.alias("clean_text"))
+    # null-safe: a null doc is unchanged (null), not a diff
+    out.append(
+        (~F.col(text_col).eqNullSafe(cur)).alias("changed")
+    )
+    return docs.select(*out)

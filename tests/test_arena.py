@@ -158,3 +158,70 @@ def test_build_is_lazy(spark):
     winrate_matrix(j)
     after = len(tracker.getJobIdsForGroup() or [])
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# rater_agreement (pairwise Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+
+def _judg(spark, rows):
+    return spark.createDataFrame(
+        rows, "item_id bigint, rater_id string, label string"
+    )
+
+
+def test_kappa_hand_computed(spark):
+    from sparkfeat.arena import rater_agreement
+
+    # A: g on 1-5, b on 6-10; B agrees on 8, flips items 5 and 10
+    rows = []
+    for i in range(1, 11):
+        a = "g" if i <= 5 else "b"
+        rows.append((i, "A", a))
+        b = {5: "b", 10: "g"}.get(i, a)
+        rows.append((i, "B", b))
+    out = rater_agreement(_judg(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["rater_a"], r["rater_b"]) == ("A", "B")
+    assert r["n_shared"] == 10 and r["n_agree"] == 8
+    # marginals: A g5 b5; B g5 b5 -> pe = .5; po = .8 -> kappa = .6
+    assert r["po"] == 0.8 and r["pe"] == 0.5
+    assert abs(r["kappa"] - 0.6) < 1e-9
+
+
+def test_kappa_perfect_and_degenerate(spark):
+    from sparkfeat.arena import rater_agreement
+
+    # perfect agreement with label variety -> kappa = 1
+    rows = [(i, r, "g" if i % 2 else "b") for i in range(1, 9) for r in "AB"]
+    r = rater_agreement(_judg(spark, rows)).collect()[0]
+    assert r["kappa"] == 1.0 and r["po"] == 1.0
+    # both raters constant on one label -> pe = 1 -> kappa undefined
+    rows = [(i, r, "g") for i in range(1, 9) for r in "AB"]
+    r = rater_agreement(_judg(spark, rows)).collect()[0]
+    assert r["pe"] == 1.0 and r["kappa"] is None
+
+
+def test_kappa_pairs_nulls_and_min_shared(spark):
+    from sparkfeat.arena import rater_agreement
+
+    rows = [(i, r, "g") for i in range(1, 6) for r in "ABC"]
+    rows += [(99, "A", None), (98, "B", None)]  # null labels drop
+    out = rater_agreement(_judg(spark, rows))
+    got = {(r["rater_a"], r["rater_b"]): r for r in out.collect()}
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    assert all(r["n_shared"] == 5 for r in got.values())
+    # min_shared gate
+    assert rater_agreement(_judg(spark, rows), min_shared=6).count() == 0
+
+
+def test_kappa_partial_overlap_counts_shared_items_only(spark):
+    from sparkfeat.arena import rater_agreement
+
+    rows = [(i, "A", "g") for i in range(1, 8)]
+    rows += [(i, "B", "g" if i <= 4 else "b") for i in range(3, 10)]
+    r = rater_agreement(_judg(spark, rows)).collect()[0]
+    # shared items: 3..7 -> 5; agree on 3,4
+    assert r["n_shared"] == 5 and r["n_agree"] == 2

@@ -744,3 +744,120 @@ def test_epoch_expand_plan_broadcast_map_only(spark):
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+# ---------------------------------------------------------------------------
+# length_batches (length-bucketed dynamic batching)
+# ---------------------------------------------------------------------------
+
+
+def _lb_docs(spark):
+    # token counts 1..40 plus an over-cap doc and degenerate rows
+    rows = [(i, " ".join(f"w{j}" for j in range(i))) for i in range(1, 41)]
+    rows += [(100, " ".join("x" for _ in range(500)))]  # truncated at cap
+    rows += [(101, ""), (102, None)]  # excluded: zero tokens / null
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_length_batches_bucket_and_pad_math(spark):
+    from sparkfeat.corpus import length_batches
+
+    out = length_batches(
+        _lb_docs(spark), bucket_width=8, max_batch_tokens=32, cap_tokens=64
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 101 not in rows and 102 not in rows
+    for i in range(1, 41):
+        r = rows[i]
+        assert r["bucket"] == (i - 1) // 8
+        assert r["pad_len"] == (r["bucket"] + 1) * 8
+        assert r["pad_len"] >= min(i, 64) > r["pad_len"] - 8
+        assert r["batch_size"] == max(32 // r["pad_len"], 1)
+        assert r["pad_waste"] == r["pad_len"] - min(i, 64)
+        assert r["n_trunc_tokens"] == 0
+    big = rows[100]
+    assert big["n_tok"] == 500 and big["n_trunc_tokens"] == 500 - 64
+    assert big["bucket"] == (64 - 1) // 8 and big["pad_len"] == 64
+
+
+def test_length_batches_dense_batches_and_budget(spark):
+    from sparkfeat.corpus import length_batches
+
+    out = length_batches(
+        _lb_docs(spark), bucket_width=8, max_batch_tokens=32, cap_tokens=64
+    ).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, rs in by_bucket.items():
+        bs = rs[0]["batch_size"]
+        assert all(r["batch_size"] == bs for r in rs)
+        # batch budget: a full batch's padded tokens fit the budget
+        # (or the batch is a single over-budget example, bs == 1)
+        assert bs * rs[0]["pad_len"] <= 32 or bs == 1
+        batches = {}
+        for r in rs:
+            batches.setdefault(r["batch_id"], []).append(r["pos_in_batch"])
+        last = max(batches)
+        for bid, poss in batches.items():
+            assert sorted(poss) == list(range(len(poss)))  # dense positions
+            if bid < last:
+                assert len(poss) == bs  # every non-final batch is full
+        # batch ids are contiguous from 0
+        assert sorted(batches) == list(range(last + 1))
+
+
+def test_length_batches_seed_replay_and_reshuffle(spark):
+    from sparkfeat.corpus import length_batches
+
+    d = _lb_docs(spark)
+    a = {
+        r["doc_id"]: (r["batch_id"], r["pos_in_batch"])
+        for r in length_batches(d, seed="7").collect()
+    }
+    b = {
+        r["doc_id"]: (r["batch_id"], r["pos_in_batch"])
+        for r in length_batches(d, seed="7").collect()
+    }
+    c = {
+        r["doc_id"]: (r["batch_id"], r["pos_in_batch"])
+        for r in length_batches(d, seed="8").collect()
+    }
+    assert a == b  # same seed replays byte-identically
+    assert a != c  # reseeding reshuffles
+
+
+def test_length_batches_two_phase_equals_direct_window(spark):
+    from pyspark.sql import Window
+
+    from sparkfeat.corpus import length_batches
+
+    d = _lb_docs(spark)
+    got = length_batches(d, shards=4)
+    # direct replica: one window per bucket over (shard, key, id)
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    key = F.md5(F.concat_ws(":", F.lit("0"), F.col("doc_id").cast("string")))
+    base = (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tok"),
+            key.alias("_key"),
+            (F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % 4)
+            .cast("int")
+            .alias("_shard"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn("_cap", F.least(F.col("n_tok"), F.lit(512)))
+        .withColumn("bucket", F.floor((F.col("_cap") - 1) / 16).cast("int"))
+    )
+    w = Window.partitionBy("bucket").orderBy("_shard", "_key", "doc_id")
+    ref = {
+        (r["doc_id"]): (r["bucket"], r["rnk"])
+        for r in base.withColumn(
+            "rnk", F.row_number().over(w) - 1
+        ).collect()
+    }
+    for r in got.collect():
+        bucket, rnk = ref[r["doc_id"]]
+        assert r["bucket"] == bucket
+        assert r["batch_id"] * r["batch_size"] + r["pos_in_batch"] == rnk

@@ -744,3 +744,75 @@ def test_pmi_topk_no_cartesian(spark, sf_dir):
     plan = pmi_topk(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+# ---------------------------------------------------------------------------
+# clean_text (corpus normalization scrub)
+# ---------------------------------------------------------------------------
+
+
+def _cdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_clean_text_each_kind(spark):
+    from sparkfeat.text import clean_text
+
+    d = _cdocs(
+        spark,
+        [
+            (1, "a\x00b\x14c"),                       # controls dropped
+            (2, "x​y‌﻿z­"),       # zero-width dropped
+            (3, "a b c　d"),            # unispace -> ' '
+            (4, "‘q’ “w”"),       # quotes -> ascii
+            (5, "a – b — c − 5"),      # dashes -> '-'
+            (6, "a   b\t\tc"),                        # collapse (spaces only)
+            (7, "already clean"),
+            (8, None),
+        ],
+    )
+    out = {r["doc_id"]: r for r in clean_text(d).collect()}
+    assert out[1]["n_ctrl"] == 2 and out[1]["clean_text"] == "abc"
+    assert out[2]["n_zw"] == 4 and out[2]["clean_text"] == "xyz"
+    assert out[3]["n_unispace"] == 3 and out[3]["clean_text"] == "a b c d"
+    assert out[4]["n_squote"] == 2 and out[4]["n_dquote"] == 2
+    assert out[4]["clean_text"] == "'q' \"w\""
+    assert out[5]["n_dash"] == 3 and out[5]["clean_text"] == "a - b - c - 5"
+    assert out[6]["clean_text"] == "a b\t\tc"  # only space runs collapse
+    assert out[7]["changed"] is False and out[7]["clean_text"] == "already clean"
+    assert out[8]["clean_text"] is None and out[8]["changed"] is False
+    for i in (1, 2, 3, 4, 5, 6):
+        assert out[i]["changed"] is True
+
+
+def test_clean_text_nfc_composes(spark):
+    from sparkfeat.text import clean_text
+
+    d = _cdocs(spark, [(1, "café"), (2, "café")])
+    out = {r["doc_id"]: r for r in clean_text(d, nfc=True).collect()}
+    assert out[1]["clean_text"] == "café" and out[1]["changed"] is True
+    assert out[2]["clean_text"] == "café" and out[2]["changed"] is False
+    # without nfc the decomposed form passes through untouched
+    raw = {r["doc_id"]: r for r in clean_text(d).collect()}
+    assert raw[1]["clean_text"] == "café"
+    assert raw[1]["changed"] is False
+
+
+def test_clean_text_is_map_only(spark):
+    from sparkfeat.text import clean_text
+
+    d = _cdocs(spark, [(1, "x")])
+    plan = clean_text(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_clean_text_counts_reconcile_stepwise(spark):
+    from sparkfeat.text import clean_text
+
+    # a zero-width char INSIDE a unicode space run: the zw pass removes
+    # it first, so unispace still sees its own codepoints (stepwise
+    # attribution, no double counting)
+    d = _cdocs(spark, [(1, "a ​ b")])
+    r = clean_text(d).collect()[0]
+    assert r["n_zw"] == 1 and r["n_unispace"] == 2
+    assert r["clean_text"] == "a b"
