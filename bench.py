@@ -129,6 +129,11 @@ BENCH_QUERIES = [
     "corpus_length_batches",
     "doc_clean_text",
     "arena_rater_kappa",
+    # role-transition Markov matrix (one conv_id exchange, in-row
+    # transition arrays) and the outlink domain profile (map-only
+    # extraction + two-level distinct-doc count)
+    "conv_role_transitions",
+    "corpus_domain_stats",
 ]
 
 

@@ -501,3 +501,66 @@ def cumulative_distinct(
         .withColumn(out, F.sum(tmp).over(w_cum).cast("int"))
         .drop(tmp)
     )
+
+
+def role_transitions(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    order_cols: tuple[str, ...] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Corpus-wide role-transition profile — the Markov matrix of who
+    speaks after whom (user → assistant → tool → …), with START/END
+    sentinels for conversation boundaries: the agent-telemetry shape
+    audit run before training on transcripts (a dataset where
+    assistant → assistant dominates, or tool turns never return to the
+    assistant, is malformed upstream — exactly what this table makes
+    visible), and the input to any turn-level curriculum or simulator.
+
+    Per conversation, each turn contributes one (role → next role)
+    transition under the stable (ts, turn_idx) turn ordering from the
+    north rule; the first turn also contributes START → role and the
+    last role → END. Corpus-level output per (role_from, role_to):
+    ``n`` transitions and the row-conditional probability
+    ``p = n / Σ_from n`` (rounded 6 dp before emission).
+
+    Scale shape: ONE hash(conv_id) exchange feeds the lead() window
+    (zero on the bucketed table); the transition stream collapses
+    map-side to a roles²-bounded count table, and the conditional
+    normalizer is a window over those few rows — 10¹² turns shuffle
+    once, the aggregate state is O(roles²)."""
+    w = Window.partitionBy(conv_col).orderBy(*[F.col(c) for c in order_cols])
+    base = transcripts.select(
+        F.col(conv_col),
+        F.col(role_col).cast("string").alias("_r"),
+        F.lead(role_col).over(w).cast("string").alias("_nxt"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    # each turn emits its transitions as an in-row array out of the ONE
+    # windowed pass (a union of mids and starts would re-plan the
+    # window subtree per branch — two conv_id exchanges, plan-tested)
+    step = F.struct(
+        F.col("_r").alias("role_from"),
+        F.coalesce(F.col("_nxt"), F.lit("END")).alias("role_to"),
+    )
+    opener = F.struct(
+        F.lit("START").alias("role_from"), F.col("_r").alias("role_to")
+    )
+    pairs = F.when(F.col("_rn") == 1, F.array(opener, step)).otherwise(
+        F.array(step)
+    )
+    counts = (
+        base.select(F.explode(pairs).alias("_t"))
+        .select("_t.role_from", "_t.role_to")
+        .groupBy("role_from", "role_to")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("role_from")
+    return counts.select(
+        "role_from",
+        "role_to",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_from), 6
+        ).alias("p"),
+    )

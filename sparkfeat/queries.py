@@ -7045,6 +7045,127 @@ def q_corpus_incremental_features(
 
 
 # ---------------------------------------------------------------------------
+# Role-transition profile (sparkfeat.conv.role_transitions)
+# ---------------------------------------------------------------------------
+
+_ROLE_TRANSITIONS_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+b AS (
+    SELECT conv_id, role,
+        LEAD(role) OVER ({_W}) AS nxt,
+        ROW_NUMBER() OVER ({_W}) AS rn
+    FROM transcripts
+),
+t AS (
+    SELECT role AS role_from, COALESCE(nxt, 'END') AS role_to FROM b
+    UNION ALL
+    SELECT 'START', role FROM b WHERE rn = 1
+),
+c AS (SELECT role_from, role_to, COUNT(*) AS n FROM t GROUP BY ALL)
+SELECT role_from, role_to, CAST(n AS BIGINT) AS n,
+    ROUND(n / CAST(SUM(n) OVER (PARTITION BY role_from) AS DOUBLE), 6) AS p
+FROM c"""
+
+
+@register("conv_role_transitions", _ROLE_TRANSITIONS_ORACLE, driver=False)
+def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide role-transition Markov matrix with START/END
+    sentinels (sparkfeat.conv.role_transitions) — the agent-telemetry
+    shape audit: who speaks after whom, per (role_from, role_to), with
+    row-conditional probabilities. One hash(conv_id) exchange feeds the
+    lead() window; the transition stream collapses map-side to a
+    roles²-bounded table. Oracle replays the window, sentinels, counts
+    and the conditional normalizer over TRANSCRIPTS_CTE."""
+    from sparkfeat.conv import role_transitions
+    from sparkfeat.schema import transcripts_from_events
+
+    return role_transitions(transcripts_from_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Outlink domain statistics (sparkfeat.text.domain_stats)
+# ---------------------------------------------------------------------------
+
+#: deterministic URL enrichment: the synthetic corpus has no URLs, so
+#: the query plants doc_id-derived links — domain repeats within a doc
+#: (%5 branch shares the %3 branch's domain) separate n_occ from
+#: n_docs, and the ':port' URL pins the domain pattern's boundary set.
+_URL_AUG_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' see https://ex'"
+    " || CAST(doc_id % 7 AS VARCHAR) || '.com/p/'"
+    " || CAST(doc_id AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' at http://sub.ex'"
+    " || CAST(doc_id % 5 AS VARCHAR) || '.org:8080/x' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' and https://EX'"
+    " || CAST(doc_id % 7 AS VARCHAR) || '.com/q?u=1' ELSE '' END"
+)
+
+
+def _domain_stats_oracle() -> str:
+    return f"""WITH a AS (SELECT doc_id, {_URL_AUG_SQL} AS t0 FROM documents),
+d AS (
+    SELECT doc_id,
+        lower(unnest(regexp_extract_all(t0, 'https?://([^/\\s:?#]+)', 1)))
+            AS domain
+    FROM a
+),
+pd AS (SELECT domain, doc_id, COUNT(*) AS k FROM d GROUP BY ALL),
+pm AS (SELECT domain, SUM(k) AS n_occ, COUNT(*) AS n_docs FROM pd
+       GROUP BY domain),
+n AS (SELECT COUNT(*) AS n_corpus FROM documents)
+SELECT domain, CAST(n_occ AS BIGINT) AS n_occ,
+    CAST(n_docs AS BIGINT) AS n_docs,
+    ROUND(n_docs / CAST(n_corpus AS DOUBLE), 6) AS doc_frac
+FROM pm, n"""
+
+
+@register("corpus_domain_stats", _domain_stats_oracle(), driver=False)
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink domain profile (sparkfeat.text.domain_stats): per cited
+    domain, URL occurrences, distinct citing docs, and corpus doc-share
+    — the crawl-curation table behind link-spam filters. Map-only
+    regexp extraction + two-level map-side-combinable distinct-doc
+    count + a lazy one-row broadcast total. The corpus carries no URLs,
+    so the query plants deterministic doc_id-derived links (mirrored in
+    the oracle) with within-doc domain repeats, a mixed-case domain
+    (lowercasing under test) and a ':port' URL (boundary set under
+    test)."""
+    from sparkfeat.text import domain_stats
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" see https://ex"),
+                (did % 7).cast("string"),
+                F.lit(".com/p/"),
+                did.cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" at http://sub.ex"),
+                (did % 5).cast("string"),
+                F.lit(".org:8080/x"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" and https://EX"),
+                (did % 7).cast("string"),
+                F.lit(".com/q?u=1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return domain_stats(docs.select("doc_id", aug.alias("text")))
+
+
+# ---------------------------------------------------------------------------
 # Inter-rater agreement (sparkfeat.arena.rater_agreement)
 # ---------------------------------------------------------------------------
 
@@ -7344,7 +7465,7 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reward_grpo_advantages, reward_rloo_advantages, reward_best_of_n,
 # corpus_datacard, corpus_snapshot_diff, corpus_snapshot_churn,
 # corpus_incremental_features, arena_rater_kappa, doc_clean_text,
-# corpus_length_batches —
+# corpus_length_batches, conv_role_transitions, corpus_domain_stats —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

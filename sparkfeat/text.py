@@ -837,3 +837,58 @@ def clean_text(
         (~F.col(text_col).eqNullSafe(cur)).alias("changed")
     )
     return docs.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# URL / domain extraction (crawl-curation statistics)
+# ---------------------------------------------------------------------------
+
+#: domain capture: scheme, then everything up to the first /, :, ?, #
+#: or whitespace. Java-regex ∩ RE2 subset, replayed verbatim in SQL.
+DOMAIN_PATTERN = r"https?://([^/\s:?#]+)"
+
+
+def extract_domains(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per URL occurrence: ``(id, domain)``, domain lowercased.
+    Pure ``regexp_extract_all`` + explode — map-only, fuses into the
+    scan; a link-farm doc explodes into rows, never one giant array."""
+    doms = F.regexp_extract_all(F.col(text_col), F.lit(DOMAIN_PATTERN), 1)
+    return docs.select(
+        F.col(id_col), F.explode(doms).alias("domain")
+    ).withColumn("domain", F.lower(F.col("domain")))
+
+
+def domain_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide outlink domain profile — which domains the corpus
+    cites, how often, and in what fraction of documents: the
+    crawl-curation table behind link-spam filters (a domain cited by
+    0.1% of docs 40× per doc is a link farm) and citation-quality
+    audits. Emits per domain: ``n_occ`` (URL occurrences), ``n_docs``
+    (distinct citing docs), ``doc_frac`` (share of the whole corpus,
+    rounded 6 dp).
+
+    Scale shape: map-only extraction; distinct-doc counting via the
+    two-level ``groupBy(domain, doc) → groupBy(domain)`` (map-side
+    combinable both levels — never a ``countDistinct`` set buffer under
+    a hot domain); the corpus total rides a one-row broadcast crossJoin
+    so the plan stays lazy (no driver count)."""
+    d = extract_domains(docs, text_col, id_col)
+    per_doc = d.groupBy("domain", id_col).agg(
+        F.count(F.lit(1)).alias("_k")
+    )
+    per_dom = per_doc.groupBy("domain").agg(
+        F.sum("_k").alias("n_occ"), F.count(F.lit(1)).alias("n_docs")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("_n_corpus"))
+    return per_dom.crossJoin(F.broadcast(total)).select(
+        "domain",
+        F.col("n_occ").cast("bigint").alias("n_occ"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(
+            F.col("n_docs").cast("double") / F.col("_n_corpus"), 6
+        ).alias("doc_frac"),
+    )

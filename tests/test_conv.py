@@ -294,3 +294,69 @@ def test_conv_neardup_xx64_same_verified_pairs(spark):
     md5, xx = run("md5"), run("xx64")
     assert md5 == xx
     assert ("exact", "orig") in md5 and md5[("exact", "orig")][2] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# role_transitions (corpus-wide Markov matrix with sentinels)
+# ---------------------------------------------------------------------------
+
+
+def test_role_transitions_hand_computed(spark):
+    from sparkfeat.conv import role_transitions
+
+    rows = [
+        ("a", 0, "user", "q", None, _ts(0)),
+        ("a", 1, "assistant", "r", None, _ts(1)),
+        ("a", 2, "tool", "x", "search", _ts(2)),
+        ("a", 3, "assistant", "s", None, _ts(3)),
+        ("b", 0, "user", "q2", None, _ts(0)),
+        ("b", 1, "assistant", "r2", None, _ts(1)),
+    ]
+    out = {
+        (r["role_from"], r["role_to"]): r
+        for r in role_transitions(_df(spark, rows)).collect()
+    }
+    assert out[("START", "user")]["n"] == 2
+    assert out[("user", "assistant")]["n"] == 2
+    assert out[("assistant", "tool")]["n"] == 1
+    assert out[("tool", "assistant")]["n"] == 1
+    assert out[("assistant", "END")]["n"] == 2
+    # conditional rows: from 'assistant' = tool 1 + END 2 = 3
+    assert abs(out[("assistant", "tool")]["p"] - 1 / 3) < 1e-6
+    assert abs(out[("assistant", "END")]["p"] - 2 / 3) < 1e-6
+    # every from-row's probabilities sum to ~1
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (f, _t), r in out.items():
+        sums[f] += r["p"]
+    for f, s in sums.items():
+        assert abs(s - 1.0) < 1e-5, (f, s)
+
+
+def test_role_transitions_single_turn_conv(spark):
+    from sparkfeat.conv import role_transitions
+
+    rows = [("solo", 0, "user", "only", None, _ts(0))]
+    out = {
+        (r["role_from"], r["role_to"]): r["n"]
+        for r in role_transitions(_df(spark, rows)).collect()
+    }
+    assert out == {("START", "user"): 1, ("user", "END"): 1}
+
+
+def test_role_transitions_single_exchange(spark, transcripts):
+    from sparkfeat.conv import role_transitions
+
+    plan = (
+        role_transitions(transcripts)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    n_conv_ex = len(
+        re.findall(r"Exchange hashpartitioning\(conv_id", plan)
+    )
+    assert n_conv_ex <= 1, plan

@@ -816,3 +816,42 @@ def test_clean_text_counts_reconcile_stepwise(spark):
     r = clean_text(d).collect()[0]
     assert r["n_zw"] == 1 and r["n_unispace"] == 2
     assert r["clean_text"] == "a b"
+
+
+# ---------------------------------------------------------------------------
+# domain_stats (outlink domain profile)
+# ---------------------------------------------------------------------------
+
+
+def test_domain_stats_hand_computed(spark):
+    from sparkfeat.text import domain_stats
+
+    d = _cdocs(
+        spark,
+        [
+            (1, "see https://a.com/x and https://A.com/y and http://b.org/z"),
+            (2, "ref https://a.com:8080/q plus text"),
+            (3, "no links here"),
+            (4, None),
+        ],
+    )
+    out = {r["domain"]: r for r in domain_stats(d).collect()}
+    assert set(out) == {"a.com", "b.org"}
+    # a.com: doc 1 cites twice (case-folded), doc 2 once (port stripped)
+    assert out["a.com"]["n_occ"] == 3 and out["a.com"]["n_docs"] == 2
+    assert out["b.org"]["n_occ"] == 1 and out["b.org"]["n_docs"] == 1
+    # doc_frac over the WHOLE corpus (4 docs incl. link-free and null)
+    assert abs(out["a.com"]["doc_frac"] - 0.5) < 1e-9
+    assert abs(out["b.org"]["doc_frac"] - 0.25) < 1e-9
+
+
+def test_domain_stats_is_lazy(spark):
+    from sparkfeat.text import domain_stats
+
+    d = _cdocs(spark, [(i, f"https://d{i % 3}.com/x") for i in range(30)])
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    out = domain_stats(d)
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, "plan build fired a Spark job"
+    assert out.count() == 3
