@@ -134,6 +134,9 @@ BENCH_QUERIES = [
     # extraction + two-level distinct-doc count)
     "conv_role_transitions",
     "corpus_domain_stats",
+    # categorical drift: chi-square + Cramér's V over the language
+    # mixture of two md5-bucket slices (k-row in-plan contingency)
+    "corpus_categorical_drift",
 ]
 
 

@@ -38,7 +38,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["feature_drift", "drift_profile", "psi_expr", "quantile_edges"]
+__all__ = [
+    "feature_drift",
+    "drift_profile",
+    "psi_expr",
+    "quantile_edges",
+    "categorical_drift",
+]
 
 
 def _melt(df: DataFrame, features: list[str], extra: list[str] = ()) -> DataFrame:
@@ -279,4 +285,108 @@ def feature_drift(
             .alias("smd"),
             "psi",
         )
+    )
+
+
+def categorical_drift(
+    ref: DataFrame, cur: DataFrame, cat_col: str
+) -> DataFrame:
+    """Categorical-distribution drift between two corpus slices — the
+    chi-square homogeneity statistic plus Cramér's V over a categorical
+    column (lang, source, role, quality bucket): the companion of
+    :func:`feature_drift`'s numeric PSI/SMD for the dimensions that
+    have no order ("did the language mixture shift between crawls?").
+    The full 2×k contingency algebra runs in-plan.
+
+    Per category: counts and shares on both sides plus that category's
+    chi-square contribution Σ_side (obs − exp)²/exp with
+    exp = row_total × col_total / N; table-level ``chi2``, ``dof`` =
+    k − 1, and ``cramers_v`` = sqrt(chi2 / (N · min(1, k−1))) ride
+    along as constant columns (the probe convention: constants make
+    the value hash verify the global solve, not just the per-row
+    arithmetic). A category absent from one side counts 0 there —
+    exactly the case the test exists for. Shares and contributions are
+    rounded to 6 dp (integer counts, so exp/contrib are identical
+    doubles in any engine). No p-value by design: the chi-square CDF
+    isn't closed-form plan algebra; at corpus scale dof is tiny and N
+    huge, so the statistic (or V, its N-free normalization) is the
+    decision variable anyway.
+
+    Scale shape: one map-side-combinable ``groupBy(cat)`` per side
+    (k rows each ever shuffle), a k-row full-outer join, totals as
+    one-row broadcast crossJoins — fully lazy, the slices scan once.
+    """
+    rc = ref.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    cc = cur.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    cells = (
+        rc.join(cc, "category", "full")
+        .select(
+            "category",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_ref").alias("_tr"),
+        F.sum("n_cur").alias("_tc"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    n_all = (F.col("_tr") + F.col("_tc")).cast("double")
+    col_tot = (F.col("n_ref") + F.col("n_cur")).cast("double")
+    e_ref = F.col("_tr") * col_tot / n_all
+    e_cur = F.col("_tc") * col_tot / n_all
+    sq = lambda o, e: F.when(  # noqa: E731
+        e > 0, (o.cast("double") - e) * (o.cast("double") - e) / e
+    ).otherwise(F.lit(0.0))
+    contrib = sq(F.col("n_ref"), e_ref) + sq(F.col("n_cur"), e_cur)
+    per_cat = j.select(
+        "category",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(F.col("n_ref") / F.col("_tr").cast("double"), 6).alias(
+            "share_ref"
+        ),
+        F.round(F.col("n_cur") / F.col("_tc").cast("double"), 6).alias(
+            "share_cur"
+        ),
+        F.round(contrib, 6).alias("chi2_contrib"),
+        n_all.alias("_n_all"),
+        F.col("_k"),
+    )
+    # fold the ROUNDED contributions: a sum of raw doubles is addend-
+    # order-dependent in the last ulps, which different engines order
+    # differently; summing canonicalized 6-dp terms is order-stable
+    table = per_cat.agg(
+        F.round(F.sum("chi2_contrib"), 6).alias("chi2"),
+        (F.max("_k") - 1).cast("int").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.sum("chi2_contrib")
+                # 2×k table: min(rows−1, cols−1) = min(1, k−1), floored
+                # at 1 so the degenerate k=1 table (chi2 = 0) yields 0
+                / (
+                    F.max("_n_all")
+                    * F.greatest(
+                        F.least(F.lit(1), F.max("_k") - 1), F.lit(1)
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+    return per_cat.crossJoin(F.broadcast(table)).select(
+        "category",
+        "n_ref",
+        "n_cur",
+        "share_ref",
+        "share_cur",
+        "chi2_contrib",
+        "chi2",
+        "dof",
+        "cramers_v",
     )

@@ -7045,6 +7045,88 @@ def q_corpus_incremental_features(
 
 
 # ---------------------------------------------------------------------------
+# Categorical drift (sparkfeat.drift.categorical_drift)
+# ---------------------------------------------------------------------------
+
+
+def _categorical_drift_oracle() -> str:
+    hb = _hex_bucket_sql("doc_id", 21, 100)
+    return f"""WITH d AS (
+    SELECT COALESCE(lang, '<null>') AS category, {hb} AS bb FROM documents
+),
+r AS (SELECT category, COUNT(*) AS n_ref FROM d WHERE bb < 80 GROUP BY category),
+c AS (SELECT category, COUNT(*) AS n_cur FROM d WHERE bb >= 80 GROUP BY category),
+cells AS (
+    SELECT COALESCE(r.category, c.category) AS category,
+        COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+    FROM r FULL JOIN c ON r.category = c.category
+),
+tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc, COUNT(*) AS k FROM cells),
+pc AS (
+    SELECT category, n_ref, n_cur, tr, tc, k,
+        ROUND(n_ref / CAST(tr AS DOUBLE), 6) AS share_ref,
+        ROUND(n_cur / CAST(tc AS DOUBLE), 6) AS share_cur,
+        ROUND(
+            (CASE WHEN tr * CAST(n_ref + n_cur AS DOUBLE)
+                       / CAST(tr + tc AS DOUBLE) > 0
+                THEN (CAST(n_ref AS DOUBLE)
+                      - tr * CAST(n_ref + n_cur AS DOUBLE)
+                        / CAST(tr + tc AS DOUBLE))
+                     * (CAST(n_ref AS DOUBLE)
+                        - tr * CAST(n_ref + n_cur AS DOUBLE)
+                          / CAST(tr + tc AS DOUBLE))
+                     / (tr * CAST(n_ref + n_cur AS DOUBLE)
+                        / CAST(tr + tc AS DOUBLE))
+                ELSE 0.0 END)
+            + (CASE WHEN tc * CAST(n_ref + n_cur AS DOUBLE)
+                         / CAST(tr + tc AS DOUBLE) > 0
+                THEN (CAST(n_cur AS DOUBLE)
+                      - tc * CAST(n_ref + n_cur AS DOUBLE)
+                        / CAST(tr + tc AS DOUBLE))
+                     * (CAST(n_cur AS DOUBLE)
+                        - tc * CAST(n_ref + n_cur AS DOUBLE)
+                          / CAST(tr + tc AS DOUBLE))
+                     / (tc * CAST(n_ref + n_cur AS DOUBLE)
+                        / CAST(tr + tc AS DOUBLE))
+                ELSE 0.0 END), 6) AS chi2_contrib
+    FROM cells, tot
+),
+tb AS (
+    SELECT ROUND(SUM(chi2_contrib), 6) AS chi2,
+        CAST(MAX(k) - 1 AS INT) AS dof,
+        ROUND(SQRT(SUM(chi2_contrib)
+                   / (CAST(MAX(tr + tc) AS DOUBLE)
+                      * GREATEST(LEAST(1, MAX(k) - 1), 1))), 6) AS cramers_v
+    FROM pc
+)
+SELECT category, CAST(n_ref AS BIGINT) AS n_ref,
+    CAST(n_cur AS BIGINT) AS n_cur,
+    share_ref, share_cur, chi2_contrib, chi2, dof, cramers_v
+FROM pc, tb"""
+
+
+@register("corpus_categorical_drift", _categorical_drift_oracle(), driver=False)
+def q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity + Cramér's V over the language mixture of
+    two md5-bucket corpus slices (sparkfeat.drift.categorical_drift) —
+    the categorical companion of the numeric PSI/SMD monitor ("did the
+    language mixture shift between crawls?"). The whole 2×k contingency
+    algebra runs in-plan (k-row aggregates, one-row broadcast totals,
+    6 dp round-before-fold); the oracle replays counts, expected
+    values, per-category contributions, and the table-level statistics
+    termwise, so the hash verifies the solve itself (the constant
+    chi2/dof/cramers_v columns ride every row, the probe convention)."""
+    from sparkfeat.corpus import hash_bucket
+    from sparkfeat.drift import categorical_drift
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.coalesce("lang", F.lit("<null>")).alias("lang")
+    )
+    in_ref = hash_bucket("doc_id", start=21, buckets=100) < 80
+    return categorical_drift(d.filter(in_ref), d.filter(~in_ref), "lang")
+
+
+# ---------------------------------------------------------------------------
 # Role-transition profile (sparkfeat.conv.role_transitions)
 # ---------------------------------------------------------------------------
 
@@ -7465,7 +7547,8 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reward_grpo_advantages, reward_rloo_advantages, reward_best_of_n,
 # corpus_datacard, corpus_snapshot_diff, corpus_snapshot_churn,
 # corpus_incremental_features, arena_rater_kappa, doc_clean_text,
-# corpus_length_batches, conv_role_transitions, corpus_domain_stats —
+# corpus_length_batches, conv_role_transitions, corpus_domain_stats,
+# corpus_categorical_drift —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

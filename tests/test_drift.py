@@ -270,3 +270,72 @@ def test_quantile_edges_matches_fit_bins_interior(spark):
     for col in ("x", "y"):
         fb = fit_bins(df, col, 5, entity_col=None).collect()[0]
         assert got[col] == pytest.approx(fb.edges[1:-1], rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# categorical_drift (chi-square + Cramér's V)
+# ---------------------------------------------------------------------------
+
+
+def _cat(spark, counts):
+    rows = []
+    i = 0
+    for cat, n in counts.items():
+        for _ in range(n):
+            rows.append((i, cat))
+            i += 1
+    return spark.createDataFrame(rows, "id bigint, cat string")
+
+
+def test_categorical_drift_textbook_chi2(spark):
+    from sparkfeat.drift import categorical_drift
+
+    # 2x2: ref 30/20, cur 20/30 -> chi2 = N (ad-bc)^2 / (r1 r2 c1 c2)
+    ref = _cat(spark, {"a": 30, "b": 20})
+    cur = _cat(spark, {"a": 20, "b": 30})
+    out = {r["category"]: r for r in categorical_drift(ref, cur, "cat").collect()}
+    exp_chi2 = 100 * (30 * 30 - 20 * 20) ** 2 / (50 * 50 * 50 * 50)
+    assert abs(out["a"]["chi2"] - exp_chi2) < 1e-6
+    assert out["a"]["dof"] == 1
+    # 2x2 Cramer's V == phi == sqrt(chi2/N)
+    import math
+
+    assert abs(out["a"]["cramers_v"] - math.sqrt(exp_chi2 / 100)) < 1e-6
+    # scipy-free sanity: shares
+    assert abs(out["a"]["share_ref"] - 0.6) < 1e-9
+    assert abs(out["a"]["share_cur"] - 0.4) < 1e-9
+    # constant columns identical on every row
+    assert out["a"]["chi2"] == out["b"]["chi2"]
+
+
+def test_categorical_drift_identical_slices_zero(spark):
+    from sparkfeat.drift import categorical_drift
+
+    ref = _cat(spark, {"a": 10, "b": 30, "c": 5})
+    out = categorical_drift(ref, ref, "cat").collect()
+    assert all(r["chi2"] == 0.0 and r["cramers_v"] == 0.0 for r in out)
+    assert out[0]["dof"] == 2
+
+
+def test_categorical_drift_absent_category(spark):
+    from sparkfeat.drift import categorical_drift
+
+    ref = _cat(spark, {"a": 10})
+    cur = _cat(spark, {"a": 10, "newcat": 10})
+    out = {r["category"]: r for r in categorical_drift(ref, cur, "cat").collect()}
+    assert out["newcat"]["n_ref"] == 0 and out["newcat"]["n_cur"] == 10
+    assert out["newcat"]["chi2_contrib"] > 0
+    assert out["a"]["chi2"] > 0
+
+
+def test_categorical_drift_is_lazy(spark):
+    from sparkfeat.drift import categorical_drift
+
+    ref = _cat(spark, {"a": 5, "b": 5})
+    cur = _cat(spark, {"a": 5, "b": 5})
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    out = categorical_drift(ref, cur, "cat")
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, "plan build fired a Spark job"
+    assert out.count() == 2
