@@ -137,6 +137,9 @@ BENCH_QUERIES = [
     # categorical drift: chi-square + Cramér's V over the language
     # mixture of two md5-bucket slices (k-row in-plan contingency)
     "corpus_categorical_drift",
+    # expanding T-family members: running drawdown + cumulative clipped
+    # log-return (one conv_id window pass, no extra exchange)
+    "turn_drawdown_cumret",
 ]
 
 

@@ -7045,6 +7045,68 @@ def q_corpus_incremental_features(
 
 
 # ---------------------------------------------------------------------------
+# Running drawdown + cumulative log-return (transforms T-family extension)
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+sig AS (
+    SELECT conv_id, turn_idx, ts, CAST(LENGTH(text) AS DOUBLE) AS v
+    FROM transcripts
+),
+st AS (
+    SELECT *,
+        LN(v / NULLIF(LAG(v) OVER ({_W}), 0)) AS lr_raw,
+        MAX(v) OVER ({_W} ROWS UNBOUNDED PRECEDING) AS peak
+    FROM sig
+),
+f AS (
+    SELECT conv_id, turn_idx, ts, v, peak,
+        CASE WHEN lr_raw IS NULL THEN NULL
+             ELSE LEAST(GREATEST(lr_raw, -0.1), 0.1) END AS lr
+    FROM st
+)
+SELECT conv_id, turn_idx,
+    ROUND(CASE WHEN v IS NOT NULL AND peak > 0 THEN 1.0 - v / peak END, 6)
+        AS drawdown,
+    ROUND(SUM(lr) OVER ({_W} ROWS UNBOUNDED PRECEDING), 6) AS cum_lr
+FROM f"""
+
+
+@register("turn_drawdown_cumret", _DRAWDOWN_ORACLE, driver=False)
+def q_turn_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window members of the transform family: running
+    drawdown (1 − value/running-max — distance below the
+    conversation's high-water mark, transforms.running_drawdown) and
+    cumulative clipped log-return since conversation start
+    (transforms.cumulative_log_return) over the text-length turn
+    signal. Both are single-window expressions on the same conv_id
+    partitioning as every other T-family feature (no extra exchange)
+    and trailing-only ⇒ leakage-free; the oracle replays the running
+    max, the clipped per-step log-return, and the ordered running sum."""
+    from sparkfeat.schema import transcripts_from_events
+    from sparkfeat.transforms import (
+        cumulative_log_return,
+        running_drawdown,
+    )
+
+    t = transcripts_from_events(spark, sf_dir)
+    sig = t.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.length("text").cast("double").alias("text_len"),
+    )
+    return sig.select(
+        "conv_id",
+        "turn_idx",
+        _r(running_drawdown(F.col("text_len"))).alias("drawdown"),
+        _r(cumulative_log_return(F.col("text_len"), clip=0.1)).alias(
+            "cum_lr"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Categorical drift (sparkfeat.drift.categorical_drift)
 # ---------------------------------------------------------------------------
 
@@ -7548,7 +7610,7 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_datacard, corpus_snapshot_diff, corpus_snapshot_churn,
 # corpus_incremental_features, arena_rater_kappa, doc_clean_text,
 # corpus_length_batches, conv_role_transitions, corpus_domain_stats,
-# corpus_categorical_drift —
+# corpus_categorical_drift, turn_drawdown_cumret —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #
@@ -7649,6 +7711,49 @@ for _name in _ROTATE_IN:
     if _name in EXTRA_ORACLES:
         ORACLES[_name] = EXTRA_ORACLES.pop(_name)
 for _name in _ROTATE_OUT:
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    if _name in ORACLES:
+        EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+
+# Late-round-5 amendment (rule 2, applied within the round): nine
+# driver rows that are r4-green with code UNTOUCHED this round cede
+# their slots to nine never-driver-green operators, so the final
+# CORRECTNESS run covers as many first-time rows as the cap allows.
+# Kept in place despite being r4-green: flagship_features (entry()),
+# and every r4-green row whose code path changed this round
+# (doc_lang_ngram — arrow kernel null fix + vectorization;
+# doc_fingerprint — left-join row preservation; corpus_mixture_sample
+# — lazy in-plan total; ann_ivf_kmeans — lineage checkpoint flag;
+# ann_ivf_served — int8 index storage option; corpus_prep_pipeline —
+# lang stage rides the fixed kernel). All nine ceded rows stay fully
+# DuckDB-oracle-checked in pytest and benched where applicable.
+_ROTATE_IN_2 = [
+    "arena_rater_kappa",
+    "doc_clean_text",
+    "corpus_length_batches",
+    "conv_role_transitions",
+    "corpus_domain_stats",
+    "corpus_categorical_drift",
+    "arena_bt_strengths",
+    "corpus_line_dedup",
+    "corpus_cluster_safe_split",
+]
+_ROTATE_OUT_2 = [
+    "asof_join_grid",
+    "corpus_decontaminate",
+    "corpus_global_shuffle",
+    "corpus_pack_sequences",
+    "corpus_span_manifest",
+    "dedup_embedding_lsh",
+    "doc_pii_scrub",
+    "doc_repetition",
+    "training_dataset_manifest",
+]
+for _name in _ROTATE_IN_2:
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    if _name in EXTRA_ORACLES:
+        ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+for _name in _ROTATE_OUT_2:
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
     if _name in ORACLES:
         EXTRA_ORACLES[_name] = ORACLES.pop(_name)

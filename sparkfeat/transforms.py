@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
-from sparkfeat.windows import ORDER_COLS, trailing, w_entity
+from sparkfeat.windows import ORDER_COLS, trailing, unbounded_trailing, w_entity
 
 #: transform.py:7
 MAX_LOG_RETURN = 0.1
@@ -553,3 +553,44 @@ def rolling_corr(
     return F.when(
         (n >= min_periods) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
     )
+
+
+def running_drawdown(
+    v: str | Column, entity_col: str = "conv_id"
+) -> Column:
+    """Running drawdown of a per-turn signal: 1 − value / running-max —
+    how far the signal currently sits below its best level so far (0 at
+    a fresh peak). The reference's transform family (value, return,
+    dispersion) stops short of the peak-relative member every
+    drawdown/regression analysis starts from; on transcripts it reads
+    "how far has this conversation's signal degraded from its high
+    -water mark" (e.g. reward, probe score, message quality).
+
+    An expanding-window ``max`` over the same ``(conv_id | ts,
+    turn_idx)`` partitioning — zero extra exchanges next to the other
+    window features, trailing-only frame ⇒ leakage-free by
+    construction. Non-positive running peaks yield NULL (drawdown is
+    scale-relative, undefined across sign changes); null values
+    propagate (the running max itself ignores them)."""
+    c = value(v)
+    peak = F.max(c).over(unbounded_trailing(entity_col))
+    return F.when(
+        c.isNotNull() & (peak > 0), F.lit(1.0) - c / peak
+    )
+
+
+def cumulative_log_return(
+    v: str | Column, entity_col: str = "conv_id", clip: float | None = None
+) -> Column:
+    """Cumulative log-return since conversation start: Σ of the per-turn
+    log-returns = ln(value_t / value_0) when every step is finite — the
+    expanding-window companion of T2/T3 (the per-step log-return), i.e.
+    "how much has the signal moved in total", additive across turns and
+    robust to the per-step clip.
+
+    Implemented as a running SUM of the (optionally clipped) per-step
+    log-return over the same conv_id partitioning — one window pass,
+    no extra exchange; null/±inf steps contribute nothing to the sum
+    (SUM ignores nulls) exactly as the per-step feature nulls them."""
+    step = log_return(v, clip=clip, entity_col=entity_col)
+    return F.sum(step).over(unbounded_trailing(entity_col))

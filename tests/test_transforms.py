@@ -291,3 +291,100 @@ def test_ewma_sorted_cross_batch_carry(spark):
         .to_numpy()
     )
     _assert_close(got, want, rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# running_drawdown / cumulative_log_return (expanding T-family members)
+# ---------------------------------------------------------------------------
+
+
+def test_running_drawdown_matches_pandas_cummax(spark, transcripts):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkfeat.transforms import running_drawdown
+
+    got = (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            F.length("text").cast("double").alias("v"),
+            running_drawdown(F.length("text").cast("double")).alias("dd"),
+        )
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+    )
+    for _, g in got.groupby("conv_id"):
+        peak = g["v"].cummax()
+        exp = (1.0 - g["v"] / peak).where(peak > 0)
+        pd.testing.assert_series_equal(
+            g["dd"].reset_index(drop=True),
+            exp.reset_index(drop=True),
+            check_names=False,
+            atol=1e-12,
+            rtol=0,
+        )
+
+
+def test_running_drawdown_zero_at_peaks_and_null_guard(spark):
+    from pyspark.sql import functions as F
+
+    from sparkfeat.transforms import running_drawdown
+
+    rows = [
+        ("c", 0, 10.0),
+        ("c", 1, 20.0),   # fresh peak -> 0
+        ("c", 2, 5.0),    # 1 - 5/20 = 0.75
+        ("c", 3, None),   # null value -> null
+        ("c", 4, 40.0),   # new peak -> 0
+        ("z", 0, -3.0),   # non-positive peak -> null
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, v double")
+    df = df.withColumn("ts", F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(secs=F.col("turn_idx")))
+    out = {
+        (r["conv_id"], r["turn_idx"]): r["dd"]
+        for r in df.select(
+            "conv_id",
+            "turn_idx",
+            running_drawdown(F.col("v")).alias("dd"),
+        ).collect()
+    }
+    assert out[("c", 0)] == 0.0 and out[("c", 1)] == 0.0
+    assert abs(out[("c", 2)] - 0.75) < 1e-12
+    assert out[("c", 3)] is None
+    assert out[("c", 4)] == 0.0
+    assert out[("z", 0)] is None
+
+
+def test_cumulative_log_return_telescopes(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sparkfeat.transforms import cumulative_log_return
+
+    # small steps (under the clip): cum lr telescopes to ln(v_t / v_0)
+    vals = [100.0, 104.0, 99.0, 103.0, 108.0]
+    rows = [("c", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, v double")
+    df = df.withColumn("ts", F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(secs=F.col("turn_idx")))
+    out = {
+        r["turn_idx"]: r["clr"]
+        for r in df.select(
+            "turn_idx", cumulative_log_return(F.col("v"), clip=0.1).alias("clr")
+        ).collect()
+    }
+    assert out[0] is None  # no step yet: SUM of zero rows is null
+    for i in range(1, len(vals)):
+        assert abs(out[i] - math.log(vals[i] / vals[0])) < 1e-9
+    # a clipped step caps the contribution at +-0.1
+    rows2 = [("d", 0, 100.0), ("d", 1, 1000.0)]
+    df2 = spark.createDataFrame(rows2, "conv_id string, turn_idx int, v double")
+    df2 = df2.withColumn("ts", F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(secs=F.col("turn_idx")))
+    r2 = {
+        r["turn_idx"]: r["clr"]
+        for r in df2.select(
+            "turn_idx", cumulative_log_return(F.col("v"), clip=0.1).alias("clr")
+        ).collect()
+    }
+    assert abs(r2[1] - 0.1) < 1e-12
