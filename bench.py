@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     # expanding T-family members: running drawdown + cumulative clipped
     # log-return (one conv_id window pass, no extra exchange)
     "turn_drawdown_cumret",
+    # per-source tf-idf distinctive terms (two-level df + two-phase rank)
+    "corpus_distinctive_terms",
 ]
 
 

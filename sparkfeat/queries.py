@@ -7045,6 +7045,57 @@ def q_corpus_incremental_features(
 
 
 # ---------------------------------------------------------------------------
+# Per-source distinctive terms (sparkfeat.text.source_distinctive_terms)
+# ---------------------------------------------------------------------------
+
+
+def _distinctive_terms_oracle(k: int = 10, min_df: int = 2) -> str:
+    return f"""WITH tk AS (
+    SELECT source, doc_id,
+        unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS term
+    FROM documents
+),
+tf AS (SELECT source, term, COUNT(*) AS tf FROM tk GROUP BY ALL),
+dfr AS (
+    SELECT term, COUNT(*) AS df
+    FROM (SELECT DISTINCT term, doc_id FROM tk) GROUP BY term
+),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+sc AS (
+    SELECT source, term, tf, df,
+        ROUND(tf * LN(CAST(nd + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6)
+            AS score
+    FROM tf JOIN dfr USING (term), n
+    WHERE df >= {min_df}
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY score DESC, term) AS rank
+    FROM sc
+)
+SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+    score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}"""
+
+
+@register("corpus_distinctive_terms", _distinctive_terms_oracle(), driver=False)
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tf-idf-distinctive terms per source
+    (sparkfeat.text.source_distinctive_terms) — the "does this source's
+    content match its label" audit before mixture weighting trusts the
+    source column. Scores rounded 6 dp BEFORE ranking with a term
+    tie-break (engine-stable order); exact two-phase per-source top-k
+    (no single-task window over a source's vocabulary). The oracle
+    replays tokenization, tf, the two-level document frequency, the
+    smoothed idf, and the rank as one direct window — pinning the
+    two-phase rank's exactness."""
+    from sparkfeat.text import source_distinctive_terms
+
+    return source_distinctive_terms(_docs(spark, sf_dir), k=10, min_df=2)
+
+
+# ---------------------------------------------------------------------------
 # Running drawdown + cumulative log-return (transforms T-family extension)
 # ---------------------------------------------------------------------------
 
@@ -7610,7 +7661,8 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_datacard, corpus_snapshot_diff, corpus_snapshot_churn,
 # corpus_incremental_features, arena_rater_kappa, doc_clean_text,
 # corpus_length_batches, conv_role_transitions, corpus_domain_stats,
-# corpus_categorical_drift, turn_drawdown_cumret —
+# corpus_categorical_drift, turn_drawdown_cumret,
+# corpus_distinctive_terms —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

@@ -855,3 +855,58 @@ def test_domain_stats_is_lazy(spark):
     after = set(tracker.getJobIdsForGroup(None))
     assert after == before, "plan build fired a Spark job"
     assert out.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# source_distinctive_terms (per-source tf-idf audit)
+# ---------------------------------------------------------------------------
+
+
+def test_distinctive_terms_hand_computed(spark):
+    import math
+
+    from sparkfeat.text import source_distinctive_terms
+
+    rows = [
+        (1, "the cat sat", "pets"),
+        (2, "the cat ran", "pets"),
+        (3, "the tax form", "gov"),
+        (4, "the tax rate", "gov"),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    out = source_distinctive_terms(d, k=3, min_df=2).collect()
+    got = {(r["source"], r["term"]): r for r in out}
+    # 'the' is in all 4 docs -> idf = ln(5/5) = 0 -> never distinctive
+    n = 4
+    the = got[("pets", "the")]
+    assert the["score"] == 0.0 and the["df"] == 4
+    cat = got[("pets", "cat")]
+    assert cat["tf"] == 2 and cat["df"] == 2
+    assert abs(cat["score"] - round(2 * math.log((n + 1) / 3), 6)) < 1e-9
+    assert cat["rank"] == 1
+    tax = got[("gov", "tax")]
+    assert tax["rank"] == 1 and tax["tf"] == 2
+    # hapax terms (sat/ran/form/rate: df=1) pruned by min_df=2
+    assert not any(t in ("sat", "ran", "form", "rate") for (_, t) in got)
+
+
+def test_distinctive_terms_shard_invariance(spark):
+    from sparkfeat.text import source_distinctive_terms
+
+    rows = [
+        (i, f"w{i % 7} w{i % 5} shared", "s" + str(i % 2)) for i in range(40)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    a = {
+        (r["source"], r["rank"]): r["term"]
+        for r in source_distinctive_terms(d, k=5, shards=2).collect()
+    }
+    b = {
+        (r["source"], r["rank"]): r["term"]
+        for r in source_distinctive_terms(d, k=5, shards=64).collect()
+    }
+    assert a == b  # the two-phase rank is shard-count independent
