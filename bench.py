@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "turn_drawdown_cumret",
     # per-source tf-idf distinctive terms (two-level df + two-phase rank)
     "corpus_distinctive_terms",
+    # fixed-panel multi-rater agreement (exact-integer in-plan solve)
+    "arena_fleiss_kappa",
 ]
 
 

@@ -7398,8 +7398,8 @@ def _rater_judgments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionAll(b), parts)
 
 
-def _rater_kappa_oracle() -> str:
-    arms = "\nUNION ALL\n".join(
+def _rater_arms_sql() -> str:
+    return "\nUNION ALL\n".join(
         f"""SELECT doc_id, '{rid}' AS r,
     CASE WHEN {_hex_bucket_sql("doc_id", flip_s, 1000)} < 150
          THEN (CASE WHEN b = 'good' THEN 'bad' ELSE 'good' END)
@@ -7407,6 +7407,10 @@ def _rater_kappa_oracle() -> str:
 FROM base WHERE {_hex_bucket_sql("doc_id", cov_s, 1000)} < 850"""
         for rid, cov_s, flip_s in _RATER_SPECS
     )
+
+
+def _rater_kappa_oracle() -> str:
+    arms = _rater_arms_sql()
     return f"""WITH base AS (
     SELECT doc_id,
         CASE WHEN (n_chars % 10) < 6 THEN 'good' ELSE 'bad' END AS b
@@ -7458,6 +7462,62 @@ def q_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkfeat.arena import rater_agreement
 
     return rater_agreement(_rater_judgments(spark, sf_dir))
+
+
+def _fleiss_oracle(m: int = 3) -> str:
+    arms = _rater_arms_sql()
+    return f"""WITH base AS (
+    SELECT doc_id,
+        CASE WHEN (n_chars % 10) < 6 THEN 'good' ELSE 'bad' END AS b
+    FROM documents
+),
+j AS ({arms}),
+il AS (SELECT doc_id, l, COUNT(*) AS nik FROM j GROUP BY ALL),
+nr AS (SELECT doc_id, r, COUNT(*) AS c FROM j GROUP BY ALL),
+rc AS (SELECT doc_id, COUNT(*) AS nrr, SUM(c) AS nj FROM nr GROUP BY doc_id),
+elig AS (SELECT doc_id FROM rc WHERE nrr = {m} AND nj = {m}),
+pi AS (
+    SELECT il.doc_id, SUM(nik * nik) AS sq
+    FROM il JOIN elig USING (doc_id) GROUP BY il.doc_id
+),
+panel AS (SELECT COUNT(*) AS n_items, SUM(sq) AS ssq FROM pi),
+lbl AS (
+    SELECT l, SUM(nik) AS n_label
+    FROM il JOIN elig USING (doc_id) GROUP BY l
+),
+lp AS (
+    SELECT l AS label, n_label, n_items, ssq,
+        ROUND(n_label / CAST(n_items * {m} AS DOUBLE), 9) AS pk
+    FROM lbl, panel
+),
+st AS (
+    SELECT MAX(n_items) AS n,
+        ROUND(SUM(ROUND(pk * pk, 9)), 6) AS pe,
+        ROUND(CAST(MAX(ssq) - MAX(n_items) * {m} AS DOUBLE)
+              / CAST(MAX(n_items) * {m} * {m - 1} AS DOUBLE), 6) AS pbar
+    FROM lp
+)
+SELECT label, CAST(n_label AS BIGINT) AS n_label,
+    ROUND(pk, 6) AS p_label,
+    CAST(n_items AS BIGINT) AS n_items,
+    pbar AS p_bar, pe AS p_e,
+    CASE WHEN pe < 1.0 THEN ROUND((pbar - pe) / (1.0 - pe), 6) END AS kappa
+FROM lp, st"""
+
+
+@register("arena_fleiss_kappa", _fleiss_oracle(), driver=False)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over the 3-rater judgment stream
+    (sparkfeat.arena.fleiss_kappa) — panel-level chance-corrected
+    agreement on the items all three raters judged (the fixed-panel
+    complement of the pairwise Cohen audit). Exact-integer in-plan
+    arithmetic up to three rounded divisions; the oracle replays the
+    per-item label-count squares, the exact-panel gate, the label
+    shares, and the P̄/P̄ₑ/kappa solve termwise — the constant columns
+    make the hash verify the statistic itself."""
+    from sparkfeat.arena import fleiss_kappa
+
+    return fleiss_kappa(_rater_judgments(spark, sf_dir), m=3)
 
 
 # ---------------------------------------------------------------------------
@@ -7662,7 +7722,7 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_incremental_features, arena_rater_kappa, doc_clean_text,
 # corpus_length_batches, conv_role_transitions, corpus_domain_stats,
 # corpus_categorical_drift, turn_drawdown_cumret,
-# corpus_distinctive_terms —
+# corpus_distinctive_terms, arena_fleiss_kappa —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

@@ -225,3 +225,62 @@ def test_kappa_partial_overlap_counts_shared_items_only(spark):
     r = rater_agreement(_judg(spark, rows)).collect()[0]
     # shared items: 3..7 -> 5; agree on 3,4
     assert r["n_shared"] == 5 and r["n_agree"] == 2
+
+
+# ---------------------------------------------------------------------------
+# fleiss_kappa (fixed-panel multi-rater agreement)
+# ---------------------------------------------------------------------------
+
+
+def _fj(spark, items):
+    """items: {item_id: list of (rater, label)}"""
+    rows = [
+        (i, r, l) for i, rls in items.items() for (r, l) in rls
+    ]
+    return spark.createDataFrame(
+        rows, "item_id bigint, rater_id string, label string"
+    )
+
+
+def test_fleiss_hand_computed(spark):
+    from sparkfeat.arena import fleiss_kappa
+
+    items = {
+        1: [("A", "g"), ("B", "g"), ("C", "g")],   # 3-0 -> sq 9
+        2: [("A", "g"), ("B", "g"), ("C", "b")],   # 2-1 -> sq 5
+        3: [("A", "g"), ("B", "b"), ("C", "b")],   # 1-2 -> sq 5
+        4: [("A", "b"), ("B", "b"), ("C", "b")],   # 0-3 -> sq 9
+    }
+    out = {r["label"]: r for r in fleiss_kappa(_fj(spark, items), m=3).collect()}
+    r = out["g"]
+    assert r["n_items"] == 4 and r["n_label"] == 6
+    assert abs(r["p_label"] - 0.5) < 1e-9
+    # P_bar = (28 - 12) / 24; Pe = .5 -> kappa = (.666667-.5)/.5
+    assert abs(r["p_bar"] - 16 / 24) < 1e-6
+    assert abs(r["p_e"] - 0.5) < 1e-9
+    assert abs(r["kappa"] - (round(16 / 24, 6) - 0.5) / 0.5) < 1e-9
+
+
+def test_fleiss_exact_panel_gate(spark):
+    from sparkfeat.arena import fleiss_kappa
+
+    items = {
+        1: [("A", "g"), ("B", "g"), ("C", "g")],
+        2: [("A", "g"), ("B", "g")],                     # only 2 raters: drop
+        3: [("A", "g"), ("A", "g"), ("B", "g")],          # dup rater: drop
+        4: [("A", "b"), ("B", "b"), ("C", "b")],
+    }
+    out = fleiss_kappa(_fj(spark, items), m=3).collect()
+    assert all(r["n_items"] == 2 for r in out)
+    # perfect agreement on the surviving items, both labels present
+    assert all(r["p_bar"] == 1.0 and r["kappa"] == 1.0 for r in out)
+
+
+def test_fleiss_constant_raters_degenerate(spark):
+    from sparkfeat.arena import fleiss_kappa
+
+    items = {i: [("A", "g"), ("B", "g"), ("C", "g")] for i in range(1, 6)}
+    out = fleiss_kappa(_fj(spark, items), m=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["p_e"] == 1.0 and r["kappa"] is None  # undefined, like Cohen
