@@ -144,6 +144,12 @@ BENCH_QUERIES = [
     "corpus_distinctive_terms",
     # fixed-panel multi-rater agreement (exact-integer in-plan solve)
     "arena_fleiss_kappa",
+    # transcript-curation audits: response echo rate, stuck-loop
+    # detection, context-window truncation — each ONE conv_id window
+    # exchange over the turn stream
+    "conv_echo_stats",
+    "conv_stuck_loops",
+    "conv_truncate_context",
 ]
 
 

@@ -461,3 +461,68 @@ def fleiss_kappa(
             ),
         ).alias("kappa"),
     )
+
+
+def length_bias(
+    judgments: DataFrame,
+    winner_len_col: str = "winner_len",
+    loser_len_col: str = "loser_len",
+) -> DataFrame:
+    """Judge length-bias audit: does this pairwise judgment stream
+    systematically prefer the LONGER response? The standard sanity
+    gate before preference data trains a reward model or feeds DPO —
+    verbosity bias is the best-documented failure mode of LLM judges,
+    and a stream that flunks this audit teaches the policy to pad.
+
+    Input: one row per judgment with the winning and losing responses'
+    lengths (characters or tokens — any consistent measure). Rows with
+    a null or non-positive length on either side are dropped. Output:
+    ONE summary row —
+
+    * ``n_judgments`` — audited rows;
+    * ``n_longer_wins`` / ``n_shorter_wins`` / ``n_length_ties`` —
+      decisive-direction counts;
+    * ``longer_win_rate`` — n_longer / (n_longer + n_shorter), the
+      audit's headline (0.5 = length-blind judge; ties excluded, as in
+      a sign test);
+    * ``mean_log_ratio`` — avg ln(winner_len / loser_len), the effect
+      size in length space;
+    * ``bias_z`` — the sign-test normal deviate
+      (p̂ − 0.5)·2·√n_decisive; |z| > 3 on a large stream means the
+      judge is reading length, not quality.
+
+    All rates 6-dp rounded. Scale shape: ONE map-side-combined global
+    aggregate — 10⁹ judgments reduce to a single row, no shuffle wider
+    than the final single-partition combine; pure closed-form column
+    algebra (ln / sqrt are IEEE-correctly-rounded, so 6-dp
+    canonicalization is engine-exact).
+    """
+    wl = F.col(winner_len_col).cast("double")
+    ll = F.col(loser_len_col).cast("double")
+    j = judgments.filter(
+        wl.isNotNull() & ll.isNotNull() & (wl > 0) & (ll > 0)
+    ).select(
+        (wl > ll).cast("bigint").alias("_longer"),
+        (wl < ll).cast("bigint").alias("_shorter"),
+        (wl == ll).cast("bigint").alias("_tie"),
+        F.log(wl / ll).alias("_lr"),
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_judgments"),
+        F.sum("_longer").cast("bigint").alias("n_longer_wins"),
+        F.sum("_shorter").cast("bigint").alias("n_shorter_wins"),
+        F.sum("_tie").cast("bigint").alias("n_length_ties"),
+        F.avg("_lr").alias("_mlr"),
+    )
+    nd = (F.col("n_longer_wins") + F.col("n_shorter_wins")).cast("double")
+    p = F.col("n_longer_wins").cast("double") / nd
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return agg.select(
+        "n_judgments",
+        "n_longer_wins",
+        "n_shorter_wins",
+        "n_length_ties",
+        r6(F.when(nd > 0, p)).alias("longer_win_rate"),
+        r6(F.col("_mlr")).alias("mean_log_ratio"),
+        r6(F.when(nd > 0, (p - 0.5) * 2.0 * F.sqrt(nd))).alias("bias_z"),
+    )

@@ -44,6 +44,10 @@ __all__ = [
     "conv_neardup_pairs",
     "preference_pairs",
     "resequence_turns",
+    "echo_stats",
+    "stuck_loops",
+    "truncate_context",
+    "shared_openers",
 ]
 
 #: Field separator / null sentinel for the canonical per-turn string.
@@ -563,4 +567,234 @@ def role_transitions(
         F.round(
             F.col("n").cast("double") / F.sum("n").over(w_from), 6
         ).alias("p"),
+    )
+
+
+def echo_stats(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation response parroting audit: how much of each
+    ``response_role`` turn's vocabulary is copied from the turn
+    immediately before it — the degenerate-generation signal ("the
+    assistant echoes the user back") an SFT-curation pass filters on
+    before :func:`sparkfeat.sft.sft_pairs` mines training pairs from
+    the conversation.
+
+    Per response turn t with a preceding turn: ``echo`` = |distinct
+    tokens(text_t) ∩ distinct tokens(text_{t-1})| / |distinct
+    tokens(text_t)| (token = single-space split, the
+    `sft_pairs`/`with_turn_signals` estimator; swap a tokenizer
+    upstream for exact vocabularies). Conversation openers have no
+    prior turn and are excluded. Output per conversation:
+    ``n_responses`` (response turns with a prior turn), ``mean_echo``,
+    ``max_echo`` (6-dp rounded) and ``n_full_echo`` (echo == 1 — the
+    pure-parrot turns).
+
+    Scale shape: ONE hash(conv_id) exchange feeds the lag() window and
+    the groupBy reuses the same partitioning (zero exchanges on the
+    bucketed/Iceberg table). Per-row state is the two turns' token
+    arrays — bounded by TURN length, never conversation length; the
+    set intersection is JVM ``array_intersect`` (codegen), no Python.
+    """
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    toks = lambda c: F.array_distinct(F.split(c, " "))  # noqa: E731
+    base = transcripts.select(
+        F.col(conv_col),
+        F.col(role_col),
+        toks(F.col(text_col)).alias("_cur"),
+        F.lag(F.col(text_col)).over(w).alias("_prev_text"),
+    ).where(
+        (F.col(role_col) == response_role)
+        & F.col("_prev_text").isNotNull()
+        & F.col("_cur").isNotNull()
+        & (F.size("_cur") > 0)
+    )
+    echo = (
+        F.size(F.array_intersect(F.col("_cur"), toks(F.col("_prev_text"))))
+        / F.size("_cur")
+    ).alias("_echo")
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return (
+        base.select(F.col(conv_col), echo)
+        .groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_responses"),
+            r6(F.avg("_echo")).alias("mean_echo"),
+            r6(F.max("_echo")).alias("max_echo"),
+            F.sum((F.col("_echo") >= 1.0).cast("bigint")).alias(
+                "n_full_echo"
+            ),
+        )
+    )
+
+
+def stuck_loops(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Per-conversation stuck-loop detection: maximal runs of
+    CONSECUTIVE turns whose (role, tool, text) are all identical — the
+    "agent is wedged, retrying the same call with the same payload
+    forever" failure mode that inflates token counts without adding
+    information, and the first thing an agent-transcript curation pass
+    drops or truncates. Differs from `windows.tool_chain_stats`'s
+    ``max_tool_streak`` (any non-null tool chain — a healthy multi-step
+    plan also scores) in requiring exact content repetition.
+
+    Output per conversation: ``n_turns``, ``n_repeated_turns`` (turns
+    equal to their predecessor — the redundant volume a loop-cut would
+    remove), ``max_loop_len`` (length of the longest identical block,
+    1 = no repetition anywhere), ``loop_frac`` (n_repeated / n_turns,
+    6 dp).
+
+    Scale shape: gaps-and-islands over ONE hash(conv_id) exchange —
+    the repeat flag is a null-safe lag compare, island ids are the
+    running sum of block starts, and both groupBys reuse the conv_id
+    clustering (hash(conv) distributes hash(conv, island)). O(1) state
+    per row; a 10⁶-turn wedged agent is a long island, not a long
+    array."""
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    sig = F.struct(
+        F.col(role_col).cast("string"),
+        F.col(tool_col).cast("string"),
+        F.col(text_col).cast("string"),
+    )
+    flagged = transcripts.select(
+        F.col(conv_col),
+        F.col(order_col),
+        sig.eqNullSafe(F.lag(sig).over(w)).cast("int").alias("_rep"),
+    )
+    isl = flagged.select(
+        F.col(conv_col),
+        F.col("_rep"),
+        F.sum(1 - F.col("_rep"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_isl"),
+    )
+    blocks = isl.groupBy(conv_col, "_isl").agg(
+        F.count(F.lit(1)).alias("_len"), F.sum("_rep").alias("_nrep")
+    )
+    return blocks.groupBy(conv_col).agg(
+        F.sum("_len").cast("bigint").alias("n_turns"),
+        F.sum("_nrep").cast("bigint").alias("n_repeated_turns"),
+        F.max("_len").cast("bigint").alias("max_loop_len"),
+        (
+            F.round(F.sum("_nrep") / F.sum("_len"), 6) + F.lit(0.0)
+        ).alias("loop_frac"),
+    )
+
+
+def truncate_context(
+    transcripts: DataFrame,
+    max_tokens: int,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Context-window fitting at TURN granularity: keep each
+    conversation's newest suffix of whole turns whose token total fits
+    ``max_tokens`` — the standard "truncate from the left, never split
+    a turn" preprocessing before packing transcripts into a
+    fixed-context model, plus (``keep_first``) the opener turn
+    (turn 0 — the system prompt / task statement) pinned even when the
+    budget has already cut it, flagged so a renderer can insert an
+    ellipsis marker between it and the kept suffix.
+
+    The rule mirrors `sft.sft_pairs`'s budget: a turn survives iff the
+    WHOLE suffix from it through the last turn fits (suffix token sums
+    are a reverse cumulative sum, so survival is monotone — the kept
+    set is always a contiguous tail). Tokens are whitespace counts
+    (the house estimator; swap `bpe.bpe_encode` lengths upstream for
+    tokenizer-exact budgets). Null text counts 0.
+
+    Output: the input rows that survive, plus ``suffix_tokens``
+    (tokens from this turn through the conversation end) and
+    ``pinned_head`` (true on an opener kept only by ``keep_first``).
+
+    Scale shape: ONE hash(conv_id) exchange feeds the descending-order
+    window; the filter is per-row algebra. O(1) state per row — a
+    10⁶-turn conversation is a long per-partition sort (spills), never
+    an array.
+    """
+    w_desc = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_asc = Window.partitionBy(conv_col).orderBy(order_col)
+    tok = F.greatest(
+        F.coalesce(F.size(F.split(F.col(text_col), " ")), F.lit(0)),
+        F.lit(0),
+    ).cast("bigint")
+    base = transcripts.withColumn(
+        "suffix_tokens", F.sum(tok).over(w_desc)
+    ).withColumn("_rn", F.row_number().over(w_asc))
+    fits = F.col("suffix_tokens") <= max_tokens
+    head = F.lit(keep_first) & (F.col("_rn") == 1)
+    return (
+        base.where(fits | head)
+        .withColumn("pinned_head", (head & ~fits))
+        .drop("_rn")
+    )
+
+
+def shared_openers(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    opener_role: str = "user",
+    min_convs: int = 2,
+) -> DataFrame:
+    """Template-spam detection: conversations that START with the same
+    ``opener_role`` text are usually one script/bot/form fanned out —
+    near-dup at the conversation level that whole-transcript dedup
+    misses (the tails differ), but that still floods training data
+    with one prompt distribution. Groups conversations by their FIRST
+    ``opener_role`` turn's exact text.
+
+    Output per opener seen in ≥ ``min_convs`` conversations:
+    ``opener_fp`` (md5 — the join key a keep-list builds on),
+    ``opener_text``, ``n_convs``, ``sample_conv`` (lexicographic min
+    conv_id — the house keep-rule, so an anti-join on the other
+    conv_ids composes with the dedup family's conventions).
+
+    Scale shape: the first-opener pick is a min_by over ONE
+    map-side-combinable groupBy(conv) (never a window — no sort), the
+    template rollup a second groupBy on the opener hash; both
+    partial-aggregate, so 10¹² turns reduce conv-by-conv then
+    template-by-template. Null opener texts are dropped (no signal).
+    """
+    openers = (
+        transcripts.where(F.col(role_col) == opener_role)
+        .groupBy(conv_col)
+        .agg(
+            F.min_by(F.col(text_col), F.col(order_col)).alias("_opener")
+        )
+        .where(F.col("_opener").isNotNull())
+    )
+    return (
+        openers.groupBy(F.col("_opener").alias("opener_text"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_convs"),
+            F.min(conv_col).alias("sample_conv"),
+        )
+        .where(F.col("n_convs") >= min_convs)
+        .select(
+            F.md5(F.col("opener_text")).alias("opener_fp"),
+            "opener_text",
+            "n_convs",
+            "sample_conv",
+        )
     )

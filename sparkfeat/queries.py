@@ -7694,6 +7694,233 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Transcript-curation audits: response echo rate, stuck loops, judge
+# length bias (sparkfeat.conv.echo_stats / conv.stuck_loops /
+# arena.length_bias)
+# ---------------------------------------------------------------------------
+
+_ECHO_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+l AS (
+    SELECT conv_id, role, text,
+        LAG(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text
+    FROM transcripts
+),
+e AS (
+    SELECT conv_id,
+        len(list_intersect(list_distinct(string_split(text, ' ')),
+                           list_distinct(string_split(prev_text, ' '))))
+            / CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            AS echo
+    FROM l
+    WHERE role = 'assistant' AND prev_text IS NOT NULL AND text IS NOT NULL
+)
+SELECT conv_id,
+    CAST(COUNT(*) AS BIGINT) AS n_responses,
+    ROUND(AVG(echo), 6) AS mean_echo,
+    ROUND(MAX(echo), 6) AS max_echo,
+    CAST(SUM(CASE WHEN echo >= 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_full_echo
+FROM e GROUP BY conv_id"""
+
+
+@register("conv_echo_stats", _ECHO_ORACLE, driver=False)
+def q_conv_echo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Response parroting audit (sparkfeat.conv.echo_stats): per
+    conversation, the distinct-token containment of each assistant
+    turn in the turn immediately before it — mean/max echo and the
+    count of pure-parrot (echo == 1) turns. One conv_id exchange; the
+    oracle replays the lag, both distinct-token sets, the intersection
+    ratio, and the per-conversation fold with DuckDB list algebra."""
+    from sparkfeat.conv import echo_stats
+
+    return echo_stats(transcripts_from_events(spark, sf_dir))
+
+
+#: stuck-loop driver input: the wedged-agent signature is repeating the
+#: same CALL, so the loop key coarsens text to its first token (the
+#: event_type in the deterministic transcript derivation) — consecutive
+#: same-type events by one user then form genuine loops in the testdata.
+_STUCK_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+f AS (
+    SELECT conv_id, turn_idx,
+        CASE WHEN ROW_NUMBER() OVER w > 1
+              AND role IS NOT DISTINCT FROM LAG(role) OVER w
+              AND tool IS NOT DISTINCT FROM LAG(tool) OVER w
+              AND string_split(text, ' ')[1]
+                  IS NOT DISTINCT FROM LAG(string_split(text, ' ')[1]) OVER w
+             THEN 1 ELSE 0 END AS rep
+    FROM transcripts
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+i AS (
+    SELECT conv_id, rep,
+        SUM(1 - rep) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS isl
+    FROM f
+),
+b AS (
+    SELECT conv_id, isl, COUNT(*) AS blen, SUM(rep) AS nrep
+    FROM i GROUP BY conv_id, isl
+)
+SELECT conv_id,
+    CAST(SUM(blen) AS BIGINT) AS n_turns,
+    CAST(SUM(nrep) AS BIGINT) AS n_repeated_turns,
+    CAST(MAX(blen) AS BIGINT) AS max_loop_len,
+    ROUND(SUM(nrep) / CAST(SUM(blen) AS DOUBLE), 6) AS loop_frac
+FROM b GROUP BY conv_id"""
+
+
+@register("conv_stuck_loops", _STUCK_ORACLE, driver=False)
+def q_conv_stuck_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-loop detection (sparkfeat.conv.stuck_loops) over the
+    call-signature view of the transcript (text coarsened to its first
+    token = the event type, so a user repeating the same action forms
+    a genuine loop): per conversation, the longest identical block,
+    the redundant turn count a loop-cut would remove, and the repeated
+    fraction. The oracle replays the null-safe lag compare, the
+    gaps-and-islands running sum, and both folds."""
+    from sparkfeat.conv import stuck_loops
+
+    t = transcripts_from_events(spark, sf_dir).withColumn(
+        "text", F.element_at(F.split(F.col("text"), " "), 1)
+    )
+    return stuck_loops(t)
+
+
+_LENGTH_BIAS_ORACLE = """WITH e AS (
+    SELECT doc_id // 2 AS half, n_chars AS c_e
+    FROM documents WHERE doc_id % 2 = 0
+),
+o AS (
+    SELECT doc_id // 2 AS half, n_chars AS c_o
+    FROM documents WHERE doc_id % 2 = 1
+),
+j AS (
+    SELECT CASE WHEN c_e >= c_o THEN c_e ELSE c_o END AS wl,
+           CASE WHEN c_e >= c_o THEN c_o ELSE c_e END AS ll
+    FROM e JOIN o USING (half)
+    WHERE c_e > 0 AND c_o > 0
+),
+a AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_judgments,
+        CAST(SUM(CASE WHEN wl > ll THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_longer_wins,
+        CAST(SUM(CASE WHEN wl < ll THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_shorter_wins,
+        CAST(SUM(CASE WHEN wl = ll THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_length_ties,
+        AVG(LN(CAST(wl AS DOUBLE) / ll)) AS mlr
+    FROM j
+)
+SELECT n_judgments, n_longer_wins, n_shorter_wins, n_length_ties,
+    ROUND(CASE WHEN n_longer_wins + n_shorter_wins > 0 THEN
+        n_longer_wins / CAST(n_longer_wins + n_shorter_wins AS DOUBLE)
+        END, 6) AS longer_win_rate,
+    ROUND(mlr, 6) AS mean_log_ratio,
+    ROUND(CASE WHEN n_longer_wins + n_shorter_wins > 0 THEN
+        (n_longer_wins / CAST(n_longer_wins + n_shorter_wins AS DOUBLE)
+         - 0.5) * 2.0 * SQRT(CAST(n_longer_wins + n_shorter_wins AS DOUBLE))
+        END, 6) AS bias_z
+FROM a"""
+
+
+@register("arena_length_bias", _LENGTH_BIAS_ORACLE, driver=False)
+def q_arena_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judge length-bias audit (sparkfeat.arena.length_bias) over the
+    same synthetic doc-vs-doc judge the BT/winrate queries mine — that
+    judge decides BY length, so the audit must flag it at the maximum:
+    longer_win_rate 1.0 on every decisive pair and a bias_z equal to
+    +sqrt(n_decisive), with mean_log_ratio the judge's effect size.
+    The oracle replays the pairing, the decisive-direction counts, the
+    sign-test rate/z, and the log-ratio mean closed-form."""
+    from sparkfeat.arena import length_bias
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("half"), F.col("n_chars").alias("c_e")
+    )
+    od = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.expr("doc_id div 2").alias("half"), F.col("n_chars").alias("c_o")
+    )
+    won = F.col("c_e") >= F.col("c_o")
+    judg = ev.join(od, "half").select(
+        F.when(won, F.col("c_e")).otherwise(F.col("c_o")).alias("winner_len"),
+        F.when(won, F.col("c_o")).otherwise(F.col("c_e")).alias("loser_len"),
+    )
+    return length_bias(judg)
+
+
+_TRUNC_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+t AS (
+    SELECT conv_id, turn_idx, role, text, tool, ts,
+        SUM(GREATEST(COALESCE(len(string_split(text, ' ')), 0), 0))
+            OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS suffix_tokens,
+        ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+    FROM transcripts
+)
+SELECT conv_id, turn_idx, role, text, tool, ts,
+    CAST(suffix_tokens AS BIGINT) AS suffix_tokens,
+    (rn = 1 AND NOT suffix_tokens <= 64) AS pinned_head
+FROM t WHERE suffix_tokens <= 64 OR rn = 1"""
+
+
+@register("conv_truncate_context", _TRUNC_ORACLE, driver=False)
+def q_conv_truncate_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-granular context-window fitting
+    (sparkfeat.conv.truncate_context, max_tokens=64): every
+    conversation keeps the newest whole-turn suffix that fits the
+    budget plus the pinned opener. The oracle replays the reverse
+    cumulative token sum, the contiguous-tail filter, and the
+    pinned-head flag row-for-row (suffix_tokens is part of the output,
+    so the hash verifies the budget algebra, not just membership)."""
+    from sparkfeat.conv import truncate_context
+
+    return truncate_context(
+        transcripts_from_events(spark, sf_dir), max_tokens=64
+    )
+
+
+#: shared-opener driver input: openers are mined on the call-signature
+#: view (text coarsened to the event type, as in conv_stuck_loops) so
+#: the deterministic testdata has genuine template groups.
+_OPENERS_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+op AS (
+    SELECT conv_id, MIN_BY(string_split(text, ' ')[1], turn_idx) AS opener
+    FROM transcripts WHERE role = 'user'
+    GROUP BY conv_id
+),
+g AS (
+    SELECT opener AS opener_text, CAST(COUNT(*) AS BIGINT) AS n_convs,
+           MIN(conv_id) AS sample_conv
+    FROM op WHERE opener IS NOT NULL
+    GROUP BY opener
+    HAVING COUNT(*) >= 2
+)
+SELECT md5(opener_text) AS opener_fp, opener_text, n_convs, sample_conv
+FROM g"""
+
+
+@register("conv_shared_openers", _OPENERS_ORACLE, driver=False)
+def q_conv_shared_openers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-spam detection (sparkfeat.conv.shared_openers) on the
+    call-signature view of the transcript (text coarsened to its first
+    token = the event type, so the synthetic corpus has real template
+    groups): conversations grouped by their first user turn, groups of
+    ≥2 reported with the house smallest-id representative. The oracle
+    replays the min_by opener pick, the rollup, and the md5 join
+    key."""
+    from sparkfeat.conv import shared_openers
+
+    t = transcripts_from_events(spark, sf_dir).withColumn(
+        "text", F.element_at(F.split(F.col("text"), " "), 1)
+    )
+    return shared_openers(t)
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,

@@ -1,0 +1,210 @@
+"""Hand-computed fixtures for the transcript-curation audits:
+conv.echo_stats, conv.stuck_loops, arena.length_bias. DuckDB oracle
+parity for the corresponding registered queries (conv_echo_stats,
+conv_stuck_loops, arena_length_bias) runs in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _rows(df):
+    return {r[0]: r.asDict() for r in df.collect()}
+
+
+def test_echo_stats_hand_computed(spark):
+    from sparkfeat.conv import echo_stats
+
+    data = [
+        ("c1", 0, "user", "hello world", None),
+        ("c1", 1, "assistant", "hello world", None),
+        ("c1", 2, "user", "what is up", None),
+        ("c1", 3, "assistant", "up is fine", None),
+        ("c2", 0, "assistant", "solo", None),
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    out = _rows(echo_stats(df))
+    # c2's only assistant turn is the opener (no prior turn) -> excluded.
+    assert set(out) == {"c1"}
+    r = out["c1"]
+    assert r["n_responses"] == 2
+    # turn 1 echoes the user verbatim (echo 1.0); turn 3 shares 2 of its
+    # 3 distinct tokens with turn 2 (2/3).
+    assert r["max_echo"] == 1.0
+    assert r["n_full_echo"] == 1
+    assert r["mean_echo"] == pytest.approx(round((1.0 + 2.0 / 3.0) / 2, 6))
+
+
+def test_echo_stats_null_and_repeat_tokens(spark):
+    from sparkfeat.conv import echo_stats
+
+    data = [
+        ("c1", 0, "user", "go go go stop", None),
+        ("c1", 1, "assistant", "go go", None),  # distinct {go} ⊆ prev
+        ("c1", 2, "user", None, None),
+        ("c1", 3, "assistant", "anything", None),  # prev text null -> skip
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    r = _rows(echo_stats(df))["c1"]
+    # only turn 1 qualifies; duplicates collapse before the ratio.
+    assert r["n_responses"] == 1
+    assert r["mean_echo"] == 1.0
+    assert r["n_full_echo"] == 1
+
+
+def test_stuck_loops_hand_computed(spark):
+    from sparkfeat.conv import stuck_loops
+
+    data = [
+        ("c1", 0, "user", "a", None),
+        ("c1", 1, "user", "a", None),
+        ("c1", 2, "user", "a", None),
+        ("c1", 3, "assistant", "a", None),
+        ("c1", 4, "assistant", "a", "retry"),
+        ("c1", 5, "assistant", "a", "retry"),
+        ("c2", 0, "user", "x", None),
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    out = _rows(stuck_loops(df))
+    r1 = out["c1"]
+    # blocks: [0,1,2] identical, [3] role flip, [4,5] tool flip then repeat.
+    assert r1["n_turns"] == 6
+    assert r1["n_repeated_turns"] == 3
+    assert r1["max_loop_len"] == 3
+    assert r1["loop_frac"] == 0.5
+    r2 = out["c2"]
+    assert (r2["n_turns"], r2["n_repeated_turns"], r2["max_loop_len"]) == (1, 0, 1)
+    assert r2["loop_frac"] == 0.0
+
+
+def test_stuck_loops_null_safe_fields(spark):
+    from sparkfeat.conv import stuck_loops
+
+    # null tool == null tool must count as identical (eqNullSafe), and a
+    # null text never matches a non-null one.
+    data = [
+        ("c1", 0, "tool", None, "search"),
+        ("c1", 1, "tool", None, "search"),
+        ("c1", 2, "tool", "out", "search"),
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    r = _rows(stuck_loops(df))["c1"]
+    assert r["n_repeated_turns"] == 1
+    assert r["max_loop_len"] == 2
+
+
+def test_length_bias_hand_computed(spark):
+    import math
+
+    from sparkfeat.arena import length_bias
+
+    data = [
+        (10, 5),  # longer wins
+        (3, 6),  # shorter wins
+        (4, 4),  # length tie
+        (7, None),  # dropped
+        (0, 2),  # dropped (non-positive)
+    ]
+    df = spark.createDataFrame(data, "winner_len int, loser_len int")
+    r = length_bias(df).collect()[0].asDict()
+    assert r["n_judgments"] == 3
+    assert (r["n_longer_wins"], r["n_shorter_wins"], r["n_length_ties"]) == (1, 1, 1)
+    assert r["longer_win_rate"] == 0.5
+    assert r["bias_z"] == 0.0
+    # ln2 + ln(1/2) + ln1 = 0
+    assert r["mean_log_ratio"] == 0.0
+
+    biased = spark.createDataFrame([(5, 2), (9, 1)], "winner_len int, loser_len int")
+    b = length_bias(biased).collect()[0].asDict()
+    assert b["longer_win_rate"] == 1.0
+    # sign-test z for 2/2 successes: (1.0 - 0.5) * 2 * sqrt(2) = sqrt(2)
+    assert b["bias_z"] == pytest.approx(round(math.sqrt(2.0), 6))
+    assert b["mean_log_ratio"] == pytest.approx(
+        round((math.log(2.5) + math.log(9.0)) / 2, 6)
+    )
+
+
+def test_echo_stats_single_exchange_plan(spark):
+    """The lag window and the per-conversation fold must share ONE
+    hash(conv_id) exchange — the house scale-shape for every
+    transcript operator."""
+    from sparkfeat.conv import echo_stats
+    from sparkfeat.schema import synth_transcripts
+
+    plan = echo_stats(
+        synth_transcripts(spark, n_convs=4, turns_per_conv=[6, 6, 6, 6], seed=3)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_truncate_context_hand_computed(spark):
+    from sparkfeat.conv import truncate_context
+
+    # token counts: t0=3, t1=2, t2=2, t3=2 -> suffixes: t3=2, t2=4,
+    # t1=6, t0=9. budget 6: kept tail = t1..t3; opener pinned.
+    data = [
+        ("c1", 0, "user", "a b c", None),
+        ("c1", 1, "assistant", "d e", None),
+        ("c1", 2, "user", "f g", None),
+        ("c1", 3, "assistant", "h i", None),
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    out = {
+        r["turn_idx"]: r.asDict()
+        for r in truncate_context(df, max_tokens=6).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["pinned_head"] and out[0]["suffix_tokens"] == 9
+    assert not out[1]["pinned_head"] and out[1]["suffix_tokens"] == 6
+    # budget 3: only t3 fits; opener still pinned.
+    out3 = {
+        r["turn_idx"]: r.asDict()
+        for r in truncate_context(df, max_tokens=3).collect()
+    }
+    assert set(out3) == {0, 3}
+    assert out3[0]["pinned_head"]
+    # keep_first=False drops the over-budget opener.
+    out_nf = {
+        r["turn_idx"]
+        for r in truncate_context(df, max_tokens=3, keep_first=False).collect()
+    }
+    assert out_nf == {3}
+    # a fitting conversation is passed through whole, nothing pinned.
+    fit = truncate_context(df, max_tokens=100).collect()
+    assert len(fit) == 4 and not any(r["pinned_head"] for r in fit)
+
+
+def test_shared_openers_hand_computed(spark):
+    from sparkfeat.conv import shared_openers
+
+    data = [
+        ("c1", 0, "user", "reset my password", None),
+        ("c1", 1, "assistant", "ok", None),
+        ("c2", 0, "tool", "boot", None),
+        ("c2", 1, "user", "reset my password", None),
+        ("c3", 0, "user", "unique question", None),
+        ("c4", 0, "user", "reset my password", None),
+        ("c5", 0, "assistant", "no user turn here", None),
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    rows = shared_openers(df).collect()
+    # one template group: c1/c2/c4 share the opener; c3 is unique,
+    # c5 has no user turn.
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["opener_text"] == "reset my password"
+    assert r["n_convs"] == 3
+    assert r["sample_conv"] == "c1"
+    assert len(r["opener_fp"]) == 32
