@@ -150,6 +150,10 @@ BENCH_QUERIES = [
     "conv_echo_stats",
     "conv_stuck_loops",
     "conv_truncate_context",
+    # corpus-statistics audits: distinct-n diversity (one explode for
+    # all three gram lattices) and the top-100 Zipf OLS fit
+    "corpus_ngram_diversity",
+    "corpus_zipf_fit",
 ]
 
 

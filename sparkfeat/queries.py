@@ -7921,6 +7921,98 @@ def q_conv_shared_openers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_openers(t)
 
 
+_DIVERSITY_ORACLE = """WITH w AS (
+    SELECT source,
+        list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '') AS ws
+    FROM documents
+),
+g AS (
+    SELECT source, 1 AS n, unnest(ws) AS gram FROM w
+    UNION ALL
+    SELECT source, 2 AS n,
+        unnest(list_transform(generate_series(0, len(ws) - 2),
+                              i -> ws[i + 1] || ' ' || ws[i + 2])) AS gram
+    FROM w WHERE len(ws) >= 2
+    UNION ALL
+    SELECT source, 3 AS n,
+        unnest(list_transform(generate_series(0, len(ws) - 3),
+            i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS gram
+    FROM w WHERE len(ws) >= 3
+),
+c AS (
+    SELECT source, n, gram, COUNT(*) AS cnt
+    FROM g GROUP BY source, n, gram
+)
+SELECT source, n,
+    CAST(SUM(cnt) AS BIGINT) AS total_grams,
+    CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+    ROUND(COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 6) AS distinct_ratio
+FROM c GROUP BY source, n"""
+
+
+@register("corpus_ngram_diversity", _DIVERSITY_ORACLE, driver=False)
+def q_corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity profile (sparkfeat.text.ngram_diversity,
+    n=1..3) per source — the templated-source screen. One scan, one
+    explode (all three gram lattices tagged in-row), two
+    map-side-combinable groupBys; the oracle rebuilds each lattice
+    positionally and replays both folds."""
+    from sparkfeat.text import ngram_diversity
+
+    return ngram_diversity(_docs(spark, sf_dir), max_n=3)
+
+
+_ZIPF_ORACLE = """WITH t AS (
+    SELECT source,
+        unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS term
+    FROM documents
+),
+c AS (SELECT source, term, COUNT(*) AS freq FROM t GROUP BY source, term),
+r AS (
+    SELECT source, term, freq,
+        ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY freq DESC, term ASC) AS rank
+    FROM c
+),
+kk AS (SELECT * FROM r WHERE rank <= 100),
+s AS (
+    SELECT source, COUNT(*) AS n,
+        MAX(CASE WHEN rank = 1 THEN term END) AS top_term,
+        MAX(CASE WHEN rank = 1 THEN freq END) AS top_freq,
+        SUM(log10(rank)) AS sx, SUM(log10(freq)) AS sy,
+        SUM(log10(rank) * log10(freq)) AS sxy,
+        SUM(log10(rank) * log10(rank)) AS sxx,
+        SUM(log10(freq) * log10(freq)) AS syy
+    FROM kk GROUP BY source
+)
+SELECT source,
+    CAST(n AS BIGINT) AS n_ranks,
+    top_term,
+    CAST(top_freq AS BIGINT) AS top_freq,
+    ROUND(CASE WHEN n * sxx - sx * sx > 0
+        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+        AS zipf_slope,
+    ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+        AS zipf_r2
+FROM s"""
+
+
+@register("corpus_zipf_fit", _ZIPF_ORACLE, driver=False)
+def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit (sparkfeat.text.zipf_fit, top-100 tokens) per
+    source: closed-form OLS of log10(freq) on log10(rank) with r² —
+    the power-law distribution audit. The oracle replays the counts,
+    the freq-desc/term-asc rank, the rank-1 pick, and every moment sum
+    of the regression, so the hash verifies the fit algebra itself."""
+    from sparkfeat.text import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), k=100)
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,

@@ -973,3 +973,157 @@ def source_distinctive_terms(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    max_n: int = 3,
+) -> DataFrame:
+    """Distinct-n diversity profile per corpus slice: for each n in
+    1..``max_n``, the ratio of DISTINCT word n-grams to total n-grams
+    (Li et al. 2016's distinct-n, lifted from generation eval to corpus
+    audit) — a templated/boilerplate-heavy source scores low at n ≥ 2
+    long before exact dedup fires, so this is the cheap first look a
+    mixture designer takes at each slice.
+
+    Output per (``group_col``, n): ``total_grams``, ``distinct_grams``,
+    ``distinct_ratio`` (6 dp). Tokenization: lowercase, whitespace
+    split, empties dropped (the `source_distinctive_terms` convention).
+
+    Scale shape: ONE corpus scan and ONE explode — every n's gram list
+    is built from the same token array with the linear zip-shift chain
+    (`corpus.token_ngram_hashes`'s move; an outer-array slice inside a
+    transform re-evaluates the split per element and goes quadratic)
+    and tagged with n in-row, so the three lattices ride one explode.
+    Both aggregations are map-side-combinable groupBys (the two-level
+    count: (group, n, gram) → (group, n)) — per-task state is the agg
+    hash map, never a distinct-set buffer; 10¹² tokens shuffle once on
+    the gram key.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    d = docs.select(F.col(group_col), toks.alias("_t"))
+    branches = []
+    for n in range(1, max_n + 1):
+        if n == 1:
+            grams = F.col("_t")
+        else:
+            m = F.size("_t") - (n - 1)
+            grams = F.slice("_t", 1, F.greatest(m, F.lit(0)))
+            for k in range(1, n):
+                grams = F.zip_with(
+                    grams,
+                    F.slice("_t", k + 1, F.greatest(m, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+        def _tag(col, n_val):
+            # one-arg lambda on purpose: a two-arg transform lambda
+            # receives (element, array_index) and the index would
+            # shadow any default-bound n.
+            return F.transform(
+                col,
+                lambda g: F.struct(F.lit(n_val).alias("n"), g.alias("gram")),
+            )
+
+        branches.append(_tag(grams, n))
+    base = d.select(
+        F.col(group_col), F.explode(F.concat(*branches)).alias("_g")
+    ).select(F.col(group_col), F.col("_g.n").alias("n"), F.col("_g.gram"))
+    counts = base.groupBy(group_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return counts.groupBy(group_col, "n").agg(
+        F.sum("_c").cast("bigint").alias("total_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_grams"),
+        (
+            F.round(F.count(F.lit(1)) / F.sum("_c").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("distinct_ratio"),
+    )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 100,
+    shards: int = 32,
+) -> DataFrame:
+    """Zipf-law fit per corpus slice: OLS of log10(frequency) on
+    log10(rank) over the top-``k`` tokens — natural text tracks slope
+    ≈ −1 with high r²; synthetic/templated/spammy slices bend away
+    from the power law, so (slope, r²) is a two-number distribution
+    audit a data card quotes per source and a mixture designer screens
+    on.
+
+    Output per group: ``n_ranks`` (min(k, vocab)), ``top_term`` /
+    ``top_freq`` (rank-1, freq-desc/term-asc tie-break — the bm25 rank
+    convention), ``zipf_slope``, ``zipf_r2`` (both 6 dp; NULL when
+    fewer than 2 ranks or zero variance).
+
+    Scale shape: one token explode into a map-side-combinable
+    ``groupBy(group, term)`` count; the rank is the exact two-phase
+    top-k (per-(group, hash-shard) prune to k, then one window over
+    ≤ shards·k survivors — never a single-task window over a whole
+    source's vocabulary, `source_distinctive_terms`'s move); the OLS
+    is closed-form moment sums over ≤ k rows per group. 10¹² tokens
+    shuffle once; everything after the count is k-bounded.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    counts = (
+        docs.select(F.col(group_col), F.explode(toks).alias("term"))
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    order = [F.col("freq").desc(), F.col("term").asc()]
+    local = Window.partitionBy(
+        group_col, F.pmod(F.hash(F.col("term")), F.lit(shards))
+    ).orderBy(*order)
+    pruned = counts.withColumn("_lr", F.row_number().over(local)).filter(
+        F.col("_lr") <= k
+    )
+    final = Window.partitionBy(group_col).orderBy(*order)
+    ranked = (
+        pruned.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(group_col),
+            "term",
+            "freq",
+            F.log10(F.col("rank").cast("double")).alias("_x"),
+            F.log10(F.col("freq").cast("double")).alias("_y"),
+            "rank",
+        )
+    )
+    s = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.max(F.when(F.col("rank") == 1, F.col("term"))).alias("top_term"),
+        F.max(F.when(F.col("rank") == 1, F.col("freq")))
+        .cast("bigint")
+        .alias("top_freq"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n_ranks").cast("double")
+    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return s.select(
+        group_col,
+        "n_ranks",
+        "top_term",
+        "top_freq",
+        r6(F.when(vx > 0, cov / vx)).alias("zipf_slope"),
+        r6(F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))).alias(
+            "zipf_r2"
+        ),
+    )

@@ -208,3 +208,64 @@ def test_shared_openers_hand_computed(spark):
     assert r["n_convs"] == 3
     assert r["sample_conv"] == "c1"
     assert len(r["opener_fp"]) == 32
+
+
+def test_ngram_diversity_hand_computed(spark):
+    from sparkfeat.text import ngram_diversity
+
+    df = spark.createDataFrame(
+        [("s1", "a b c"), ("s1", "a b"), ("s2", "x")],
+        "source string, text string",
+    )
+    rows = {
+        (r["source"], r["n"]): r.asDict()
+        for r in ngram_diversity(df, max_n=3).collect()
+    }
+    # s1 unigrams: a,b,c,a,b; bigrams: "a b","b c","a b"; trigram: "a b c"
+    assert rows[("s1", 1)]["total_grams"] == 5
+    assert rows[("s1", 1)]["distinct_grams"] == 3
+    assert rows[("s1", 1)]["distinct_ratio"] == 0.6
+    assert rows[("s1", 2)]["total_grams"] == 3
+    assert rows[("s1", 2)]["distinct_grams"] == 2
+    assert rows[("s1", 2)]["distinct_ratio"] == pytest.approx(0.666667)
+    assert rows[("s1", 3)]["total_grams"] == 1
+    assert rows[("s1", 3)]["distinct_ratio"] == 1.0
+    # s2 has one token: only the n=1 row exists.
+    assert rows[("s2", 1)]["total_grams"] == 1
+    assert ("s2", 2) not in rows and ("s2", 3) not in rows
+    assert len(rows) == 4
+
+
+def test_ngram_diversity_single_explode_plan(spark):
+    """All three gram lattices must ride ONE Generate (explode) over
+    one scan — tagging n in-row, not a union of three explodes."""
+    from sparkfeat.text import ngram_diversity
+
+    df = spark.createDataFrame([("s1", "a b c d")], "source string, text string")
+    plan = ngram_diversity(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 1, plan
+
+
+def test_zipf_fit_hand_computed(spark):
+    import numpy as np
+
+    from sparkfeat.text import zipf_fit
+
+    df = spark.createDataFrame(
+        [("s1", "a a a a b b c"), ("flat", "z"), ("tie", "b a")],
+        "source string, text string",
+    )
+    rows = {r["source"]: r.asDict() for r in zipf_fit(df, k=100).collect()}
+    r = rows["s1"]
+    assert (r["top_term"], r["top_freq"], r["n_ranks"]) == ("a", 4, 3)
+    x = np.log10([1.0, 2.0, 3.0])
+    y = np.log10([4.0, 2.0, 1.0])
+    slope = np.polyfit(x, y, 1)[0]
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert r["zipf_slope"] == pytest.approx(round(float(slope), 6), abs=1e-6)
+    assert r["zipf_r2"] == pytest.approx(round(float(r2), 6), abs=1e-6)
+    # single-rank source: variance undefined -> NULLs, not crashes.
+    f = rows["flat"]
+    assert f["n_ranks"] == 1 and f["zipf_slope"] is None and f["zipf_r2"] is None
+    # equal frequencies: rank 1 goes to the lexicographically smaller term.
+    assert rows["tie"]["top_term"] == "a"
