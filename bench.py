@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     # all three gram lattices) and the top-100 Zipf OLS fit
     "corpus_ngram_diversity",
     "corpus_zipf_fit",
+    # label-QA: lang-label vs content lang-ID agreement per source
+    "corpus_langid_agreement",
 ]
 
 

@@ -8013,6 +8013,42 @@ def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_docs(spark, sf_dir), k=100)
 
 
+def _langid_agreement_oracle() -> str:
+    """Wrap the full lang-ID replay as a subquery and roll it up
+    against the corpus's own lang labels per source."""
+    pred = _lang_ngram_oracle()
+    return f"""SELECT d.source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN p.lang_ngram <> 'unknown' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_detected,
+    CAST(SUM(CASE WHEN p.lang_ngram <> 'unknown'
+                   AND p.lang_ngram = d.lang THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_match,
+    ROUND(CASE WHEN SUM(CASE WHEN p.lang_ngram <> 'unknown' THEN 1
+                        ELSE 0 END) > 0 THEN
+        SUM(CASE WHEN p.lang_ngram <> 'unknown'
+                  AND p.lang_ngram = d.lang THEN 1.0 ELSE 0.0 END)
+        / SUM(CASE WHEN p.lang_ngram <> 'unknown' THEN 1.0 ELSE 0.0 END)
+        END, 6) AS agreement,
+    ROUND(SUM(CASE WHEN p.lang_ngram = 'unknown' THEN 1.0 ELSE 0.0 END)
+        / COUNT(*), 6) AS unknown_rate
+FROM documents d JOIN ({pred}) p USING (doc_id)
+GROUP BY d.source"""
+
+
+@register("corpus_langid_agreement", _langid_agreement_oracle(), driver=False)
+def q_corpus_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-QA audit (sparkfeat.text.langid_agreement): per-source
+    agreement between the corpus's own lang labels and the
+    content-based Arrow lang-ID kernel, with the unknown rate that
+    bounds the audit's own signal. The oracle wraps the full
+    Cavnar-Trenkle SQL replay as a subquery and rolls it up against
+    the labels — detection AND aggregation are both hash-verified."""
+    from sparkfeat.text import langid_agreement
+
+    return langid_agreement(_docs(spark, sf_dir))
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,

@@ -1127,3 +1127,59 @@ def zipf_fit(
             "zipf_r2"
         ),
     )
+
+
+def langid_agreement(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    group_col: str = "source",
+) -> DataFrame:
+    """Label-QA audit: how often does the content-based language ID
+    (:func:`lang_ngram_guess_arrow`) agree with the corpus's own
+    ``lang_col`` metadata, per source? Upstream language labels come
+    from crawl heuristics (URL TLDs, HTTP headers, site config) and are
+    routinely wrong for exactly the sources a mixture weighting trusts
+    them on — this is the check run before `corpus.mixture_sample`
+    keys rates off the label.
+
+    Output per source: ``n_docs``, ``n_detected`` (ID confident, i.e.
+    not 'unknown'), ``n_match`` (detected == label), ``agreement``
+    (n_match / n_detected, 6 dp, NULL when nothing was detected) and
+    ``unknown_rate`` (6 dp) — a LOW agreement flags mislabeling; a
+    high unknown_rate says the audit itself lacks signal there.
+
+    Scale shape: one corpus scan through the Arrow lang-ID kernel
+    (whole-batch numpy, the production path), then ONE
+    map-side-combinable groupBy — state is O(sources), no shuffle
+    wider than the |sources|-row combine.
+    """
+    det = lang_ngram_guess_arrow(text_col)
+    base = docs.select(
+        F.col(group_col),
+        F.col(lang_col).alias("_label"),
+        det.alias("_det"),
+    )
+    decided = F.col("_det") != "unknown"
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(decided.cast("bigint")).alias("n_detected"),
+        F.sum(
+            (decided & (F.col("_det") == F.col("_label"))).cast("bigint")
+        ).alias("n_match"),
+        r6(
+            F.when(
+                F.sum(decided.cast("bigint")) > 0,
+                F.sum(
+                    (decided & (F.col("_det") == F.col("_label"))).cast(
+                        "double"
+                    )
+                )
+                / F.sum(decided.cast("double")),
+            )
+        ).alias("agreement"),
+        r6(
+            F.sum((~decided).cast("double")) / F.count(F.lit(1))
+        ).alias("unknown_rate"),
+    )

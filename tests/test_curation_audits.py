@@ -269,3 +269,33 @@ def test_zipf_fit_hand_computed(spark):
     assert f["n_ranks"] == 1 and f["zipf_slope"] is None and f["zipf_r2"] is None
     # equal frequencies: rank 1 goes to the lexicographically smaller term.
     assert rows["tie"]["top_term"] == "a"
+
+
+def test_langid_agreement_hand_computed(spark):
+    from sparkfeat.text import langid_agreement
+
+    en = (
+        "she walked through the garden while the children were playing "
+        "with their small wooden toys near the old stone wall"
+    )
+    de = (
+        "sie ging durch den garten während die kinder mit ihren kleinen "
+        "holzspielzeugen neben der alten steinmauer spielten"
+    )
+    junk = "zzqx vvk pffft 12398"
+    data = [
+        (0, en, "en", "s1"),  # detected en, label en -> match
+        (1, de, "en", "s1"),  # detected de, label en -> mismatch
+        (2, junk, "en", "s1"),  # unknown -> excluded from agreement
+        (3, en, "en", "s2"),  # clean source
+    ]
+    df = spark.createDataFrame(
+        data, "doc_id long, text string, lang string, source string"
+    )
+    rows = {r["source"]: r.asDict() for r in langid_agreement(df).collect()}
+    s1 = rows["s1"]
+    assert (s1["n_docs"], s1["n_detected"], s1["n_match"]) == (3, 2, 1)
+    assert s1["agreement"] == 0.5
+    assert s1["unknown_rate"] == pytest.approx(round(1 / 3, 6))
+    s2 = rows["s2"]
+    assert s2["agreement"] == 1.0 and s2["unknown_rate"] == 0.0
