@@ -6,6 +6,7 @@ conv_stuck_loops, arena_length_bias) runs in test_oracle_parity.py."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _rows(df):
@@ -299,3 +300,72 @@ def test_langid_agreement_hand_computed(spark):
     assert s1["unknown_rate"] == pytest.approx(round(1 / 3, 6))
     s2 = rows["s2"]
     assert s2["agreement"] == 1.0 and s2["unknown_rate"] == 0.0
+
+
+def test_curation_audit_invariants_on_synth(spark):
+    """Structural invariants on a seeded synthetic corpus — the property
+    net under the hand-computed fixtures."""
+    from sparkfeat.conv import echo_stats, stuck_loops, truncate_context
+    from sparkfeat.schema import synth_transcripts
+
+    t = synth_transcripts(
+        spark, n_convs=8, turns_per_conv=[1, 2, 7, 13, 30, 30, 50, 90], seed=5
+    ).cache()
+    n_in = t.count()
+
+    for r in echo_stats(t).collect():
+        assert 0.0 <= r["mean_echo"] <= 1.0
+        assert 0.0 <= r["max_echo"] <= 1.0
+        assert r["mean_echo"] <= r["max_echo"] + 1e-9
+        assert 0 <= r["n_full_echo"] <= r["n_responses"]
+
+    loops = stuck_loops(t).collect()
+    assert sum(r["n_turns"] for r in loops) == n_in
+    for r in loops:
+        assert 1 <= r["max_loop_len"] <= r["n_turns"]
+        assert 0 <= r["n_repeated_turns"] < r["n_turns"] or r["n_turns"] == 0
+        assert r["loop_frac"] <= (r["n_turns"] - 1) / r["n_turns"] + 1e-9
+
+    for budget in (0, 7, 40, 10_000):
+        kept = truncate_context(t, max_tokens=budget)
+        rows = kept.collect()
+        assert len(rows) <= n_in
+        by_conv = {}
+        for r in rows:
+            by_conv.setdefault(r["conv_id"], []).append(r)
+        src_counts = {
+            r["conv_id"]: r["cnt"]
+            for r in t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        for conv, rs in by_conv.items():
+            rs.sort(key=lambda r: r["turn_idx"])
+            tail = [r for r in rs if not r["pinned_head"]]
+            # unpinned survivors fit the budget and form a contiguous tail.
+            n_src = src_counts[conv]
+            if tail:
+                assert all(r["suffix_tokens"] <= budget for r in tail)
+                idxs = [r["turn_idx"] for r in tail]
+                assert idxs == list(range(idxs[0], idxs[0] + len(idxs)))
+                assert idxs[-1] == n_src - 1
+            for r in rs:
+                if r["pinned_head"]:
+                    assert r["turn_idx"] == 0 and r["suffix_tokens"] > budget
+            # every conversation retains its opener (pinned or fitting).
+            assert rs[0]["turn_idx"] == 0
+
+
+def test_corpus_stat_invariants_on_docs(spark, sf_dir):
+    from sparkfeat.text import ngram_diversity, zipf_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for r in ngram_diversity(docs, max_n=3).collect():
+        assert 1 <= r["distinct_grams"] <= r["total_grams"]
+        assert 0.0 < r["distinct_ratio"] <= 1.0
+    for r in zipf_fit(docs, k=50).collect():
+        assert 1 <= r["n_ranks"] <= 50
+        assert r["top_freq"] >= 1
+        if r["zipf_slope"] is not None:
+            # frequency is non-increasing in rank, so the OLS slope of
+            # log f on log rank can never be positive.
+            assert r["zipf_slope"] <= 0.0
+            assert 0.0 <= r["zipf_r2"] <= 1.0
