@@ -156,6 +156,14 @@ BENCH_QUERIES = [
     "corpus_zipf_fit",
     # label-QA: lang-label vs content lang-ID agreement per source
     "corpus_langid_agreement",
+    # serving-cost profile (prefill/peak/quadratic-attention folds over
+    # one conv_id window pass) and the refusal/boilerplate turn screen
+    # (map-only rlike + one map-side-combinable rollup)
+    "conv_context_cost",
+    "conv_pattern_screen",
+    # rephrased-retry near-loop detector (bounded levenshtein + lossless
+    # length prune + gaps-and-islands, one conv_id exchange)
+    "conv_near_loops",
 ]
 
 

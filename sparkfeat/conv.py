@@ -48,6 +48,9 @@ __all__ = [
     "stuck_loops",
     "truncate_context",
     "shared_openers",
+    "pattern_screen",
+    "context_cost",
+    "near_loops",
 ]
 
 #: Field separator / null sentinel for the canonical per-turn string.
@@ -797,4 +800,235 @@ def shared_openers(
             "n_convs",
             "sample_conv",
         )
+    )
+
+
+def pattern_screen(
+    transcripts: DataFrame,
+    patterns: list,
+    role: str = "assistant",
+    max_flag_rate: float = 0.5,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation turn-pattern screen: flag ``role`` turns whose
+    text matches ANY of ``patterns`` (regex, unanchored) and emit the
+    conversation-level keep/drop verdict — the refusal-template /
+    canned-apology / boilerplate-disclaimer filter an SFT-curation
+    pass runs before :func:`sparkfeat.sft.sft_pairs` mines training
+    pairs (a model fine-tuned on over-refusing transcripts learns to
+    over-refuse; a conversation whose assistant turns are mostly
+    template matches carries no signal worth the tokens).
+
+    Output per conversation WITH at least one ``role`` turn:
+    ``n_role_turns``, ``n_flagged``, ``flag_rate`` (6 dp),
+    ``first_flag_turn`` (smallest ``order_col`` among flagged turns,
+    NULL when none) and ``keep`` (int 1/0: flag_rate <=
+    ``max_flag_rate``). Null text never matches. Patterns must stay in
+    the Java-regex ∩ RE2 common dialect (literals, char classes,
+    bounded repeats — no backrefs/lookarounds) so the DuckDB oracle
+    replays them verbatim.
+
+    Scale shape: the flag is a map-only ``rlike`` on a pre-compiled
+    alternation (JVM codegen, fuses into the scan + role pushdown
+    filter); the rollup is ONE map-side-combinable hash(conv_id)
+    aggregate with O(1) state per group — zero exchanges on an Iceberg
+    ``bucket(N, conv_id)`` layout, one otherwise. Heavy-tailed
+    10^7-turn conversations cost the same buffer as 3-turn ones.
+    """
+    if not patterns:
+        raise ValueError("pattern_screen needs at least one pattern")
+    combined = "|".join(f"(?:{p})" for p in patterns)
+    flag = (
+        F.col(text_col).isNotNull() & F.col(text_col).rlike(combined)
+    ).cast("int")
+    base = transcripts.where(F.col(role_col) == role).select(
+        F.col(conv_col), F.col(order_col), flag.alias("_flag")
+    )
+    rate = F.sum("_flag") / F.count(F.lit(1))
+    return base.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_role_turns"),
+        F.sum("_flag").cast("bigint").alias("n_flagged"),
+        (F.round(rate, 6) + F.lit(0.0)).alias("flag_rate"),
+        F.min(F.when(F.col("_flag") == 1, F.col(order_col)))
+        .cast("int")
+        .alias("first_flag_turn"),
+        (rate <= F.lit(float(max_flag_rate))).cast("int").alias("keep"),
+    )
+
+
+def context_cost(
+    transcripts: DataFrame,
+    gen_role: str = "assistant",
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation context-growth / serving-cost profile: at each
+    ``gen_role`` turn the model reprocesses the ENTIRE running
+    transcript, so the cost of a conversation is not its token count
+    but the sum of its prefix sums — the number a packing/batching/
+    budgeting pass needs when deciding which long conversations are
+    worth their training FLOPs (a 2x-longer conversation costs ~4x the
+    prefill).
+
+    Token estimate per turn = single-space split count (the
+    `with_turn_signals` estimator; swap a tokenizer upstream for exact
+    counts), null text = 0. Output per conversation: ``n_turns``,
+    ``n_gen_turns``, ``total_tokens``, ``prefill_tokens`` (sum over
+    gen turns of the inclusive running token total — linear serving
+    cost, 0 when the conversation has no gen turns),
+    ``peak_context`` (largest running total at a gen turn — the
+    context-window high-water mark, NULL when none) and ``attn_cost``
+    (sum over gen turns of running-total^2 — the quadratic-attention
+    proxy; DOUBLE, exact while < 2^53 and immune to the bigint
+    overflow a 10^8-token conversation's square would hit).
+
+    Scale shape: ONE hash(conv_id) exchange feeds the running-sum
+    window and the rollup reuses the same partitioning (zero exchanges
+    on the bucketed/Iceberg table). O(1) state per row and per group —
+    no arrays, no per-conversation materialization.
+    """
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tok = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(F.split(F.col(text_col), " "))
+    )
+    is_gen = F.col(role_col) == gen_role
+    base = transcripts.select(
+        F.col(conv_col),
+        F.col(order_col),
+        tok.alias("_tok"),
+        is_gen.alias("_gen"),
+    ).withColumn("_cum", F.sum("_tok").over(w))
+    # attn term in DOUBLE before the sum: integral doubles < 2^53 are
+    # exact, so the fold is order-independent where bigint would wrap.
+    attn = F.when(
+        F.col("_gen"), F.col("_cum").cast("double") * F.col("_cum")
+    )
+    return base.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum(F.col("_gen").cast("int")).cast("bigint").alias("n_gen_turns"),
+        F.sum("_tok").cast("bigint").alias("total_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("_gen"), F.col("_cum"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("prefill_tokens"),
+        F.max(F.when(F.col("_gen"), F.col("_cum")))
+        .cast("bigint")
+        .alias("peak_context"),
+        (F.round(F.sum(attn), 6) + F.lit(0.0)).alias("attn_cost"),
+    )
+
+
+def near_loops(
+    transcripts: DataFrame,
+    threshold: float = 0.3,
+    prefix: int = 1000,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation NEAR-loop detection: consecutive same-role
+    turns whose normalized edit distance is <= ``threshold`` — the
+    "agent rephrases the same failing attempt" wedge that
+    :func:`stuck_loops`' exact-content detector misses (a retry that
+    changes one argument or one sentence still burns a full context
+    window per iteration and still carries no new signal).
+
+    A pair = a turn and its immediate predecessor where both texts are
+    non-null and the roles match; ``near`` = levenshtein(a, b) /
+    max(len(a), len(b), 1) <= threshold, computed on the first
+    ``prefix`` chars of each text. Output per conversation with >= 1
+    pair: ``n_pairs``, ``n_near``, ``near_frac`` (6 dp) and
+    ``max_near_run`` (longest consecutive near-pair run, 0 = none).
+
+    Scale shape: ONE hash(conv_id) exchange (lag window, islands
+    running sum, and both groupBys all reuse it). Levenshtein is
+    O(prefix^2) per pair worst case, so the cost is bounded by the cap,
+    never by document length — and two LOSSLESS prunes skip the DP
+    entirely for most pairs: lev(a,b) >= |len(a)-len(b)|, so a pair
+    whose length gap already exceeds ``threshold * max_len`` is
+    declared far without computing anything, and identical prefixes
+    short-circuit to 0 via an equality test first. All JVM codegen
+    (`levenshtein` is a built-in on both engines) — no Python in the
+    path.
+    """
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    cur = F.substring(F.col(text_col), 1, prefix)
+    base = transcripts.select(
+        F.col(conv_col),
+        F.col(order_col),
+        F.col(role_col),
+        cur.alias("_cur"),
+    ).select(
+        F.col(conv_col),
+        F.col(order_col),
+        "_cur",
+        F.lag("_cur").over(w).alias("_prev"),
+        (F.col(role_col).eqNullSafe(F.lag(F.col(role_col)).over(w))).alias(
+            "_same_role"
+        ),
+    )
+    comparable = (
+        F.col("_cur").isNotNull()
+        & F.col("_prev").isNotNull()
+        & F.col("_same_role")
+    )
+    max_len = F.greatest(
+        F.length("_cur"), F.length("_prev"), F.lit(1)
+    ).cast("double")
+    len_gap = F.abs(F.length("_cur") - F.length("_prev"))
+    near = F.when(
+        ~comparable, F.lit(0)
+    ).when(
+        # lossless prune: lev >= |len gap|, so a gap past the budget
+        # can never be near — skip the O(prefix^2) DP entirely.
+        len_gap > F.lit(float(threshold)) * max_len,
+        F.lit(0),
+    ).when(
+        F.col("_cur") == F.col("_prev"), F.lit(1)
+    ).otherwise(
+        (
+            F.levenshtein("_cur", "_prev") / max_len
+            <= F.lit(float(threshold))
+        ).cast("int")
+    )
+    flagged = base.select(
+        F.col(conv_col),
+        F.col(order_col),
+        comparable.cast("int").alias("_pair"),
+        near.alias("_near"),
+    )
+    isl = flagged.select(
+        F.col(conv_col),
+        "_pair",
+        "_near",
+        F.sum(1 - F.col("_near"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_isl"),
+    )
+    blocks = isl.groupBy(conv_col, "_isl").agg(
+        F.sum("_pair").alias("_np"),
+        F.sum("_near").alias("_nn"),
+    )
+    return (
+        blocks.groupBy(conv_col)
+        .agg(
+            F.sum("_np").cast("bigint").alias("n_pairs"),
+            F.sum("_nn").cast("bigint").alias("n_near"),
+            (
+                F.round(F.sum("_nn") / F.sum("_np"), 6) + F.lit(0.0)
+            ).alias("near_frac"),
+            F.max("_nn").cast("bigint").alias("max_near_run"),
+        )
+        .where(F.col("n_pairs") > 0)
     )

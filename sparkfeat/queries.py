@@ -8049,6 +8049,154 @@ def q_corpus_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_agreement(_docs(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Conversation serving-cost profile + turn-pattern screen
+# (sparkfeat.conv.context_cost / conv.pattern_screen)
+# ---------------------------------------------------------------------------
+
+_CONTEXT_COST_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+tok AS (
+    SELECT conv_id, turn_idx,
+        CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS gen,
+        CASE WHEN text IS NULL THEN 0
+             ELSE len(string_split(text, ' ')) END AS tok
+    FROM transcripts
+),
+c AS (
+    SELECT conv_id, gen, tok,
+        SUM(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum
+    FROM tok
+)
+SELECT conv_id,
+    CAST(COUNT(*) AS BIGINT) AS n_turns,
+    CAST(SUM(gen) AS BIGINT) AS n_gen_turns,
+    CAST(SUM(tok) AS BIGINT) AS total_tokens,
+    CAST(COALESCE(SUM(CASE WHEN gen = 1 THEN cum END), 0) AS BIGINT)
+        AS prefill_tokens,
+    CAST(MAX(CASE WHEN gen = 1 THEN cum END) AS BIGINT) AS peak_context,
+    ROUND(SUM(CASE WHEN gen = 1
+                   THEN CAST(cum AS DOUBLE) * cum END), 6) AS attn_cost
+FROM c GROUP BY conv_id"""
+
+
+@register("conv_context_cost", _CONTEXT_COST_ORACLE, driver=False)
+def q_conv_context_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-growth / serving-cost profile (sparkfeat.conv.
+    context_cost): per conversation, the linear prefill cost (sum of
+    running token totals at assistant turns), the context high-water
+    mark, and the quadratic-attention proxy — what a packing/budgeting
+    pass charges a conversation before admitting it. The oracle
+    replays the token estimate, the inclusive running sum, and every
+    conditional fold."""
+    from sparkfeat.conv import context_cost
+
+    return context_cost(transcripts_from_events(spark, sf_dir))
+
+
+#: screen driver input: the deterministic transcript derivation pads
+#: text with ``repeat(' extra', event_id % 5)``, so "extra extra extra"
+#: is genuine boilerplate that ~2/5 of assistant turns carry — the
+#: pattern fires with real per-conversation rate variation.
+_PATTERN_SCREEN_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+f AS (
+    SELECT conv_id, turn_idx,
+        CASE WHEN text IS NOT NULL
+              AND regexp_matches(text, '(?:extra extra extra)')
+             THEN 1 ELSE 0 END AS flag
+    FROM transcripts
+    WHERE role = 'assistant'
+)
+SELECT conv_id,
+    CAST(COUNT(*) AS BIGINT) AS n_role_turns,
+    CAST(SUM(flag) AS BIGINT) AS n_flagged,
+    ROUND(SUM(flag) / CAST(COUNT(*) AS DOUBLE), 6) AS flag_rate,
+    CAST(MIN(CASE WHEN flag = 1 THEN turn_idx END) AS INTEGER)
+        AS first_flag_turn,
+    CAST(CASE WHEN SUM(flag) / CAST(COUNT(*) AS DOUBLE) <= 0.5
+              THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM f GROUP BY conv_id"""
+
+
+@register("conv_pattern_screen", _PATTERN_SCREEN_ORACLE, driver=False)
+def q_conv_pattern_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refusal/boilerplate turn-pattern screen (sparkfeat.conv.
+    pattern_screen) over assistant turns, flagging the 3-repeat
+    boilerplate template the deterministic transcripts genuinely carry:
+    per-conversation flag counts, rate, first flagged turn, and the
+    keep verdict at max_flag_rate=0.5. The oracle replays the regex
+    flag and the whole rollup."""
+    from sparkfeat.conv import pattern_screen
+
+    return pattern_screen(
+        transcripts_from_events(spark, sf_dir),
+        patterns=["extra extra extra"],
+        role="assistant",
+        max_flag_rate=0.5,
+    )
+
+
+_NEAR_LOOPS_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+p AS (
+    SELECT conv_id, turn_idx,
+        substring(text, 1, 1000) AS cur,
+        LAG(substring(text, 1, 1000)) OVER w AS prev,
+        (role IS NOT DISTINCT FROM LAG(role) OVER w) AS same_role
+    FROM transcripts
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+f AS (
+    SELECT conv_id, turn_idx,
+        CASE WHEN cur IS NOT NULL AND prev IS NOT NULL AND same_role
+             THEN 1 ELSE 0 END AS pair,
+        CASE WHEN cur IS NULL OR prev IS NULL OR NOT same_role THEN 0
+             WHEN abs(length(cur) - length(prev))
+                  > 0.3 * greatest(length(cur), length(prev), 1) THEN 0
+             WHEN cur = prev THEN 1
+             WHEN levenshtein(cur, prev)
+                  / CAST(greatest(length(cur), length(prev), 1) AS DOUBLE)
+                  <= 0.3 THEN 1
+             ELSE 0 END AS near
+    FROM p
+),
+i AS (
+    SELECT conv_id, pair, near,
+        SUM(1 - near) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS isl
+    FROM f
+),
+b AS (
+    SELECT conv_id, isl, SUM(pair) AS np, SUM(near) AS nn
+    FROM i GROUP BY conv_id, isl
+)
+SELECT conv_id,
+    CAST(SUM(np) AS BIGINT) AS n_pairs,
+    CAST(SUM(nn) AS BIGINT) AS n_near,
+    ROUND(SUM(nn) / CAST(SUM(np) AS DOUBLE), 6) AS near_frac,
+    CAST(MAX(nn) AS BIGINT) AS max_near_run
+FROM b GROUP BY conv_id
+HAVING SUM(np) > 0"""
+
+
+@register("conv_near_loops", _NEAR_LOOPS_ORACLE, driver=False)
+def q_conv_near_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-loop detection (sparkfeat.conv.near_loops): consecutive
+    same-role turns within normalized edit distance 0.3 — the
+    rephrased-retry wedge exact stuck_loops misses. The synthetic
+    transcripts carry genuine near-pairs (same event type, different
+    payload digits) and genuine far-pairs (the boilerplate padding
+    swings lengths past the prune bound). The oracle replays the
+    substring cap, the lossless length prune, the levenshtein ratio,
+    and the gaps-and-islands run algebra."""
+    from sparkfeat.conv import near_loops
+
+    return near_loops(
+        transcripts_from_events(spark, sf_dir), threshold=0.3, prefix=1000
+    )
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -8077,7 +8225,11 @@ def q_corpus_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_incremental_features, arena_rater_kappa, doc_clean_text,
 # corpus_length_batches, conv_role_transitions, corpus_domain_stats,
 # corpus_categorical_drift, turn_drawdown_cumret,
-# corpus_distinctive_terms, arena_fleiss_kappa —
+# corpus_distinctive_terms, arena_fleiss_kappa, conv_echo_stats,
+# conv_stuck_loops, arena_length_bias, conv_truncate_context,
+# conv_shared_openers, corpus_ngram_diversity, corpus_zipf_fit,
+# corpus_langid_agreement, conv_context_cost, conv_pattern_screen,
+# conv_near_loops —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

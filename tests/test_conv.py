@@ -360,3 +360,113 @@ def test_role_transitions_single_exchange(spark, transcripts):
         re.findall(r"Exchange hashpartitioning\(conv_id", plan)
     )
     assert n_conv_ex <= 1, plan
+
+
+# ---------------------------------------------------------------------------
+# pattern_screen / context_cost
+# ---------------------------------------------------------------------------
+
+
+def test_pattern_screen_counts_rate_and_verdict(spark):
+    from sparkfeat.conv import pattern_screen
+
+    rows = [
+        # conv a: 3 assistant turns, 2 flagged (refusal template) -> drop
+        ("a", 0, "user", "please do X", None, _ts(0)),
+        ("a", 1, "assistant", "I cannot help with that", None, _ts(1)),
+        ("a", 2, "assistant", "sure, here is X", None, _ts(2)),
+        ("a", 3, "assistant", "As an AI I must refuse", None, _ts(3)),
+        # conv b: 2 assistant turns, 0 flagged (one null text) -> keep
+        ("b", 0, "assistant", "the answer is 42", None, _ts(0)),
+        ("b", 1, "assistant", None, None, _ts(1)),
+        # conv c: no assistant turns at all -> excluded from the panel
+        ("c", 0, "user", "I cannot help with that", None, _ts(0)),
+    ]
+    out = {
+        r["conv_id"]: r
+        for r in pattern_screen(
+            _df(spark, rows),
+            patterns=["I cannot help", "[Aa]s an AI"],
+            max_flag_rate=0.5,
+        ).collect()
+    }
+    assert set(out) == {"a", "b"}
+    a = out["a"]
+    assert (a["n_role_turns"], a["n_flagged"]) == (3, 2)
+    assert a["flag_rate"] == round(2 / 3, 6)  # 6-dp rounded by design
+    assert a["first_flag_turn"] == 1 and a["keep"] == 0
+    b = out["b"]
+    assert (b["n_role_turns"], b["n_flagged"]) == (2, 0)
+    assert b["flag_rate"] == 0.0
+    assert b["first_flag_turn"] is None and b["keep"] == 1
+
+
+def test_context_cost_prefix_sum_algebra(spark):
+    from sparkfeat.conv import context_cost
+
+    rows = [
+        # conv a: tokens 2,3,1 — assistant at idx 1 (cum 5) and 2 (cum 6)
+        ("a", 0, "user", "a b", None, _ts(0)),
+        ("a", 1, "assistant", "c d e", None, _ts(1)),
+        ("a", 2, "assistant", "f", None, _ts(2)),
+        # conv b: null text (0 tokens) then user only -> no gen turns
+        ("b", 0, "user", None, None, _ts(0)),
+        ("b", 1, "user", "x y z", None, _ts(1)),
+    ]
+    out = {
+        r["conv_id"]: r
+        for r in context_cost(_df(spark, rows)).collect()
+    }
+    a = out["a"]
+    assert (a["n_turns"], a["n_gen_turns"], a["total_tokens"]) == (3, 2, 6)
+    assert a["prefill_tokens"] == 5 + 6
+    assert a["peak_context"] == 6
+    assert a["attn_cost"] == 25.0 + 36.0
+    b = out["b"]
+    assert (b["n_turns"], b["n_gen_turns"], b["total_tokens"]) == (2, 0, 3)
+    assert b["prefill_tokens"] == 0
+    assert b["peak_context"] is None and b["attn_cost"] is None
+
+
+def test_near_loops_flags_rephrased_retries(spark):
+    from sparkfeat.conv import near_loops
+
+    rows = [
+        # conv a: three near-identical assistant retries (1-char edits)
+        # then a completely different turn -> 3 pairs, 2 near, run 2
+        ("a", 0, "assistant", "run the query on table X", None, _ts(0)),
+        ("a", 1, "assistant", "run the query on table Y", None, _ts(1)),
+        ("a", 2, "assistant", "run the query on table Z", None, _ts(2)),
+        ("a", 3, "assistant", "completely unrelated content here!", None, _ts(3)),
+        # conv b: role alternates -> pairs never comparable -> dropped
+        ("b", 0, "user", "same text", None, _ts(0)),
+        ("b", 1, "assistant", "same text", None, _ts(1)),
+        # conv c: exact repeat counts as near (distance 0)
+        ("c", 0, "tool", "grep foo", "search", _ts(0)),
+        ("c", 1, "tool", "grep foo", "search", _ts(1)),
+    ]
+    out = {
+        r["conv_id"]: r
+        for r in near_loops(_df(spark, rows), threshold=0.3).collect()
+    }
+    assert set(out) == {"a", "c"}
+    a = out["a"]
+    assert (a["n_pairs"], a["n_near"], a["max_near_run"]) == (3, 2, 2)
+    assert a["near_frac"] == round(2 / 3, 6)
+    c = out["c"]
+    assert (c["n_pairs"], c["n_near"], c["max_near_run"]) == (1, 1, 1)
+
+
+def test_near_loops_length_prune_is_lossless(spark):
+    """A pair pruned by the |len gap| > thr*max_len shortcut must agree
+    with the unpruned levenshtein verdict (lev >= |len gap| always)."""
+    from sparkfeat.conv import near_loops
+
+    long = "x" * 100
+    rows = [
+        ("a", 0, "assistant", long, None, _ts(0)),
+        ("a", 1, "assistant", long + "y" * 60, None, _ts(1)),  # gap 60 > 0.3*160
+        ("a", 2, "assistant", long + "y" * 60, None, _ts(2)),  # exact repeat
+    ]
+    out = near_loops(_df(spark, rows), threshold=0.3).collect()[0]
+    assert (out["n_pairs"], out["n_near"]) == (2, 1)
