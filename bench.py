@@ -164,6 +164,10 @@ BENCH_QUERIES = [
     # rephrased-retry near-loop detector (bounded levenshtein + lossless
     # length prune + gaps-and-islands, one conv_id exchange)
     "conv_near_loops",
+    # max_seq_len planning table (conv totals x broadcast window lattice)
+    # and the quality-aware dedup representative (argmax-score max_by)
+    "conv_window_fit",
+    "dedup_cluster_keep_best",
 ]
 
 

@@ -51,6 +51,7 @@ __all__ = [
     "pattern_screen",
     "context_cost",
     "near_loops",
+    "window_fit",
 ]
 
 #: Field separator / null sentinel for the canonical per-turn string.
@@ -1031,4 +1032,58 @@ def near_loops(
             F.max("_nn").cast("bigint").alias("max_near_run"),
         )
         .where(F.col("n_pairs") > 0)
+    )
+
+
+def window_fit(
+    transcripts: DataFrame,
+    windows: list,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window fit histogram: for each candidate window size,
+    how much of the corpus survives — the one-table answer to "do we
+    train at 8k, 32k or 128k?". Per window w: ``n_convs``/``n_fit``/
+    ``frac_fit`` (conversations whose TOTAL token estimate fits
+    entirely) and ``tokens_total``/``tokens_kept``/``token_coverage``
+    (corpus tokens retained if every conversation is head-truncated at
+    w tokens — the upper bound any turn-granular truncation like
+    :func:`truncate_context` can keep).
+
+    Token estimate = single-space split count, null text = 0 (the
+    house estimator). Scale shape: ONE map-side-combinable
+    groupBy(conv_id) collapses the corpus to a row per conversation;
+    the window lattice is a broadcast literal crossJoin over that tiny
+    totals table (|windows| copies of one row per conversation — never
+    of turns), then one |windows|-row rollup. No Spark job fires until
+    the caller acts.
+    """
+    if not windows:
+        raise ValueError("window_fit needs at least one window size")
+    tok = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(F.split(F.col(text_col), " "))
+    )
+    totals = transcripts.groupBy(conv_col).agg(
+        F.sum(tok).cast("bigint").alias("_total")
+    )
+    lattice = totals.select(
+        "_total",
+        F.explode(
+            F.array(*[F.lit(int(w)) for w in sorted(set(windows))])
+        ).alias("window"),
+    )
+    fit = (F.col("_total") <= F.col("window")).cast("int")
+    kept = F.least(F.col("_total"), F.col("window").cast("bigint"))
+    return lattice.groupBy("window").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_convs"),
+        F.sum(fit).cast("bigint").alias("n_fit"),
+        (
+            F.round(F.sum(fit) / F.count(F.lit(1)), 6) + F.lit(0.0)
+        ).alias("frac_fit"),
+        F.sum("_total").cast("bigint").alias("tokens_total"),
+        F.sum(kept).cast("bigint").alias("tokens_kept"),
+        (
+            F.round(F.sum(kept) / F.sum("_total"), 6) + F.lit(0.0)
+        ).alias("token_coverage"),
     )

@@ -956,3 +956,64 @@ def semdedup_keeplist(
         n_assign=n_assign,
     )
     return neardup_clusters(emb, pairs, id_col=id_col)
+
+
+def cluster_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware canonical keep-list: like :func:`neardup_clusters`
+    but the kept representative of each duplicate cluster is the doc
+    with the HIGHEST ``score_col`` (ties → smallest id) instead of the
+    smallest id — the "keep the longest / highest-quality copy" rule a
+    production dedup pass actually wants (the min-id pick is
+    deterministic but quality-blind: it happily keeps the truncated
+    crawl of a page and drops the full one).
+
+    Output per doc: ``score_col``, ``cluster_id`` (min reachable id —
+    the stable cluster LABEL stays min-id so cluster identity never
+    depends on the score column), ``cluster_size``, ``rep_id`` (the
+    argmax-score member) and ``keep`` = (doc == rep). Requires a
+    numeric ``id_col`` (the deterministic tie-break negates it).
+
+    Scale shape: identical to ``neardup_clusters`` — component labels
+    from O(log n) large-star/small-star rounds on the (tiny) pair
+    graph, one left join against the label table, and ONE extra
+    aggregate on the cluster key whose state is O(1) per cluster
+    (``max_by`` over a (score, -id) struct — no member lists). Docs
+    never shuffle on text.
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    lab = (
+        docs.select(F.col(id_col), F.col(score_col))
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            id_col,
+            score_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    reps = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max_by(
+            F.col(id_col),
+            F.struct(
+                F.coalesce(
+                    F.col(score_col).cast("double"), F.lit(float("-inf"))
+                ).alias("s"),
+                (-F.col(id_col)).alias("t"),
+            ),
+        ).alias("rep_id"),
+    )
+    return lab.join(reps, "cluster_id").select(
+        id_col,
+        score_col,
+        "cluster_id",
+        "cluster_size",
+        "rep_id",
+        (F.col(id_col) == F.col("rep_id")).alias("keep"),
+    )

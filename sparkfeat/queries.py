@@ -8197,6 +8197,105 @@ def q_conv_near_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINDOW_FIT_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+totals AS (
+    SELECT conv_id,
+        SUM(CASE WHEN text IS NULL THEN 0
+                 ELSE len(string_split(text, ' ')) END) AS total
+    FROM transcripts GROUP BY conv_id
+),
+lat AS (
+    SELECT t.total, w.win
+    FROM totals t CROSS JOIN (VALUES (64), (256), (1024), (4096)) w(win)
+)
+SELECT win AS "window",
+    CAST(COUNT(*) AS BIGINT) AS n_convs,
+    CAST(SUM(CASE WHEN total <= win THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fit,
+    ROUND(SUM(CASE WHEN total <= win THEN 1 ELSE 0 END)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS frac_fit,
+    CAST(SUM(total) AS BIGINT) AS tokens_total,
+    CAST(SUM(LEAST(total, win)) AS BIGINT) AS tokens_kept,
+    ROUND(SUM(LEAST(total, win)) / CAST(SUM(total) AS DOUBLE), 6)
+        AS token_coverage
+FROM lat GROUP BY win"""
+
+
+@register("conv_window_fit", _WINDOW_FIT_ORACLE, driver=False)
+def q_conv_window_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window fit histogram (sparkfeat.conv.window_fit) at
+    64/256/1024/4096 tokens: fraction of conversations fully fitting
+    and corpus-token coverage under head truncation, per candidate
+    window — the max_seq_len planning table. The oracle replays the
+    per-conversation totals, the window lattice, and both coverage
+    folds."""
+    from sparkfeat.conv import window_fit
+
+    return window_fit(
+        transcripts_from_events(spark, sf_dir),
+        windows=[64, 256, 1024, 4096],
+    )
+
+
+def _keep_best_oracle() -> str:
+    """The neardup_clusters closure plus the quality-aware pick:
+    representative = argmax(n_chars), ties broken by smallest id —
+    replayed as a per-cluster ROW_NUMBER window."""
+    return f"""WITH RECURSIVE pairs AS (
+    SELECT id_a, id_b FROM ({_minhash_oracle()}) _mh
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(n, r) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.n
+),
+lab AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+alldocs AS (
+    SELECT d.doc_id, d.n_chars,
+        COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN lab USING (doc_id)
+),
+sizes AS (
+    SELECT cluster_id, COUNT(*) AS cluster_size
+    FROM alldocs GROUP BY cluster_id
+),
+reps AS (
+    SELECT cluster_id, doc_id AS rep_id FROM (
+        SELECT cluster_id, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM alldocs
+    ) WHERE rn = 1
+)
+SELECT a.doc_id, a.n_chars, a.cluster_id, s.cluster_size, r.rep_id,
+       a.doc_id = r.rep_id AS keep
+FROM alldocs a JOIN sizes s USING (cluster_id)
+JOIN reps r USING (cluster_id)"""
+
+
+@register("dedup_cluster_keep_best", _keep_best_oracle(), driver=False)
+def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical keep-list (sparkfeat.dedup.
+    cluster_keep_best) over the MinHash near-dup clusters: keep the
+    LONGEST doc (n_chars, ties -> smallest id) per duplicate cluster
+    instead of the min-id pick — the rule that keeps the full crawl of
+    a page over its truncated copy. Cluster labels stay min-id so
+    cluster identity is score-independent. The oracle extends the
+    recursive-CTE closure with the same argmax window."""
+    from sparkfeat.dedup import cluster_keep_best, minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, num_perm=64, bands=16, shingle_n=2).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    return cluster_keep_best(docs, pairs, score_col="n_chars")
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -8229,7 +8328,7 @@ def q_conv_near_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # conv_stuck_loops, arena_length_bias, conv_truncate_context,
 # conv_shared_openers, corpus_ngram_diversity, corpus_zipf_fit,
 # corpus_langid_agreement, conv_context_cost, conv_pattern_screen,
-# conv_near_loops —
+# conv_near_loops, conv_window_fit, dedup_cluster_keep_best —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

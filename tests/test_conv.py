@@ -470,3 +470,32 @@ def test_near_loops_length_prune_is_lossless(spark):
     ]
     out = near_loops(_df(spark, rows), threshold=0.3).collect()[0]
     assert (out["n_pairs"], out["n_near"]) == (2, 1)
+
+
+def test_window_fit_hand_computed(spark):
+    from sparkfeat.conv import window_fit
+
+    rows = [
+        # conv a: totals 2 + 3 = 5 tokens; conv b: 10 tokens; conv c:
+        # null text only -> 0 tokens (always fits)
+        ("a", 0, "user", "t u", None, _ts(0)),
+        ("a", 1, "assistant", "v w x", None, _ts(1)),
+        ("b", 0, "user", "a b c d e f g h i j", None, _ts(0)),
+        ("c", 0, "user", None, None, _ts(0)),
+    ]
+    out = {
+        r["window"]: r
+        for r in window_fit(_df(spark, rows), windows=[4, 8, 16]).collect()
+    }
+    assert set(out) == {4, 8, 16}
+    w4 = out[4]
+    assert (w4["n_convs"], w4["n_fit"]) == (3, 1)  # only c fits at 4
+    assert w4["tokens_total"] == 15
+    assert w4["tokens_kept"] == 4 + 4 + 0  # a,b truncated to 4
+    assert w4["token_coverage"] == round(8 / 15, 6)
+    w8 = out[8]
+    assert w8["n_fit"] == 2  # a (5) and c (0)
+    assert w8["tokens_kept"] == 5 + 8 + 0
+    w16 = out[16]
+    assert (w16["n_fit"], w16["tokens_kept"]) == (3, 15)
+    assert w16["frac_fit"] == 1.0 and w16["token_coverage"] == 1.0
