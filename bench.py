@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     # and the quality-aware dedup representative (argmax-score max_by)
     "conv_window_fit",
     "dedup_cluster_keep_best",
+    # tokenizer fertility audit: train + one-scan encode + per-source fold
+    "bpe_fertility",
 ]
 
 

@@ -157,6 +157,7 @@ def bpe_encode(
     merges: list[tuple[str, str]] | list[tuple[str, str, int]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Apply a learned merge table to the corpus — the ENCODE half of
     the tokenizer (the artifact :func:`train_bpe` ships). Emits
@@ -218,5 +219,74 @@ def bpe_encode(
         return pd.Series(res)
 
     return docs.select(
-        F.col(id_col), enc(F.col(text_col)).alias("bpe_tokens")
+        F.col(id_col),
+        *[F.col(c) for c in passthrough],
+        enc(F.col(text_col)).alias("bpe_tokens"),
     ).withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("bigint"))
+
+
+def fertility_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer fertility audit per ``group_col``: how well the learned
+    merge table compresses each slice of the corpus — ``fertility``
+    (BPE tokens per whitespace word; 1.0 = every word is one token,
+    high values mean the tokenizer fragments this slice) and
+    ``chars_per_token`` (the compression ratio that converts a byte
+    budget into a token budget). The per-source table is what a
+    mixture-weighting pass reads before trusting token counts: a source
+    the tokenizer fragments 2x pays 2x the context window for the same
+    text.
+
+    Output per group: ``n_docs``, ``n_words``, ``n_bpe_tokens``,
+    ``n_chars``, ``fertility`` (6 dp, NULL when the group has no
+    words), ``chars_per_token`` (6 dp, NULL when no tokens). Word =
+    the encoder's own whitespace split; null text = 0 words/chars.
+
+    Scale shape: ONE corpus scan (the encode UDF and the word/char
+    expressions share the same projection via ``passthrough``), then
+    one map-side-combinable groupBy on the tiny group key. No joins.
+    """
+    enc = bpe_encode(
+        docs,
+        merges,
+        text_col=text_col,
+        id_col=id_col,
+        passthrough=(group_col, text_col),
+    )
+    words = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        )
+    )
+    chars = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.length(text_col)
+    )
+    base = enc.select(
+        F.col(group_col),
+        words.alias("_w"),
+        chars.alias("_c"),
+        "n_bpe_tokens",
+    )
+    nz = lambda c: F.when(c > 0, c)  # noqa: E731 — NULLIF(x, 0)
+    return base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_w").cast("bigint").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.sum("_c").cast("bigint").alias("n_chars"),
+        (
+            F.round(F.sum("n_bpe_tokens") / nz(F.sum("_w")), 6)
+            + F.lit(0.0)
+        ).alias("fertility"),
+        (
+            F.round(F.sum("_c") / nz(F.sum("n_bpe_tokens")), 6)
+            + F.lit(0.0)
+        ).alias("chars_per_token"),
+    )

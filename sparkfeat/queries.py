@@ -8296,6 +8296,49 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_keep_best(docs, pairs, score_col="n_chars")
 
 
+def _fertility_oracle(n_merges: int = 6) -> str:
+    """Wrap the full encode oracle (merge table derived IN SQL, applied
+    in training order) and roll it up per source with the encoder's own
+    whitespace word count — fertility AND compression are hash-checked
+    on top of an already-verified encode."""
+    return f"""SELECT d.source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(d.words) AS BIGINT) AS n_words,
+    CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+    CAST(SUM(d.chars) AS BIGINT) AS n_chars,
+    ROUND(SUM(e.n_bpe_tokens)
+          / CAST(NULLIF(SUM(d.words), 0) AS DOUBLE), 6) AS fertility,
+    ROUND(SUM(d.chars)
+          / CAST(NULLIF(SUM(e.n_bpe_tokens), 0) AS DOUBLE), 6)
+        AS chars_per_token
+FROM ({_bpe_encode_oracle(n_merges)}) e
+JOIN (
+    SELECT doc_id, source,
+        CASE WHEN text IS NULL THEN 0
+             ELSE len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) END AS words,
+        CASE WHEN text IS NULL THEN 0 ELSE length(text) END AS chars
+    FROM documents
+) d USING (doc_id)
+GROUP BY d.source"""
+
+
+@register("bpe_fertility", _fertility_oracle(), driver=False)
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit (sparkfeat.bpe.fertility_stats): train
+    6 merges, encode the corpus in the SAME single scan (passthrough
+    projection, no join), and report BPE-tokens-per-word and
+    chars-per-token per source — the table that converts byte budgets
+    into token budgets and flags slices the tokenizer fragments. The
+    oracle derives the merge table in SQL, replays the encode, and
+    hash-checks the per-source folds."""
+    from sparkfeat.bpe import fertility_stats, train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, n_merges=6)
+    return fertility_stats(docs, merges)
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -8328,7 +8371,8 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # conv_stuck_loops, arena_length_bias, conv_truncate_context,
 # conv_shared_openers, corpus_ngram_diversity, corpus_zipf_fit,
 # corpus_langid_agreement, conv_context_cost, conv_pattern_screen,
-# conv_near_loops, conv_window_fit, dedup_cluster_keep_best —
+# conv_near_loops, conv_window_fit, dedup_cluster_keep_best,
+# bpe_fertility —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

@@ -144,3 +144,44 @@ def test_bpe_encode_edge_cases(spark):
     assert rows[0].bpe_tokens == ["ab", "</w>", "ab", "</w>"]
     assert rows[1].bpe_tokens == [] and rows[1].n_bpe_tokens == 0
     assert rows[2].bpe_tokens == [] and rows[2].n_bpe_tokens == 0
+
+
+def test_fertility_stats_hand_computed(spark):
+    """No merges: every word of length L costs L+1 syms (chars + EOW);
+    one merge changes the token count; nulls cost nothing."""
+    from sparkfeat.bpe import EOW, fertility_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "ab c", "s1"),      # words 2, chars 4; no-merge toks (2+1)+(1+1)=5
+            (1, None, "s1"),        # 0 everywhere
+            (2, "ab ab", "s2"),     # words 2, chars 5; no-merge toks 6
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.source: r for r in fertility_stats(docs, merges=[]).collect()
+    }
+    s1 = out["s1"]
+    assert (s1.n_docs, s1.n_words, s1.n_bpe_tokens, s1.n_chars) == (2, 2, 5, 4)
+    assert s1.fertility == 2.5 and s1.chars_per_token == 0.8
+    s2 = out["s2"]
+    assert (s2.n_words, s2.n_bpe_tokens) == (2, 6)
+    # one merge (a,b) -> "ab" becomes ["ab", EOW]: s2 toks drop 6 -> 4
+    out2 = {
+        r.source: r
+        for r in fertility_stats(docs, merges=[("a", "b")]).collect()
+    }
+    assert out2["s2"].n_bpe_tokens == 4
+    assert out2["s2"].fertility == 2.0
+
+
+def test_fertility_all_null_group_has_null_ratios(spark):
+    from sparkfeat.bpe import fertility_stats
+
+    docs = spark.createDataFrame(
+        [(0, None, "empty")], "doc_id long, text string, source string"
+    )
+    row = fertility_stats(docs, merges=[]).collect()[0]
+    assert (row.n_words, row.n_bpe_tokens, row.n_chars) == (0, 0, 0)
+    assert row.fertility is None and row.chars_per_token is None
