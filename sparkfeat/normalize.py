@@ -136,6 +136,86 @@ def inverse_scaler(
     return joined.withColumn(out_col, e).drop(*stat_cols)
 
 
+#: Φ⁻¹(0.75) — the consistency constant that makes MAD estimate σ for
+#: normal data; 0.6745·(x − median)/MAD is the "modified z-score" of
+#: Iglewicz & Hoaglin (1993), the robust outlier screen whose breakdown
+#: point (50%) survives the heavy-tailed value distributions that wreck
+#: mean/σ z-scores on web-scale corpora (one 10⁷-char boilerplate doc
+#: drags a mean; it cannot drag a median).
+MAD_CONSISTENCY = 0.6744897501960817
+
+
+def fit_mad(
+    df: DataFrame, value_col: str, entity_col: str | None = "conv_id"
+) -> DataFrame:
+    """MAD fit artifact: one ``(n, med, mad)`` row per entity (or one
+    global row) — the robust dispersion companion of :func:`fit_stats`
+    (whose 'robust' scaler centers on the median but scales by IQR;
+    MAD's 50% breakdown point beats IQR's 25%).
+
+    Two exact-percentile passes — median first, then the median of
+    absolute deviations FROM that median (MAD is a nested statistic; no
+    single groupBy can express it): the tiny per-entity median table
+    broadcast-joins back onto the values, so the value table shuffles
+    on the entity key at most twice and nothing ever collects. Exact
+    ``percentile`` (linear interpolation ≡ DuckDB ``quantile_cont``,
+    the house parity convention for fit artifacts — classify.fit_bins'
+    GK-sketch ``method='approx'`` is the documented escape hatch if a
+    single entity's turn count ever makes exact unaffordable)."""
+    v = F.col(value_col)
+    if entity_col is None:
+        med = df.agg(F.percentile(v, F.lit(0.5)).alias("med"))
+        joined = df.crossJoin(F.broadcast(med))
+        return joined.agg(
+            F.count(v).alias("n"),
+            F.min("med").alias("med"),
+            F.percentile(F.abs(v - F.col("med")), F.lit(0.5)).alias("mad"),
+        )
+    med = df.groupBy(entity_col).agg(F.percentile(v, F.lit(0.5)).alias("med"))
+    joined = df.join(F.broadcast(med), entity_col)
+    return joined.groupBy(entity_col).agg(
+        F.count(v).alias("n"),
+        F.min("med").alias("med"),
+        F.percentile(F.abs(v - F.col("med")), F.lit(0.5)).alias("mad"),
+    )
+
+
+def apply_mad_z(
+    df: DataFrame,
+    stats: DataFrame,
+    value_col: str,
+    z_col: str = "mad_z",
+    flag_col: str = "is_outlier",
+    entity_col: str | None = "conv_id",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Modified z-score + outlier flag from a :func:`fit_mad` artifact:
+    z = 0.6745·(v − med)/MAD, flag = |z| > 3.5 (the Iglewicz–Hoaglin
+    recommendation). Same broadcast-join fit/apply split as
+    :func:`apply_scaler` — the artifact persists, the serve path is
+    zero-leakage, unseen entities pass through with null z (LEFT join).
+    Constant series (MAD = 0) yield null, the house zero-scale
+    convention; the flag is computed on the UNROUNDED z so both engines
+    compare the same double."""
+    joined = (
+        df.join(F.broadcast(stats), on=entity_col, how="left")
+        if entity_col
+        else df.crossJoin(F.broadcast(stats))
+    )
+    v = F.col(value_col)
+    z = (
+        F.lit(MAD_CONSISTENCY)
+        * (v - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0))
+    )
+    stat_cols = [c for c in stats.columns if c != entity_col]
+    return (
+        joined.withColumn(z_col, z)
+        .withColumn(flag_col, F.abs(F.col(z_col)) > F.lit(threshold))
+        .drop(*stat_cols)
+    )
+
+
 def fit_quantile_grid(
     df: DataFrame,
     value_col: str,

@@ -8339,6 +8339,127 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fertility_stats(docs, merges)
 
 
+# ---------------------------------------------------------------------------
+# Rolling autocorrelation (sparkfeat.transforms.rolling_autocorr)
+# ---------------------------------------------------------------------------
+
+
+def _autocorr_oracle(
+    window: int = 8, min_periods: int = 3, lags: tuple[int, ...] = (1, 2)
+) -> str:
+    moments, sel = [], []
+    for k in lags:
+        c = f"y IS NOT NULL AND y{k} IS NOT NULL"
+        moments.append(f"""
+    CAST(COUNT(CASE WHEN {c} THEN 1 END) OVER w AS DOUBLE) AS n{k},
+    SUM(CASE WHEN {c} THEN y END) OVER w AS sx{k},
+    SUM(CASE WHEN {c} THEN y{k} END) OVER w AS sy{k},
+    SUM(CASE WHEN {c} THEN y * y END) OVER w AS sxx{k},
+    SUM(CASE WHEN {c} THEN y{k} * y{k} END) OVER w AS syy{k},
+    SUM(CASE WHEN {c} THEN y * y{k} END) OVER w AS sxy{k}""")
+        sel.append(f"""ROUND(CASE WHEN n{k} >= {min_periods}
+              AND (n{k} * sxx{k} - sx{k} * sx{k}) > 0
+              AND (n{k} * syy{k} - sy{k} * sy{k}) > 0
+        THEN (n{k} * sxy{k} - sx{k} * sy{k})
+             / SQRT((n{k} * sxx{k} - sx{k} * sx{k})
+                    * (n{k} * syy{k} - sy{k} * sy{k})) END, 6)
+      AS acf{k}""")
+    lag_cols = ", ".join(f"LAG(y, {k}) OVER pw AS y{k}" for k in lags)
+    return f"""WITH {TRANSCRIPTS_CTE},
+s AS (
+  SELECT conv_id, turn_idx, ts, CAST(LENGTH(text) AS DOUBLE) AS y
+  FROM transcripts
+),
+l AS (
+  SELECT conv_id, turn_idx, ts, y, {lag_cols}
+  FROM s
+  WINDOW pw AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+m AS (
+  SELECT conv_id, turn_idx,{",".join(moments)}
+  FROM l
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+               ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT conv_id, turn_idx, {", ".join(sel)}
+FROM m"""
+
+
+@register("turn_autocorr", _autocorr_oracle(), driver=False)
+def q_turn_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling lag-1/lag-2 autocorrelation of text_len over the
+    trailing 8 turns (sparkfeat.transforms.rolling_autocorr) — the
+    serial-dependence member of the closed-form window-stat family
+    (Box–Jenkins ACF restricted to a trailing frame): lag() feeds the
+    six rolling_corr sums on the SAME single conv_id exchange, zero
+    UDFs, trailing-only = leakage-free. Integer signal keeps every sum
+    exact in doubles and sqrt is IEEE-exact, so the oracle's identical
+    normal-form arithmetic hash-matches at 6 dp."""
+    t = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        _r(T.rolling_autocorr("text_len", 1, 8)).alias("acf1"),
+        _r(T.rolling_autocorr("text_len", 2, 8)).alias("acf2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD robust scaler / modified z-score outliers (sparkfeat.normalize)
+# ---------------------------------------------------------------------------
+
+
+def _mad_oracle(threshold: float = 3.5) -> str:
+    from sparkfeat.normalize import MAD_CONSISTENCY
+
+    return f"""WITH {TRANSCRIPTS_CTE},
+s AS (
+  SELECT conv_id, turn_idx, CAST(LENGTH(text) AS DOUBLE) AS y
+  FROM transcripts
+),
+m1 AS (SELECT conv_id, quantile_cont(y, 0.5) AS med FROM s GROUP BY conv_id),
+m2 AS (
+  SELECT s.conv_id, quantile_cont(ABS(y - med), 0.5) AS mad
+  FROM s JOIN m1 USING (conv_id) GROUP BY s.conv_id
+),
+z AS (
+  SELECT s.conv_id, s.turn_idx,
+    {MAD_CONSISTENCY!r} * (y - med) / NULLIF(mad, 0.0) AS zraw
+  FROM s JOIN m1 USING (conv_id) JOIN m2 USING (conv_id)
+)
+SELECT conv_id, turn_idx, ROUND(zraw, 6) AS mad_z,
+  ABS(zraw) > {threshold!r} AS is_outlier
+FROM z"""
+
+
+@register("mad_outliers", _mad_oracle(), driver=False)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation modified z-score + Iglewicz–Hoaglin outlier
+    flag on text_len (sparkfeat.normalize.fit_mad / apply_mad_z) — the
+    50%-breakdown robust outlier screen the N1 scaler family stops
+    short of (robust scales by IQR; MAD survives up to half the values
+    being garbage — the right default for heavy-tailed web text). Two
+    exact-percentile passes fit the (med, MAD) artifact, a broadcast
+    LEFT join applies it; the flag compares the UNROUNDED z on both
+    engines so the hash verifies the screen itself, threshold
+    included."""
+    from sparkfeat.normalize import apply_mad_z, fit_mad
+
+    t = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    sig = t.select(
+        "conv_id",
+        "turn_idx",
+        F.col("text_len").cast("double").alias("y"),
+    )
+    out = apply_mad_z(sig, fit_mad(sig, "y"), "y")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        _r(F.col("mad_z")).alias("mad_z"),
+        "is_outlier",
+    )
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,

@@ -555,6 +555,40 @@ def rolling_corr(
     )
 
 
+def rolling_autocorr(
+    v: str | Column,
+    lag: int,
+    window: int,
+    min_periods: int = 3,
+    entity_col: str = "conv_id",
+) -> Column:
+    """Rolling lag-k autocorrelation of a per-turn signal over the
+    trailing ``window`` turns — the serial-dependence member of the
+    closed-form window-stat family ("does this conversation's signal
+    echo itself k turns later right now?"): the ACF restricted to a
+    trailing frame so it stays point-in-time. The reference's transform
+    family (SURVEY.md §2 T1–T11) has level (T1), per-step change
+    (T2/T3), dispersion (T4) and trend-efficiency (T7) but no serial-
+    correlation member — this is the standard next column of a
+    time-series feature block (Box–Jenkins ACF, windowed).
+
+    Pure composition of the two existing closed-form pieces: the
+    lagged copy comes from ``lag()`` over the SAME ``(conv_id |
+    ts, turn_idx)`` partitioning every other transform uses, the
+    correlation from :func:`rolling_corr`'s six trailing-window sums —
+    zero UDFs, zero extra exchanges (plan-asserted in
+    tests/test_trend.py), trailing-only frame = leakage-free by
+    construction. The first ``lag`` turns of a conversation have a
+    null lagged copy and drop from all six moments (the
+    pairwise-complete convention), so windows need ``min_periods``
+    complete (y_t, y_{t-lag}) pairs before emitting a value."""
+    c = value(v)
+    prev = F.lag(c, lag).over(w_entity(entity_col))
+    return rolling_corr(
+        c, prev, window=window, min_periods=min_periods, entity_col=entity_col
+    )
+
+
 def running_drawdown(
     v: str | Column, entity_col: str = "conv_id"
 ) -> Column:

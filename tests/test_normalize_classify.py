@@ -57,6 +57,55 @@ def test_scaler_parity(sig, sig_pdf, method):
     np.testing.assert_allclose(got[mask], want[mask], rtol=1e-12)
 
 
+def test_mad_z_parity(sig, sig_pdf):
+    """fit_mad/apply_mad_z == the numpy modified z-score
+    (0.6745·(x − median)/median(|x − median|), Iglewicz–Hoaglin) per
+    conversation, and the flag fires exactly where |z| > 3.5."""
+    from sparkfeat.normalize import MAD_CONSISTENCY, apply_mad_z, fit_mad
+
+    out = (
+        apply_mad_z(sig, fit_mad(sig, "text_len"), "text_len")
+        .select("conv_id", "turn_idx", "mad_z", "is_outlier")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    def oracle(s: pd.Series) -> pd.Series:
+        med = np.median(s.to_numpy())
+        mad = np.median(np.abs(s.to_numpy() - med))
+        if mad == 0:
+            return pd.Series(np.nan, index=s.index)
+        return MAD_CONSISTENCY * (s - med) / mad
+
+    want = sig_pdf.groupby("conv_id")["text_len"].transform(oracle).to_numpy()
+    got = out["mad_z"].to_numpy(dtype="float64")
+    mask = ~np.isnan(want)
+    np.testing.assert_allclose(got[mask], want[mask], rtol=1e-12)
+    assert not np.isnan(want).any() or np.isnan(got[np.isnan(want)]).all()
+    flag = out["is_outlier"].to_numpy()
+    np.testing.assert_array_equal(
+        flag[mask].astype(bool), np.abs(want[mask]) > 3.5
+    )
+
+
+def test_mad_zero_scale_and_unseen_entity(spark):
+    """Constant series → MAD 0 → null z (house zero-scale convention);
+    an entity absent from the fit passes through with null z (LEFT
+    join), never silently dropped."""
+    from sparkfeat.normalize import apply_mad_z, fit_mad
+
+    df = spark.createDataFrame(
+        [("a", i, 5.0) for i in range(4)] + [("b", 0, 1.0), ("b", 1, 9.0)],
+        "conv_id string, turn_idx int, v double",
+    )
+    stats = fit_mad(df.filter(F.col("conv_id") == "a"), "v")
+    out = apply_mad_z(df, stats, "v").toPandas()
+    assert len(out) == 6  # row-preserving
+    assert out[out.conv_id == "a"]["mad_z"].isna().all()  # MAD 0 → null
+    assert out[out.conv_id == "b"]["mad_z"].isna().all()  # unseen → null
+
+
 def test_scaler_invariants(sig):
     stats = fit_stats(sig, "text_len")
     out = apply_scaler(sig, stats, "text_len", "standard")

@@ -123,6 +123,59 @@ def test_rolling_corr_matches_pandas(spark):
             assert got[i] == pytest.approx(w, abs=2e-6), i
 
 
+def test_rolling_autocorr_matches_pandas(spark):
+    """rolling_autocorr(lag=k) == pandas rolling corr against the
+    k-shifted series (the textbook windowed ACF), incl. the null head
+    each conversation gets from the lag."""
+    import pandas as pd
+
+    from sparkfeat.transforms import rolling_autocorr
+
+    rng = np.random.default_rng(11)
+    n = 50
+    # AR(1)-ish signal so the ACF is meaningfully nonzero
+    ys = [50.0]
+    for _ in range(n - 1):
+        ys.append(float(np.round(0.8 * ys[-1] + rng.uniform(0, 20))))
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", i, ys[i], t0 + dt.timedelta(minutes=i)) for i in range(n)],
+        "conv_id string, turn_idx int, y double, ts timestamp",
+    )
+    for lag in (1, 2):
+        got = {
+            r["turn_idx"]: r["c"]
+            for r in df.select(
+                "turn_idx",
+                F.round(rolling_autocorr("y", lag, 8), 6).alias("c"),
+            ).collect()
+        }
+        s = pd.Series(ys)
+        want = s.rolling(8, min_periods=3).corr(s.shift(lag))
+        for i in range(n):
+            w = want.iloc[i]
+            if pd.isna(w) or got[i] is None:
+                assert pd.isna(w) and got[i] is None, (lag, i)
+            else:
+                assert got[i] == pytest.approx(w, abs=2e-6), (lag, i)
+
+
+def test_rolling_autocorr_perfect_on_linear(spark):
+    """A strictly linear signal has lag-k autocorrelation exactly 1."""
+    from sparkfeat.transforms import rolling_autocorr
+
+    df = _df(spark, [2.0 * i + 1 for i in range(12)])
+    got = {
+        r["turn_idx"]: r["c"]
+        for r in df.select(
+            "turn_idx", F.round(rolling_autocorr("y", 1, 6), 6).alias("c")
+        ).collect()
+    }
+    assert got[0] is None and got[1] is None and got[2] is None
+    for i in range(3, 12):
+        assert got[i] == pytest.approx(1.0, abs=1e-9), i
+
+
 def test_rolling_corr_sign_and_degenerate(spark):
     from sparkfeat.transforms import rolling_corr
 
