@@ -170,6 +170,19 @@ BENCH_QUERIES = [
     "dedup_cluster_keep_best",
     # tokenizer fertility audit: train + one-scan encode + per-source fold
     "bpe_fertility",
+    # winnowing (MOSS) fingerprints: char-gram explode + packed
+    # rightmost-min window selection in ONE doc_id exchange, and the
+    # df-capped partial-overlap pair join
+    "doc_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    # ragged-panel rater agreement (lcm-exact coincidence fold)
+    "arena_krippendorff_alpha",
+    # asymmetric containment near-dup (probe-prefix x host-all postings)
+    "dedup_containment_pairs",
+    # binning-free KS drift: distinct-value collapse before the window
+    "feature_drift_ks",
+    # probe rank quality: Mann-Whitney fold over distinct scores
+    "probe_rank_auc",
 ]
 
 

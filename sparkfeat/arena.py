@@ -463,6 +463,98 @@ def fleiss_kappa(
     )
 
 
+def krippendorff_alpha(
+    judgments: DataFrame,
+    max_raters: int = 8,
+    item_col: str = "item_id",
+    rater_col: str = "rater_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Krippendorff's alpha, nominal data (Krippendorff, *Content
+    Analysis*, 2004) — the missing-data-robust member of the agreement
+    family: :func:`rater_agreement` (Cohen) audits rater PAIRS,
+    :func:`fleiss_kappa` needs a FIXED full panel per item and drops
+    every partially-covered item, while alpha uses every item with ≥2
+    judgments whatever subset of raters produced them — the realistic
+    shape of a labeling queue (Fleiss' exact-m gate discards 38% of the
+    synthetic 85%-coverage stream; alpha keeps all pairable items).
+
+    Coincidence-matrix form, nominal metric: with n_ic = count of label
+    c on item i, n_i = Σ_c n_ic over pairable items (n_i ≥ 2),
+    A_o = Σ_i Σ_c n_ic(n_ic−1)/(n_i−1), n = Σ n_i, n_c = label
+    marginals: α = 1 − (n − A_o)(n − 1)/(n² − Σ_c n_c²).
+
+    Engine-exact arithmetic: the per-item 1/(n_i−1) weights make a
+    naive double fold ORDER-DEPENDENT (doubles don't associate; the
+    shuffle order differs between engines), so A_o is scaled by
+    L = lcm(1..max_raters−1): t_i·(L div (n_i−1)) is an exact BIGINT
+    for every panel size, the fold is an integer SUM, and alpha is ONE
+    quotient of exact integers — bit-identical in any engine (the
+    Fleiss round-before-solve convention, strengthened to fully
+    integer). Items with more than ``max_raters`` judgments are
+    excluded (L would stop dividing evenly; raise the parameter for
+    bigger panels — lcm(1..12) is only 27720). The two n-scale
+    products stay inside bigint up to ~10⁹ judgments; beyond that cast
+    the final numerator/denominator to DECIMAL(38,0).
+
+    Scale shape: ONE groupBy(item, label) count (map-side combinable),
+    an items-sized fold, then label-sized aggregates and one-row
+    broadcast crossJoins — the Fleiss plan with the exact-m gate
+    replaced by the pairable gate. Output: one row per label
+    (``label``, ``n_label`` coincidence marginal) with panel constants
+    (``n_items``, ``n_judgments``, ``d_o``, ``d_e``, ``alpha``) riding
+    every row so the value hash verifies the solve itself."""
+    from math import lcm
+
+    L = lcm(*range(1, max_raters)) if max_raters > 2 else 1
+    j = judgments.filter(F.col(label_col).isNotNull()).select(
+        F.col(item_col).alias("_it"),
+        F.col(label_col).cast("string").alias("_l"),
+    )
+    il = j.groupBy("_it", "_l").agg(F.count(F.lit(1)).alias("nic"))
+    pi = il.groupBy("_it").agg(
+        F.sum("nic").alias("ni"),
+        F.sum(F.col("nic") * (F.col("nic") - 1)).alias("ti"),
+    )
+    pair = pi.filter((F.col("ni") >= 2) & (F.col("ni") <= max_raters))
+    ao = pair.agg(
+        F.sum("ni").alias("_n"),
+        F.sum(F.col("ti") * F.expr(f"{L} div (ni - 1)")).alias("_aol"),
+        F.count(F.lit(1)).alias("_n_items"),
+    )
+    nc = (
+        il.join(pair.select("_it"), "_it")
+        .groupBy("_l")
+        .agg(F.sum("nic").alias("n_label"))
+    )
+    sq = nc.agg(F.sum(F.col("n_label") * F.col("n_label")).alias("_snc2"))
+    n, aol = F.col("_n"), F.col("_aol")
+    snc2 = F.col("_snc2")
+    de_num = n * n - snc2
+    do_l = n * F.lit(L) - aol  # n·L − A_o·L = L·(observed disagreements)
+    return (
+        nc.crossJoin(F.broadcast(ao))
+        .crossJoin(F.broadcast(sq))
+        .select(
+            F.col("_l").alias("label"),
+            F.col("n_label").cast("bigint").alias("n_label"),
+            F.col("_n_items").cast("bigint").alias("n_items"),
+            n.cast("bigint").alias("n_judgments"),
+            F.round(do_l.cast("double") / (n * F.lit(L)), 6).alias("d_o"),
+            F.round(de_num.cast("double") / (n * (n - 1)), 6).alias("d_e"),
+            F.when(
+                de_num > 0,
+                F.round(
+                    F.lit(1.0)
+                    - (do_l * (n - 1)).cast("double")
+                    / (de_num * F.lit(L)).cast("double"),
+                    6,
+                ),
+            ).alias("alpha"),
+        )
+    )
+
+
 def length_bias(
     judgments: DataFrame,
     winner_len_col: str = "winner_len",

@@ -213,6 +213,110 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_cols: tuple[str, ...] = ("lang",),
+    threshold: float = 0.95,
+    min_tokens: int = 30,
+    common_vocab: int = 65536,
+    vocab_ranks: DataFrame | None = None,
+) -> DataFrame:
+    """DIRECTIONAL near-dup pairs by token-set containment
+    C(probe→host) = |probe ∩ host| / |probe| ≥ threshold — the
+    asymmetric complement of :func:`jaccard_pairs`: a short document
+    quoted or embedded inside a long one has Jaccard ≈ |A|/|B| → 0 but
+    containment ≈ 1, so symmetric near-dup misses exactly the
+    subset-duplication (quoted replies, article + commentary, prefix
+    crawls) this operator exists for. **Lossless** within bands above
+    the ``min_tokens`` probe floor: equals the brute-force ordered
+    join (the floor is principled — containment of a 3-token set is
+    noise, the standard containment-join guard).
+
+    Candidate generation is the PPJoin prefix filter adapted to the
+    asymmetric predicate: C(A→B) ≥ t needs |A∩B| ≥ ⌈t·|A|⌉, and A has
+    only ⌈t|A|⌉ − 1 tokens OUTSIDE its rarest-first prefix of length
+    |A| − ⌈t|A|⌉ + 1, so some witness token lies in the prefix — but
+    B is unconstrained (any superset qualifies), so the INDEX side
+    must post ALL its tokens: the join is probe-prefix × host-all.
+    No size-ratio prune applies (that's the symmetric identity).
+    Hot-token postings on the host side are the skew hazard; the
+    rarest-first prefix means probe keys are mostly rare tokens
+    (short postings), and a probe prefix contains a stopword only
+    when the probe is nearly all stopwords — AQE skew-join splits
+    what remains. Verify is exact (array_intersect on the candidate
+    pairs only). Output: one row per PASSING DIRECTION —
+    ``(probe_id, host_id, n_probe, n_common, containment)``; a
+    mutual-containment pair yields two rows, which is the information
+    a dedup policy needs (cut the probe, keep the host)."""
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    keys = [f"_b_{c}" for c in band_cols]
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            *[F.col(c).alias(f"_b_{c}") for c in band_cols],
+            toks.alias("_toks"),
+        )
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") >= min_tokens)
+    )
+    exploded = base.select("_id", *keys, "_n", F.explode("_toks").alias("_tok"))
+    common = (
+        vocab_ranks
+        if vocab_ranks is not None
+        else (
+            exploded.groupBy("_tok")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .orderBy(F.col("_cnt").desc(), "_tok")
+            .limit(common_vocab)
+        )
+    )
+    ranked = exploded.join(F.broadcast(common), "_tok", "left").withColumn(
+        "_cnt", F.coalesce(F.col("_cnt"), F.lit(0))
+    )
+    plen = (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1).cast(
+        "int"
+    )
+    grouped = ranked.groupBy("_id", *keys, "_n").agg(
+        F.array_sort(F.collect_list(F.struct("_cnt", "_tok"))).alias("_st")
+    )
+    ptoks = F.slice(F.transform("_st", lambda s: s["_tok"]), F.lit(1), plen)
+    probe = grouped.select(
+        *keys,
+        F.explode(ptoks).alias("_ptok"),
+        F.col("_id").alias("probe_id"),
+    )
+    host = exploded.select(
+        *keys,
+        F.col("_tok").alias("_ptok"),
+        F.col("_id").alias("host_id"),
+    )
+    cand = (
+        probe.join(host, [*keys, "_ptok"])
+        .filter(F.col("probe_id") != F.col("host_id"))
+        .select("probe_id", "host_id")
+        .dropDuplicates(["probe_id", "host_id"])
+    )
+    ta = base.select(
+        F.col("_id").alias("probe_id"),
+        F.col("_toks").alias("_ta"),
+        F.col("_n").alias("n_probe"),
+    )
+    tb = base.select(F.col("_id").alias("host_id"), F.col("_toks").alias("_tb"))
+    pairs = cand.join(ta, "probe_id").join(tb, "host_id")
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    return (
+        pairs.withColumn("n_common", inter)
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.col("n_probe").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("probe_id", "host_id", "n_probe", "n_common", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -44,6 +44,7 @@ __all__ = [
     "psi_expr",
     "quantile_edges",
     "categorical_drift",
+    "ks_drift",
 ]
 
 
@@ -389,4 +390,128 @@ def categorical_drift(
         "chi2",
         "dof",
         "cramers_v",
+    )
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    features: list[str],
+    precision: int = 6,
+    alpha_c: float = 1.358,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift per feature — the
+    binning-free member of the drift family: :func:`feature_drift`'s
+    PSI answers "how much mass moved between these 10 frozen bins",
+    KS answers "what is the LARGEST gap anywhere between the two
+    ECDFs" — sensitive to a shift PSI's coarse bins can hide (a
+    median jump inside one wide bin) and to tail drift equal-width
+    edges dilute. D = sup_x |F_ref(x) − F_cur(x)|; the sup over step
+    ECDFs is attained at a pooled data point, so evaluating at every
+    pooled distinct value is exact, not an approximation.
+
+    Engine-exact integer arithmetic (the house lcm/round-before-solve
+    convention): per distinct value the cumulative counts c_ref, c_cur
+    are integers, and the comparison is done on the SCALED gap
+    |c_ref·n_cur − c_cur·n_ref| — an exact BIGINT for any input order
+    — so max and argmax are bit-identical in any engine; the single
+    division by n_ref·n_cur happens once per feature at the end
+    (products stay inside bigint to ~3·10⁹ rows per side; beyond that
+    cast the two products to DECIMAL(38,0)). ``ks_at`` is the smallest
+    value attaining the max (deterministic tie-break). ``crit_05`` is
+    the asymptotic 5% critical value c(α)·√((n_ref+n_cur)/(n_ref·n_cur))
+    with c(0.05) = 1.358 (Smirnov); at corpus scale it is microscopic —
+    ``ks_d`` itself is the decision variable, the flag is a convention.
+
+    Scale shape: one map-side melt per side, ONE map-side-combinable
+    ``groupBy(feature, value)`` — duplicate values collapse BEFORE the
+    exchange, so what shuffles is the distinct-value table, not the
+    corpus — then a per-feature ordered cumulative window over that
+    table. Values are rounded to ``precision`` decimals first, which
+    bounds the per-feature window state by the VALUE DOMAIN
+    (10^precision per unit of range), invariant in corpus rows; coarsen
+    ``precision`` for unbounded-range features (the induced error in D
+    is at most the mass within one rounding ulp of a boundary). The
+    tiny per-feature totals broadcast back; the max and argmax are two
+    more aggregates over the distinct-value table. Features entirely
+    null on either side report NULL ``ks_d``.
+    """
+    from pyspark.sql import Window
+
+    def side(df: DataFrame, a: int) -> DataFrame:
+        return (
+            _melt(df, features)
+            .where(F.col("value").isNotNull())
+            .select(
+                "feature",
+                F.round(F.col("value"), precision).alias("value"),
+                F.lit(a).cast("bigint").alias("_a"),
+                F.lit(1 - a).cast("bigint").alias("_b"),
+            )
+        )
+
+    pv = (
+        side(ref, 1)
+        .unionByName(side(cur, 0))
+        .groupBy("feature", "value")
+        .agg(F.sum("_a").alias("_na_v"), F.sum("_b").alias("_nb_v"))
+    )
+    wcum = (
+        Window.partitionBy("feature")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pv.select(
+        "feature",
+        "value",
+        F.sum("_na_v").over(wcum).alias("_ca"),
+        F.sum("_nb_v").over(wcum).alias("_cb"),
+    )
+    tot = pv.groupBy("feature").agg(
+        F.sum("_na_v").alias("n_ref"), F.sum("_nb_v").alias("n_cur")
+    )
+    gap = cum.join(F.broadcast(tot), "feature").withColumn(
+        "_ds",
+        F.abs(
+            F.col("_ca") * F.col("n_cur") - F.col("_cb") * F.col("n_ref")
+        ),
+    )
+    mx = gap.groupBy("feature", "n_ref", "n_cur").agg(
+        F.max("_ds").alias("_dmax")
+    )
+    at = (
+        gap.select("feature", "value", "_ds")
+        .join(F.broadcast(mx.select("feature", "_dmax")), "feature")
+        .filter(F.col("_ds") == F.col("_dmax"))
+        .groupBy("feature")
+        .agg(F.min("value").alias("ks_at"))
+    )
+    nn = (F.col("n_ref") * F.col("n_cur")).cast("double")
+    ks_d = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        F.round(F.col("_dmax").cast("double") / nn, 6),
+    )
+    crit = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        F.round(
+            F.lit(alpha_c)
+            * F.sqrt((F.col("n_ref") + F.col("n_cur")).cast("double") / nn),
+            6,
+        ),
+    )
+    return (
+        # both sides are n_features rows; broadcast keeps the tail
+        # join shuffle-free
+        mx.join(F.broadcast(at), "feature", "left")
+        .select(
+            "feature",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            ks_d.alias("ks_d"),
+            "ks_at",
+            crit.alias("crit_05"),
+            # both operands are identical 6-dp doubles in any engine,
+            # so the boundary comparison is deterministic
+            (ks_d > crit).alias("drifted"),
+        )
     )

@@ -6142,12 +6142,10 @@ def q_source_quality_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shrink_group_means(docs, X.stopword_ratio("text"), "source")
 
 
-def _calibration_oracle() -> str:
-    # Embeds the probe-fit CTEs of _probe_oracle (same moments, same
-    # Cramer term order), then replays calibration_table's binning:
-    # rounded (lo, hi), NULLIF-guarded equal-width bins, rounded
-    # per-bin sums, and the ECE fold — in probe.calibration_table's
-    # exact arithmetic order.
+def _probe_sc_ctes() -> str:
+    # The shared probe-fit prefix (same moments, same Cramer term order
+    # as _probe_oracle), ending at the scored stream `sc(y, s)`:
+    # reused by the calibration (ECE) and rank-AUC oracles.
     bucket = _hex_bucket_sql("doc_id", 21, 100)
     return f"""WITH f AS (
   SELECT doc_id, lang,
@@ -6190,7 +6188,15 @@ w AS (
 sc AS (
   SELECT f.y, ROUND(w.w0 + w.w1 * f.x1 + w.w2 * f.x2, 6) AS s
   FROM f, w
-),
+)"""
+
+
+def _calibration_oracle() -> str:
+    # Embeds the shared probe-fit prefix, then replays
+    # calibration_table's binning: rounded (lo, hi), NULLIF-guarded
+    # equal-width bins, rounded per-bin sums, and the ECE fold — in
+    # probe.calibration_table's exact arithmetic order.
+    return _probe_sc_ctes() + """,
 r AS (SELECT ROUND(MIN(s), 6) AS lo, ROUND(MAX(s), 6) AS hi FROM sc),
 b AS (
   SELECT COALESCE(LEAST(9, GREATEST(0,
@@ -8460,6 +8466,388 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (sparkfeat.text.winnow_fingerprints / winnow_pairs)
+# ---------------------------------------------------------------------------
+
+
+def _hex_int10_sql(hexpr: str) -> str:
+    """First 10 hex digits of a hex-string expression as a BIGINT (40
+    bits) — the positional-strpos recipe of _hex_int12_sql, two digits
+    shorter so hash·2^20 + pos stays inside 63 signed bits."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({hexpr}, {j + 1}, 1)) - 1)"
+        f" * {16 ** (9 - j)}"
+        for j in range(10)
+    )
+    return f"({terms})"
+
+
+def _winnow_ctes(k: int, w: int) -> str:
+    from sparkfeat.text import _WPOS
+
+    return f"""n AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+  FROM documents WHERE text IS NOT NULL
+),
+g0 AS (
+  SELECT doc_id, norm,
+    unnest(range(0, GREATEST(LENGTH(norm) - {k} + 1, 0))) AS pos
+  FROM n
+),
+g AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+    {_hex_int10_sql(f"md5(substr(norm, CAST(pos AS INT) + 1, {k}))")} AS h40
+  FROM g0
+),
+kx AS (
+  SELECT doc_id, pos,
+    MIN(h40 * {_WPOS} + ({_WPOS - 1} - pos)) OVER
+      (PARTITION BY doc_id ORDER BY pos
+       ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS kmin,
+    MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+  FROM g
+),
+sel AS (
+  SELECT DISTINCT doc_id, kmin // {_WPOS} AS fp,
+    CAST({_WPOS - 1} - (kmin % {_WPOS}) AS INT) AS pos
+  FROM kx WHERE pos >= {w - 1} OR pos = maxpos
+)"""
+
+
+def _winnow_fp_oracle(k: int = 5, w: int = 4) -> str:
+    return f"""WITH {_winnow_ctes(k, w)}
+SELECT doc_id, CAST(fp AS BIGINT) AS fp, pos FROM sel"""
+
+
+@register("doc_winnow_fingerprints", _winnow_fp_oracle(), driver=False)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken
+    SIGMOD'03 / MOSS; sparkfeat.text.winnow_fingerprints) over the
+    corpus: every selected (fp, pos) row hash-compared, so the oracle
+    verifies the k-gram lattice, the 40-bit md5-prefix hash, the
+    packed rightmost-min window selection AND the short-doc whole-
+    window convention bit-for-bit. The local-guarantee complement of
+    MinHash: any ≥(w+k−1)-char substring match survives selection."""
+    from sparkfeat.text import winnow_fingerprints
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+    )
+    return winnow_fingerprints(docs, k=5, w=4)
+
+
+def _winnow_pairs_oracle(
+    k: int = 7, w: int = 5, min_shared: int = 3, df_cap: int = 20
+) -> str:
+    return f"""WITH {_winnow_ctes(k, w)},
+dfp AS (SELECT DISTINCT doc_id, fp FROM sel),
+freq AS (SELECT fp, COUNT(*) AS dfq FROM dfp GROUP BY fp),
+kept AS (
+  SELECT dfp.doc_id, dfp.fp
+  FROM dfp JOIN freq USING (fp) WHERE dfq <= {df_cap}
+),
+sz AS (SELECT doc_id, COUNT(*) AS nfp FROM kept GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+)
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+  ROUND(n_shared / CAST(LEAST(sa.nfp, sb.nfp) AS DOUBLE), 6) AS score
+FROM p
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b"""
+
+
+@register("dedup_winnow_pairs", _winnow_pairs_oracle(), driver=False)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style partial-overlap pairs from winnowing fingerprints
+    (sparkfeat.text.winnow_pairs): distinct per-doc fps → document-
+    frequency cap (drops boilerplate fingerprints BEFORE the join, the
+    paper's own hot-posting-list mitigation) → fp equi-join →
+    ≥min_shared pairs with the containment-shaped shared/min(n_fps)
+    score. Oracle replays selection, cap, join, and score."""
+    from sparkfeat.text import winnow_fingerprints, winnow_pairs
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+    )
+    fps = winnow_fingerprints(docs, k=7, w=5)
+    out = winnow_pairs(fps, min_shared=3, df_cap=20)
+    return out.select("id_a", "id_b", "n_shared", _r(F.col("score")).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha (sparkfeat.arena.krippendorff_alpha)
+# ---------------------------------------------------------------------------
+
+
+def _krippendorff_oracle(max_raters: int = 8) -> str:
+    from math import lcm
+
+    L = lcm(*range(1, max_raters))
+    arms = _rater_arms_sql()
+    return f"""WITH base AS (
+    SELECT doc_id,
+        CASE WHEN (n_chars % 10) < 6 THEN 'good' ELSE 'bad' END AS b
+    FROM documents
+),
+j AS ({arms}),
+il AS (SELECT doc_id, l, COUNT(*) AS nic FROM j GROUP BY ALL),
+pi AS (
+    SELECT doc_id, SUM(nic) AS ni, SUM(nic * (nic - 1)) AS ti
+    FROM il GROUP BY doc_id
+),
+pair AS (SELECT * FROM pi WHERE ni >= 2 AND ni <= {max_raters}),
+ao AS (
+    SELECT SUM(ni) AS n, SUM(ti * ({L} // (ni - 1))) AS aol,
+           COUNT(*) AS n_items
+    FROM pair
+),
+nc AS (
+    SELECT il.l, SUM(nic) AS n_label
+    FROM il JOIN pair USING (doc_id) GROUP BY il.l
+),
+sq AS (SELECT SUM(n_label * n_label) AS snc2 FROM nc)
+SELECT l AS label, CAST(n_label AS BIGINT) AS n_label,
+    CAST(n_items AS BIGINT) AS n_items, CAST(n AS BIGINT) AS n_judgments,
+    ROUND(CAST(n * {L} - aol AS DOUBLE) / (n * {L}), 6) AS d_o,
+    ROUND(CAST(n * n - snc2 AS DOUBLE) / (n * (n - 1)), 6) AS d_e,
+    CASE WHEN (n * n - snc2) > 0 THEN
+        ROUND(1.0 - CAST((n * {L} - aol) * (n - 1) AS DOUBLE)
+                    / CAST((n * n - snc2) * {L} AS DOUBLE), 6)
+    END AS alpha
+FROM nc, ao, sq"""
+
+
+@register("arena_krippendorff_alpha", _krippendorff_oracle(), driver=False)
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha over the 3-rater 85%-coverage judgment
+    stream (sparkfeat.arena.krippendorff_alpha) — the ragged-panel
+    member of the agreement family: Cohen audits pairs, Fleiss needs
+    the full panel and drops partially-covered items, alpha uses every
+    item with ≥2 judgments. The lcm-scaled integer fold makes the
+    order-dependent 1/(n_i−1) weights exact, so both engines divide
+    identical integers; the oracle replays judgment mining, the
+    pairable gate, the scaled coincidence fold, and the one-quotient
+    alpha solve termwise."""
+    from sparkfeat.arena import krippendorff_alpha
+
+    return krippendorff_alpha(_rater_judgments(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Directional containment near-dup (sparkfeat.dedup.containment_pairs)
+# ---------------------------------------------------------------------------
+
+
+def _containment_oracle(threshold: float = 0.95, min_tokens: int = 30) -> str:
+    return f"""WITH t AS (
+    SELECT doc_id, lang,
+        list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks
+    FROM documents
+),
+f AS (
+    SELECT doc_id, lang, toks, LEN(toks) AS n
+    FROM t WHERE LEN(toks) >= {min_tokens}
+),
+pairs AS (
+    SELECT a.doc_id AS probe_id, b.doc_id AS host_id,
+        a.n AS n_probe,
+        LEN(list_intersect(a.toks, b.toks)) AS n_common
+    FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+)
+SELECT probe_id, host_id, CAST(n_probe AS BIGINT) AS n_probe,
+    CAST(n_common AS BIGINT) AS n_common,
+    ROUND(CAST(n_common AS DOUBLE) / n_probe, 6) AS containment
+FROM pairs WHERE CAST(n_common AS DOUBLE) / n_probe >= {threshold!r}"""
+
+
+@register("dedup_containment_pairs", _containment_oracle(), driver=False)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dup (C(probe→host) ≥ 0.95 over ≥30
+    distinct tokens, within a language) — the asymmetric complement of
+    the Jaccard query: quoted/embedded/prefix-crawled subset
+    duplicates have Jaccard → 0 but containment → 1. The probe-prefix
+    × host-all blocking is LOSSLESS, so the oracle is the full
+    brute-force ordered within-lang join — the blocking is an
+    optimization, not a recall contract (the jaccard_pairs oracle
+    discipline, extended to the directional predicate)."""
+    from sparkfeat.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = containment_pairs(docs, threshold=0.95, min_tokens=30)
+    return out.select(
+        "probe_id",
+        "host_id",
+        F.col("n_probe").cast("bigint").alias("n_probe"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        _r(F.col("containment")).alias("containment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS drift (sparkfeat.drift.ks_drift)
+# ---------------------------------------------------------------------------
+
+_KS_DRIFT_ORACLE = f"""WITH src AS (
+    SELECT * FROM (WITH {TRANSCRIPTS_CTE}
+        SELECT *, {TURN_SIGNALS_SQL} FROM transcripts) _panel
+),
+b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM src),
+w AS (
+    SELECT src.*,
+        CASE WHEN epoch_us(ts) < CAST(FLOOR((mn + mx) / 2.0) AS BIGINT)
+             THEN 'ref' ELSE 'cur' END AS _w
+    FROM src, b
+),
+lng AS (
+    {_QPSI_UNIONS}
+),
+pv AS (
+    SELECT feature, ROUND(value, 6) AS value,
+        CAST(SUM(CASE WHEN _w = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+        CAST(SUM(CASE WHEN _w = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+    FROM lng WHERE value IS NOT NULL GROUP BY 1, 2
+),
+tot AS (
+    SELECT feature, CAST(SUM(na_v) AS BIGINT) AS n_ref,
+        CAST(SUM(nb_v) AS BIGINT) AS n_cur
+    FROM pv GROUP BY 1
+),
+cum AS (
+    SELECT feature, value,
+        CAST(SUM(na_v) OVER (PARTITION BY feature ORDER BY value
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+        CAST(SUM(nb_v) OVER (PARTITION BY feature ORDER BY value
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+    FROM pv
+),
+gap AS (
+    SELECT c.feature, c.value,
+        CAST(ABS(c.ca * t.n_cur - c.cb * t.n_ref) AS BIGINT) AS ds,
+        t.n_ref, t.n_cur
+    FROM cum c JOIN tot t USING (feature)
+),
+mx AS (SELECT feature, n_ref, n_cur, MAX(ds) AS dmax
+       FROM gap GROUP BY 1, 2, 3),
+at AS (
+    SELECT g.feature, MIN(g.value) AS ks_at
+    FROM gap g JOIN mx ON g.feature = mx.feature AND g.ds = mx.dmax
+    GROUP BY 1
+),
+fin AS (
+    SELECT mx.feature, mx.n_ref, mx.n_cur,
+        ROUND(CAST(dmax AS DOUBLE)
+              / CAST(mx.n_ref * mx.n_cur AS DOUBLE), 6) AS ks_d,
+        at.ks_at,
+        ROUND(1.358 * SQRT(CAST(mx.n_ref + mx.n_cur AS DOUBLE)
+              / CAST(mx.n_ref * mx.n_cur AS DOUBLE)), 6) AS crit_05
+    FROM mx JOIN at USING (feature)
+)
+SELECT feature, n_ref, n_cur, ks_d, ks_at, crit_05,
+    CAST(CASE WHEN ks_d > crit_05 THEN 1 ELSE 0 END AS INTEGER) AS drifted
+FROM fin"""
+
+
+@register("feature_drift_ks", _KS_DRIFT_ORACLE, driver=False)
+def q_feature_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift per transcript signal
+    (sparkfeat.drift.ks_drift) between the first and second half of the
+    time range — the binning-free companion of the PSI monitor: PSI
+    reports mass moved between 10 frozen bins, KS reports the largest
+    ECDF gap ANYWHERE (a median jump inside one wide bin is invisible
+    to PSI, maximal to KS). The max runs on the SCALED integer gap
+    |c_ref·n_cur − c_cur·n_ref| so max and argmax are bit-identical in
+    both engines; duplicate values collapse in a map-side-combinable
+    (feature, value) aggregate BEFORE anything shuffles, so the window
+    state is the distinct-value table, invariant in corpus rows."""
+    from sparkfeat.drift import ks_drift
+    from sparkfeat.schema import transcripts_from_events, with_turn_signals
+
+    sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = sig.agg(F.min(us).alias("_mn"), F.max(us).alias("_mx"))
+    mid = F.floor((F.col("_mn") + F.col("_mx")) / F.lit(2.0)).cast("long")
+    base = sig.crossJoin(F.broadcast(bounds)).withColumn(
+        "_w", F.when(us < mid, "ref").otherwise("cur")
+    )
+    out = ks_drift(
+        base.filter(F.col("_w") == "ref"),
+        base.filter(F.col("_w") == "cur"),
+        ["text_len", "token_est", "is_tool"],
+    )
+    return out.withColumn("drifted", F.col("drifted").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Probe rank quality: exact tie-corrected ROC-AUC (sparkfeat.probe.rank_auc)
+# ---------------------------------------------------------------------------
+
+
+def _auc_oracle() -> str:
+    # Shared probe-fit prefix down to the scored stream sc(y, s), then
+    # the Mann–Whitney fold over distinct-score counts: the DOUBLED
+    # integer numerator Σ n⁺_s·(2·below⁻_s + n⁻_s) is exact bigint in
+    # any addend order; the two final divisions are the only float ops.
+    return _probe_sc_ctes() + """,
+g AS (
+  SELECT s,
+    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+    CAST(SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS nn
+  FROM sc GROUP BY s
+),
+c AS (
+  SELECT np, nn,
+    CAST(SUM(nn) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - nn
+         AS BIGINT) AS below
+  FROM g
+),
+t AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(nn) AS BIGINT) AS n_neg,
+         CAST(COUNT(*) AS BIGINT) AS n_scores,
+         CAST(SUM(np * (2 * below + nn)) AS BIGINT) AS u2
+  FROM c
+)
+SELECT n_pos, n_neg, n_scores,
+  ROUND(CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc,
+  ROUND(CAST(u2 - n_pos * n_neg AS DOUBLE)
+        / CAST(n_pos * n_neg AS DOUBLE), 6) AS gini
+FROM t"""
+
+
+@register("probe_rank_auc", _auc_oracle(), driver=False)
+def q_probe_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC of the quality probe against its
+    label (sparkfeat.probe.rank_auc) — the rank-quality acceptance
+    check beside probe_calibration's ECE: calibration verifies the
+    probabilities are honest, AUC verifies the score actually ORDERS
+    positives above negatives, the property a threshold/top-fraction
+    corpus gate consumes. Same probe fit and scored stream as the
+    calibration query (shared oracle prefix); the Mann–Whitney fold
+    runs over the distinct-score table after one map-side-combinable
+    groupBy(score), with the doubled numerator kept in exact bigints
+    so both engines solve identical integers."""
+    from sparkfeat import text as X
+    from sparkfeat.corpus import hash_bucket
+    from sparkfeat.probe import linear_probe_score, rank_auc
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+    )
+    x1 = X.stopword_ratio("text")
+    x2 = F.least(X.avg_word_len("text") / 8.0, F.lit(1.0))
+    label = (F.col("lang") == "en").cast("double")
+    seed = hash_bucket("doc_id", start=21, buckets=100) < 50
+    scored = linear_probe_score(docs, x1, x2, label, seed)
+    return rank_auc(scored, F.col("score"), label)
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -8493,7 +8881,9 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # conv_shared_openers, corpus_ngram_diversity, corpus_zipf_fit,
 # corpus_langid_agreement, conv_context_cost, conv_pattern_screen,
 # conv_near_loops, conv_window_fit, dedup_cluster_keep_best,
-# bpe_fertility —
+# bpe_fertility, doc_winnow_fingerprints, dedup_winnow_pairs,
+# arena_krippendorff_alpha, dedup_containment_pairs, feature_drift_ks,
+# probe_rank_auc —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

@@ -444,6 +444,160 @@ def fnv1a64_np(strings: pd.Series) -> np.ndarray:
     )
 
 
+#: winnowing packs (hash, position) into ONE bigint so the rightmost-min
+#: window selection is a plain MIN over a window frame in any engine:
+#: key = h40·2^20 + (2^20−1−pos). 40-bit hash + 20-bit position = 60
+#: bits < the 63-bit signed range; min(key) ⇔ (min hash, then MAX
+#: position) — exactly the paper's tie-break.
+WINNOW_POS_BITS = 20
+_WPOS = 1 << WINNOW_POS_BITS
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS scheme): hash every char k-gram of the normalized
+    text, slide a window of ``w`` consecutive hashes, and in each
+    window select the minimum hash (rightmost occurrence on ties).
+    Guarantee: any substring match of length ≥ w+k−1 between two
+    documents shares at least one selected fingerprint, and no match
+    shorter than k is ever detected — the LOCAL fingerprinting
+    guarantee MinHash (a global sketch) cannot give, which is why this
+    is the scheme for partial-overlap/plagiarism-style dedup while
+    MinHash serves whole-document near-dup.
+
+    All-JVM-codegen column algebra, one doc_id window pass: k-grams
+    come from ``sequence``+``posexplode`` over the normalized text
+    (linear in corpus chars — the span-manifest shape), the 40-bit
+    md5-prefix hash and the window position pack into one bigint key
+    (module constant above) so "rightmost minimum of each window" is a
+    single ``MIN OVER (ROWS w−1 PRECEDING)`` + DISTINCT — no UDF, no
+    per-doc state. Documents shorter than w grams contribute their
+    global minimum (one fingerprint), matching the whole-doc window
+    convention; null/short-of-k texts contribute nothing. Positions
+    must fit 20 bits (~1M chars/doc) — cap or chunk gigadocs upstream
+    (the duplicate-span operators' documented hazard class).
+
+    Returns ``(id_col, fp, pos)`` — one row per selected fingerprint
+    occurrence. Companion: :func:`winnow_pairs`.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    n = F.length(norm)
+    base = docs.select(F.col(id_col), norm.alias("_norm"), n.alias("_n"))
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                F.col("_n") >= k,
+                F.expr(f"sequence(0, _n - {k})"),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos", "_p"),
+        F.col("_norm"),
+    ).select(
+        id_col,
+        "pos",
+        F.substring(F.col("_norm"), F.col("pos") + 1, k).alias("_gram"),
+    )
+    h40 = F.conv(F.substring(F.md5(F.col("_gram")), 1, 10), 16, 10).cast(
+        "bigint"
+    )
+    key = h40 * F.lit(_WPOS) + (F.lit(_WPOS - 1) - F.col("pos"))
+    from pyspark.sql import Window
+
+    wf = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    wp = Window.partitionBy(id_col)
+    wo = Window.partitionBy(id_col).orderBy("pos")
+    keyed = grams.select(
+        id_col,
+        "pos",
+        F.min(key).over(wf).alias("_kmin"),
+        F.max("pos").over(wp).alias("_maxpos"),
+    )
+    # Run-dedupe instead of DISTINCT: a selected (hash, pos) occupies
+    # CONSECUTIVE windows — once a strictly smaller key enters the
+    # window it stays until the selected occurrence itself has left, so
+    # the same kmin can never reappear after a gap (keys are unique:
+    # position is packed in). Keeping each run's first window therefore
+    # yields exactly the distinct fingerprint set without the second
+    # hash exchange a DISTINCT would add — the whole operator is ONE
+    # doc_id exchange (plan-asserted in tests/test_text_dedup.py).
+    runs = keyed.withColumn("_prev", F.lag("_kmin").over(wo))
+    sel = runs.filter(
+        (F.col("pos") == w - 1)
+        | ((F.col("pos") > w - 1) & (F.col("_kmin") != F.col("_prev")))
+        | ((F.col("_maxpos") < w - 1) & (F.col("pos") == F.col("_maxpos")))
+    )
+    return sel.select(
+        id_col,
+        F.expr(f"_kmin div {_WPOS}").alias("fp"),
+        (F.lit(_WPOS - 1) - F.col("_kmin") % F.lit(_WPOS))
+        .cast("int")
+        .alias("pos"),
+    )
+
+
+def winnow_pairs(
+    fps: DataFrame,
+    min_shared: int = 2,
+    df_cap: int | None = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints — the MOSS match
+    step: distinct per-doc fingerprints, equi-join on fp, count shared
+    fps per unordered pair, keep pairs with ≥ ``min_shared``. The
+    score is containment-shaped: shared / min(n_fps) ∈ (0, 1].
+
+    ``df_cap`` drops fingerprints present in more than that many
+    documents BEFORE the join — MOSS's own mitigation ("ignore
+    fingerprints that occur in many documents": boilerplate k-grams
+    would otherwise build O(df²) candidate pairs from one hot posting
+    list; legitimate pairwise overlap still has rarer fingerprints).
+    The cap is a groupBy-count + semi-join-shaped filter, so the hot
+    key never reaches the pair join; set ``None`` to disable."""
+    d = fps.select(id_col, "fp").distinct()
+    if df_cap is not None:
+        dfreq = d.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        d = (
+            d.join(dfreq.filter(F.col("_df") <= df_cap), "fp", "inner")
+            .drop("_df")
+        )
+    sizes = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nfp"))
+    a = d.select(F.col(id_col).alias("id_a"), "fp")
+    b = d.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_nfp").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_nfp").alias("_nb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("_na", "_nb").cast("double")
+            ).alias("score"),
+        )
+    )
+
+
 def rolling_fingerprint(df: DataFrame, text_col: str, out_col: str = "fp64") -> DataFrame:
     """64-bit rolling (FNV-1a) document fingerprint as a signed long
     column — compact dedup/join key when md5 strings are too fat

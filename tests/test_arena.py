@@ -284,3 +284,108 @@ def test_fleiss_constant_raters_degenerate(spark):
     assert len(out) == 1
     r = out[0]
     assert r["p_e"] == 1.0 and r["kappa"] is None  # undefined, like Cohen
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha (arena.krippendorff_alpha)
+# ---------------------------------------------------------------------------
+
+
+def _alpha_ref(items):
+    """Direct-formula nominal alpha over a list of per-item label
+    lists (Krippendorff 2004, coincidence-matrix form)."""
+    from collections import Counter
+
+    pair = [it for it in items if len(it) >= 2]
+    n = sum(len(it) for it in pair)
+    ao = 0.0
+    nc: Counter = Counter()
+    for it in pair:
+        cnt = Counter(it)
+        ao += sum(c * (c - 1) for c in cnt.values()) / (len(it) - 1)
+        nc.update(cnt)
+    de_num = n * n - sum(v * v for v in nc.values())
+    if de_num <= 0:
+        return None
+    return 1.0 - (n - ao) * (n - 1) / de_num
+
+
+def _alpha_spark(spark, items, **kw):
+    from sparkfeat.arena import krippendorff_alpha
+
+    rows = [
+        (i, f"r{k}", lab)
+        for i, it in enumerate(items)
+        for k, lab in enumerate(it)
+    ]
+    df = spark.createDataFrame(
+        rows, "item_id long, rater_id string, label string"
+    )
+    return krippendorff_alpha(df, **kw).collect()
+
+
+def test_alpha_matches_direct_formula(spark):
+    """Ragged panel (1-4 raters per item, missing data everywhere) —
+    the case Fleiss can't score at all — matches the direct-formula
+    reference to 6 dp."""
+    items = [
+        ["a", "a", "b"],
+        ["a", "a"],
+        ["b", "b", "b", "b"],
+        ["a", "b"],
+        ["b"],          # unpairable: excluded
+        [],             # no judgments: excluded
+        ["a", "a", "a"],
+        ["b", "a", "b"],
+    ]
+    got = _alpha_spark(spark, items)
+    want = _alpha_ref(items)
+    assert got, "no output rows"
+    assert got[0]["alpha"] == pytest.approx(want, abs=1e-6)
+    # pairable = 6 items, n = 3+2+4+2+3+3 = 17
+    assert got[0]["n_items"] == 6
+    assert got[0]["n_judgments"] == 17
+    # constants ride every label row
+    assert len({r["alpha"] for r in got}) == 1
+
+
+def test_alpha_perfect_and_degenerate(spark):
+    # unanimous two-label data → alpha 1
+    got = _alpha_spark(spark, [["a", "a", "a"], ["b", "b"], ["a", "a"]])
+    assert all(r["alpha"] == pytest.approx(1.0, abs=1e-9) for r in got)
+    # single label everywhere → d_e = 0 → alpha null
+    got = _alpha_spark(spark, [["a", "a"], ["a", "a", "a"]])
+    assert all(r["alpha"] is None for r in got)
+
+
+def test_alpha_oversize_panels_excluded(spark):
+    """Items with more judgments than max_raters fall outside the
+    lcm-exact range and are excluded, not mis-scored."""
+    items = [["a", "a"], ["a", "b"], ["a"] * 9]  # 9 > max_raters=8
+    got = _alpha_spark(spark, items)
+    assert got[0]["n_items"] == 2
+    assert got[0]["n_judgments"] == 4
+    want = _alpha_ref(items[:2])
+    assert got[0]["alpha"] == pytest.approx(want, abs=1e-6)
+
+
+def test_alpha_keeps_items_fleiss_drops(spark):
+    """The 85%-coverage synthetic stream: alpha's pairable gate keeps
+    strictly more items than Fleiss' exact-3 gate."""
+    from sparkfeat.arena import fleiss_kappa, krippendorff_alpha
+
+    rows = []
+    for i in range(60):
+        labs = ["good" if (i + k) % 3 else "bad" for k in range(3)]
+        # rater k skips items where (i*7+k) % 5 == 0 → ragged panel
+        rows += [
+            (i, f"r{k}", labs[k])
+            for k in range(3)
+            if (i * 7 + k) % 5 != 0
+        ]
+    df = spark.createDataFrame(
+        rows, "item_id long, rater_id string, label string"
+    )
+    a = krippendorff_alpha(df).collect()
+    f = fleiss_kappa(df, m=3).collect()
+    assert a[0]["n_items"] > f[0]["n_items"]

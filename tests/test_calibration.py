@@ -75,3 +75,60 @@ def test_build_is_lazy(spark):
     calibration_table(_scored(spark), F.col("score"), F.col("y"))
     after = len(tracker.getJobIdsForGroup() or [])
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# rank_auc — exact tie-corrected Mann–Whitney ROC-AUC
+# ---------------------------------------------------------------------------
+
+
+def _py_auc(scores, labels):
+    """Average-rank AUC reference: U statistic with half-credit ties."""
+    pos = [s for s, y in zip(scores, labels) if y == 1]
+    neg = [s for s, y in zip(scores, labels) if y == 0]
+    u = sum(
+        (1.0 if p > n else 0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    return u / (len(pos) * len(neg))
+
+
+def _auc_row(spark, scores, labels):
+    from sparkfeat.probe import rank_auc
+
+    df = spark.createDataFrame(
+        list(zip([float(s) for s in scores], [float(y) for y in labels])),
+        "s double, y double",
+    )
+    return rank_auc(df, F.col("s"), F.col("y")).collect()[0]
+
+
+def test_auc_matches_pairwise_reference(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    labels = [int(v) for v in rng.integers(0, 2, 300)]
+    # informative but noisy score, rounded to force real ties
+    scores = [
+        float(round(y * 0.6 + v, 1))
+        for y, v in zip(labels, rng.normal(0, 0.8, 300))
+    ]
+    row = _auc_row(spark, scores, labels)
+    assert row.n_pos == sum(labels)
+    assert row.n_neg == 300 - sum(labels)
+    assert abs(row.auc - round(_py_auc(scores, labels), 6)) < 1e-12
+    assert abs(row.gini - round(2 * _py_auc(scores, labels) - 1, 6)) < 1e-6
+
+
+def test_auc_perfect_inverted_random(spark):
+    # perfect separation
+    assert _auc_row(spark, [1, 2, 3, 4], [0, 0, 1, 1]).auc == 1.0
+    # perfectly inverted
+    assert _auc_row(spark, [4, 3, 2, 1], [0, 0, 1, 1]).auc == 0.0
+    # constant score: every pos-neg pair is a tie -> 0.5 exactly
+    row = _auc_row(spark, [7, 7, 7, 7], [0, 1, 0, 1])
+    assert row.auc == 0.5 and row.gini == 0.0 and row.n_scores == 1
+
+
+def test_auc_single_class_is_null(spark):
+    row = _auc_row(spark, [1, 2, 3], [1, 1, 1])
+    assert row.n_neg == 0 and row.auc is None and row.gini is None

@@ -339,3 +339,91 @@ def test_categorical_drift_is_lazy(spark):
     after = set(tracker.getJobIdsForGroup(None))
     assert after == before, "plan build fired a Spark job"
     assert out.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# ks_drift — exact two-sample Kolmogorov–Smirnov
+# ---------------------------------------------------------------------------
+
+
+def _py_ks(ref, cur):
+    """Pure-Python exact two-sample KS over pooled distinct values."""
+    ref = [v for v in ref if v is not None]
+    cur = [v for v in cur if v is not None]
+    vals = sorted(set(ref) | set(cur))
+    na, nb = len(ref), len(cur)
+    best, at = -1, None
+    ca = cb = 0
+    for v in vals:
+        ca += sum(1 for x in ref if x == v)
+        cb += sum(1 for x in cur if x == v)
+        d = abs(ca * nb - cb * na)
+        if d > best:
+            best, at = d, v
+    return best / (na * nb), at
+
+
+def _two(spark, ref_vals, cur_vals):
+    from sparkfeat.drift import ks_drift
+
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "x double")
+    cur = spark.createDataFrame([(v,) for v in cur_vals], "x double")
+    return ks_drift(ref, cur, ["x"]).collect()[0]
+
+
+def test_ks_matches_python_reference(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    ref = [float(v) for v in np.round(rng.normal(0.0, 1.0, 400), 2)]
+    cur = [float(v) for v in np.round(rng.normal(0.4, 1.3, 300), 2)]
+    row = _two(spark, ref, cur)
+    d, at = _py_ks(ref, cur)
+    assert row.n_ref == 400 and row.n_cur == 300
+    assert abs(row.ks_d - round(d, 6)) < 1e-12
+    assert row.ks_at == at
+    # D exceeds the 5% critical value for a 0.4-sigma location shift
+    assert row.drifted
+
+
+def test_ks_identical_and_disjoint(spark):
+    vals = [float(i % 7) for i in range(50)]
+    same = _two(spark, vals, list(vals))
+    assert same.ks_d == 0.0 and not same.drifted
+    # disjoint supports: ECDFs never overlap -> D = 1 at the ref max,
+    # yet at n=3 vs 2 the critical value exceeds 1 — tiny samples can
+    # never reach significance, exactly the flag's job
+    dis = _two(spark, [1.0, 2.0, 3.0], [10.0, 11.0])
+    assert dis.ks_d == 1.0 and dis.ks_at == 3.0
+    assert dis.crit_05 > 1.0 and not dis.drifted
+
+
+def test_ks_ties_and_duplicates_collapse(spark):
+    # heavy duplication: the distinct-value table is tiny, D still exact
+    ref = [0.0] * 90 + [1.0] * 10
+    cur = [0.0] * 50 + [1.0] * 50
+    row = _two(spark, ref, cur)
+    d, at = _py_ks(ref, cur)
+    assert abs(row.ks_d - round(d, 6)) < 1e-12  # = |0.9 - 0.5| = 0.4
+    assert row.ks_at == 0.0 and row.ks_d == 0.4
+
+
+def test_ks_null_side_and_multifeature(spark):
+    from sparkfeat.drift import ks_drift
+
+    ref = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (3.0, None)], "x double, y double"
+    )
+    cur = spark.createDataFrame(
+        [(1.0, 5.0), (9.0, 6.0)], "x double, y double"
+    )
+    rows = {r.feature: r for r in ks_drift(ref, cur, ["x", "y"]).collect()}
+    assert rows["x"].ks_d is not None
+    assert rows["y"].n_ref == 0 and rows["y"].ks_d is None
+    assert rows["y"].drifted is None
+
+
+def test_ks_argmax_smallest_value_tiebreak(spark):
+    # two values attain the same scaled gap; ks_at must be the smaller
+    row = _two(spark, [1.0, 2.0], [3.0, 4.0])
+    assert row.ks_d == 1.0 and row.ks_at == 2.0

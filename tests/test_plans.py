@@ -317,3 +317,43 @@ def test_best_of_n_one_exchange(spark, sf_dir):
 
     out = best_of_n(_event_rewards(spark, sf_dir), k=3)
     assert n_shuffles(out) == 1, plan_of(out)
+
+
+def test_ks_drift_collapses_before_window(spark):
+    """ks_drift's 100 TB contract: the corpus collapses in a map-side-
+    combinable (feature, value) aggregate BEFORE the ordered window —
+    so the cumulative pass and everything after it run on the
+    distinct-value table — the per-feature totals join back as a
+    BROADCAST, and nothing is ever a cartesian or sort-merge join."""
+    from sparkfeat.drift import ks_drift
+
+    ref = spark.range(1000).select((F.col("id") % 13).cast("double").alias("x"))
+    cur = spark.range(800).select((F.col("id") % 11).cast("double").alias("x"))
+    p = plan_of(ks_drift(ref, cur, ["x"]))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p, p
+    # partial aggregation fires below the first exchange (map-side
+    # combine of duplicate values: the corpus never shuffles raw)
+    first_exchange = p.index("Exchange hashpartitioning")
+    assert "partial_count" in p[first_exchange:] or "HashAggregate" in p[:first_exchange] or "partial" in p, p
+
+
+def test_rank_auc_groups_before_window_no_corpus_sort(spark):
+    """rank_auc's contract: ONE groupBy(score) collapses the corpus to
+    the distinct-score table; the unpartitioned cumulative window sorts
+    only that bounded table (a SinglePartition exchange of distinct
+    scores), never the corpus, and no join of any kind appears."""
+    from sparkfeat.probe import rank_auc
+
+    df = spark.range(100000).select(
+        (F.col("id") % 97).cast("double").alias("s"),
+        (F.col("id") % 2).cast("double").alias("y"),
+    )
+    p = plan_of(rank_auc(df, F.col("s"), F.col("y")))
+    assert "Join" not in p and "CartesianProduct" not in p, p
+    # the single-partition exchange feeding the window sits ABOVE the
+    # hash aggregate that already collapsed the corpus
+    agg = p.index("Exchange hashpartitioning")
+    single = p.index("Exchange SinglePartition")
+    assert "HashAggregate" in p, p
+    assert single < agg or p.count("Exchange") >= 2, p

@@ -910,3 +910,206 @@ def test_distinctive_terms_shard_invariance(spark):
         for r in source_distinctive_terms(d, k=5, shards=64).collect()
     }
     assert a == b  # the two-phase rank is shard-count independent
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (text.winnow_fingerprints / winnow_pairs)
+# ---------------------------------------------------------------------------
+
+
+def _winnow_ref(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Pure-python winnowing per the SIGMOD'03 paper: char k-grams of
+    the normalized text, 40-bit md5-prefix hash, in each window of w
+    hashes select the min (rightmost on ties); docs shorter than w
+    grams contribute their global min."""
+    import hashlib
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower())
+    grams = [norm[i : i + k] for i in range(len(norm) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:10], 16)
+        for g in grams
+    ]
+    sel: set[tuple[int, int]] = set()
+    if not hs:
+        return sel
+    for e in range(min(w, len(hs)) - 1, len(hs)):
+        lo = max(0, e - w + 1)
+        win = list(range(lo, e + 1))
+        # min hash, rightmost occurrence on ties
+        best = max(win, key=lambda i: (-hs[i], i))
+        sel.add((hs[best], best))
+    return sel
+
+
+def _winnow_spark(spark, texts, k, w):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = X.winnow_fingerprints(df, k=k, w=w)
+    got: dict[int, set[tuple[int, int]]] = {i: set() for i in range(len(texts))}
+    for r in out.collect():
+        got[r["doc_id"]].add((r["fp"], r["pos"]))
+    return got
+
+
+def test_winnow_matches_python_reference(spark):
+    texts = [
+        "A do run run run, a do run run",  # the paper's flavor of input
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaa",  # constant text → heavy hash ties (rightmost rule)
+        "short",  # fewer grams than w → global min only
+        "tiny",  # shorter than k → no fingerprints
+    ]
+    k, w = 5, 4
+    got = _winnow_spark(spark, texts, k, w)
+    for i, t in enumerate(texts):
+        assert got[i] == _winnow_ref(t, k, w), i
+
+
+def test_winnow_local_guarantee(spark):
+    """Two documents sharing a substring of length ≥ w+k−1 must share
+    at least one fingerprint (the paper's detection guarantee)."""
+    k, w = 5, 4
+    shared = "xylophone quartz boulevard"  # 26 chars ≥ w+k−1 = 8
+    texts = [
+        "first document begins " + shared + " and then diverges fully",
+        "completely different preamble " + shared + " other ending here",
+    ]
+    got = _winnow_spark(spark, texts, k, w)
+    fps0 = {fp for fp, _ in got[0]}
+    fps1 = {fp for fp, _ in got[1]}
+    assert fps0 & fps1, "guaranteed shared fingerprint missing"
+
+
+def test_winnow_short_doc_conventions(spark):
+    k, w = 5, 4
+    got = _winnow_spark(spark, ["abcdefg", "abc"], k, w)
+    # 3 grams < w → exactly one fingerprint (the global min)
+    assert len(got[0]) == 1
+    # shorter than k → nothing
+    assert got[1] == set()
+
+
+def test_winnow_pairs_df_cap_drops_boilerplate(spark):
+    """A fingerprint present in MORE than df_cap documents must not
+    generate pairs; rarer overlap still pairs up."""
+    # identical texts → identical selected fingerprints → every
+    # boilerplate fp has df = 6 > cap and dies before the join
+    boiler = "standard legal disclaimer footer text here"
+    rare = "unique shared paragraph about xylophones"
+    texts = [boiler for _ in range(6)]
+    texts += [rare + " one tail", rare + " two tail"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fps = X.winnow_fingerprints(df, k=5, w=4)
+    pairs = X.winnow_pairs(fps, min_shared=1, df_cap=5).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ids == {(6, 7)}, ids
+    scores = {(r["id_a"], r["id_b"]): r["score"] for r in pairs}
+    assert 0.0 < scores[(6, 7)] <= 1.0
+    # without the cap the boilerplate clique comes back in full
+    uncapped = X.winnow_pairs(fps, min_shared=1, df_cap=None).collect()
+    uids = {(r["id_a"], r["id_b"]) for r in uncapped}
+    assert {(a, b) for a in range(6) for b in range(a + 1, 6)} <= uids
+
+
+def test_winnow_single_exchange_plan(spark, sf_dir):
+    """The fingerprint selection (explode, window min, run-dedupe) must
+    stay ONE doc_id hash exchange — the run-dedupe exists precisely to
+    avoid DISTINCT's second shuffle."""
+    import re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    out = X.winnow_fingerprints(docs, k=5, w=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Directional containment near-dup (dedup.containment_pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_direction_and_losslessness(spark):
+    """A short doc quoted inside a long one: containment fires in the
+    probe→host direction only, Jaccard misses the pair entirely, and
+    the prefix-filtered result equals a brute-force python replay."""
+    from sparkfeat.dedup import containment_pairs
+
+    quote = " ".join(f"quoted{i}" for i in range(40))
+    host = quote + " " + " ".join(f"body{i}" for i in range(200))
+    other = " ".join(f"other{i}" for i in range(120))
+    rows = [(0, quote, "en"), (1, host, "en"), (2, other, "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r["probe_id"], r["host_id"]): r["containment"]
+        for r in containment_pairs(
+            df, threshold=0.9, min_tokens=10
+        ).collect()
+    }
+    assert got == {(0, 1): 1.0}  # quote ⊂ host; host ⊄ quote; other alone
+    # jaccard on the same pair is 40/240 — far below any useful bar
+    from sparkfeat.dedup import jaccard_pairs
+
+    assert jaccard_pairs(df, threshold=0.5).count() == 0
+
+    # brute-force replay over every ordered pair
+    sets = {i: set(t.lower().split()) for i, t, _ in rows}
+    want = {
+        (a, b): len(sets[a] & sets[b]) / len(sets[a])
+        for a in sets
+        for b in sets
+        if a != b
+        and len(sets[a]) >= 10
+        and len(sets[a] & sets[b]) / len(sets[a]) >= 0.9
+    }
+    assert set(got) == set(want)
+
+
+def test_containment_min_tokens_floor_and_bands(spark):
+    """Tiny probes are excluded by the floor (their containment is
+    noise), and pairs never cross language bands."""
+    from sparkfeat.dedup import containment_pairs
+
+    tiny = "common words here"
+    host_en = tiny + " " + " ".join(f"en{i}" for i in range(50))
+    host_fr = tiny + " " + " ".join(f"fr{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(0, tiny, "en"), (1, host_en, "en"), (2, host_fr, "fr")],
+        "doc_id long, text string, lang string",
+    )
+    # floor 10 excludes the 3-token probe → nothing fires
+    assert containment_pairs(df, threshold=0.9, min_tokens=10).count() == 0
+    # floor 3 admits it, but only within the en band
+    got = {
+        (r["probe_id"], r["host_id"])
+        for r in containment_pairs(
+            df, threshold=0.9, min_tokens=3
+        ).collect()
+    }
+    assert got == {(0, 1)}
+
+
+def test_containment_mutual_pair_yields_both_directions(spark):
+    from sparkfeat.dedup import containment_pairs
+
+    t = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(0, t, "en"), (1, t + " extra", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r["probe_id"], r["host_id"]): (r["n_common"], r["containment"])
+        for r in containment_pairs(
+            df, threshold=0.9, min_tokens=10
+        ).collect()
+    }
+    assert set(got) == {(0, 1), (1, 0)}
+    assert got[(0, 1)] == (60, 1.0)           # 0 fully inside 1
+    n_c, c = got[(1, 0)]
+    assert n_c == 60 and c == pytest.approx(60 / 61)
