@@ -183,6 +183,10 @@ BENCH_QUERIES = [
     "feature_drift_ks",
     # probe rank quality: Mann-Whitney fold over distinct scores
     "probe_rank_auc",
+    # feature relevance: binned MI, broadcast-only two-scan shape
+    "probe_feature_mi",
+    # KS over the engine's own generated features (flagship capstone)
+    "flagship_drift_ks",
 ]
 
 

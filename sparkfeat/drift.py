@@ -408,7 +408,12 @@ def ks_drift(
     median jump inside one wide bin) and to tail drift equal-width
     edges dilute. D = sup_x |F_ref(x) − F_cur(x)|; the sup over step
     ECDFs is attained at a pooled data point, so evaluating at every
-    pooled distinct value is exact, not an approximation.
+    pooled distinct value is exact, not an approximation. The same
+    cumulative pass also yields the Wasserstein-1 (earth-mover)
+    distance W1 = ∫|F_ref − F_cur| dx for free — the
+    magnitude-of-shift story KS's sup-gap deliberately ignores (KS
+    saturates; W1 scales with how FAR the distribution moved, in the
+    feature's own units).
 
     Engine-exact integer arithmetic (the house lcm/round-before-solve
     convention): per distinct value the cumulative counts c_ref, c_cur
@@ -470,14 +475,31 @@ def ks_drift(
     tot = pv.groupBy("feature").agg(
         F.sum("_na_v").alias("n_ref"), F.sum("_nb_v").alias("n_cur")
     )
-    gap = cum.join(F.broadcast(tot), "feature").withColumn(
-        "_ds",
-        F.abs(
-            F.col("_ca") * F.col("n_cur") - F.col("_cb") * F.col("n_ref")
-        ),
+    gap = (
+        cum.join(F.broadcast(tot), "feature")
+        .withColumn(
+            "_ds",
+            F.abs(
+                F.col("_ca") * F.col("n_cur") - F.col("_cb") * F.col("n_ref")
+            ),
+        )
+        # Δx to the next pooled value (same feature/value sort — Spark
+        # reuses the window's exchange); null on each feature's last
+        # row, where both ECDFs have reached 1 and the integral ends
+        .withColumn(
+            "_dx",
+            F.lead("value").over(
+                Window.partitionBy("feature").orderBy("value")
+            )
+            - F.col("value"),
+        )
     )
     mx = gap.groupBy("feature", "n_ref", "n_cur").agg(
-        F.max("_ds").alias("_dmax")
+        F.max("_ds").alias("_dmax"),
+        # Wasserstein-1 = ∫|F_ref − F_cur| dx: the scaled gap is an
+        # exact bigint, each addend is 6-dp-canonicalized before the
+        # (order-stable) sum, one division at the end
+        F.sum(F.round(F.col("_ds") * F.col("_dx"), 6)).alias("_w1s"),
     )
     at = (
         gap.select("feature", "value", "_ds")
@@ -513,5 +535,14 @@ def ks_drift(
             # both operands are identical 6-dp doubles in any engine,
             # so the boundary comparison is deterministic
             (ks_d > crit).alias("drifted"),
+            # earth-mover distance in value units — the magnitude-of-
+            # shift story KS's sup-gap deliberately ignores (KS of a
+            # tiny vs huge median shift can be equal; W1 scales with
+            # the shift). Null when either side is empty or the
+            # feature has a single pooled value (no intervals).
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.round(F.col("_w1s") / nn, 6),
+            ).alias("w1"),
         )
     )

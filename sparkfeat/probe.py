@@ -351,3 +351,125 @@ def rank_auc(df: DataFrame, score: Column, label: Column) -> DataFrame:
             ),
         ).alias("gini"),
     )
+
+
+def mi_table(
+    df: DataFrame,
+    feature: Column,
+    label: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Binned mutual information between a numeric feature and a binary
+    label — the feature-relevance acceptance check that precedes
+    :func:`linear_probe_fit` in the probe family (fit → ECE calibration
+    → rank AUC → MI relevance): AUC asks "does THIS scorer rank well",
+    MI asks "how much label information does the raw feature carry at
+    all" — including non-monotone dependence a linear probe (and AUC)
+    cannot see. I(B;Y) = Σ_cells p_bl·ln(n·c_bl / (c_b·c_l)), with the
+    marginals' entropies and NMI = I/√(H_B·H_Y) riding along.
+
+    Binning is :func:`calibration_table`'s: ``n_bins`` equal-width bins
+    between the 6-dp-rounded observed min/max (one map-side aggregate,
+    broadcast back — never a global sort), NULLIF-guarded for constant
+    features. Determinism: every count is an integer, the log argument
+    is a quotient of two exact BIGINT products, and each cell term is
+    rounded to 6 dp BEFORE the fold (the categorical_drift convention —
+    canonicalized addends make the sum order-stable); the entropies
+    fold the same way. ln's last-ulp libm variation is absorbed by the
+    6-dp canonicalization exactly as in the PSI monitor.
+
+    Scale shape: TWO corpus scans (range, then ONE map-side-combinable
+    ``groupBy(bin, label)``) and everything downstream flows ≤ 2·n_bins
+    rows through one-row broadcast crossJoins — fully lazy. Output: one
+    row per occupied (bin, label) cell — ``(bin, label, n_cell,
+    p_cell, mi_contrib)`` — with panel constants (``n``, ``mi_nats``,
+    ``h_bin``, ``h_label``, ``nmi``) on every row so the value hash
+    verifies the global solve (house convention). Null feature/label
+    rows are excluded (MI is over the observed joint)."""
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    d = df.where(feature.isNotNull() & label.isNotNull()).select(
+        feature.alias("_x"), label.cast("bigint").alias("_y")
+    )
+    rng = d.agg(r6(F.min("_x")).alias("_lo"), r6(F.max("_x")).alias("_hi"))
+    width = F.nullif(
+        (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins)), F.lit(0.0)
+    )
+    binned = d.crossJoin(F.broadcast(rng)).withColumn(
+        "_bin",
+        F.coalesce(
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("_x") - F.col("_lo")) / width).cast("int"),
+                ),
+            ),
+            F.lit(0),
+        ),
+    )
+    cells = binned.groupBy("_bin", "_y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cell")
+    )
+    margb = cells.groupBy("_bin").agg(F.sum("n_cell").alias("_cb"))
+    margl = cells.groupBy("_y").agg(F.sum("n_cell").alias("_cl"))
+    tot = cells.agg(F.sum("n_cell").cast("bigint").alias("n"))
+    j = (
+        cells.join(F.broadcast(margb), "_bin")
+        .join(F.broadcast(margl), "_y")
+        .crossJoin(F.broadcast(tot))
+    )
+    contrib = r6(
+        (F.col("n_cell").cast("double") / F.col("n").cast("double"))
+        * F.log(
+            (F.col("n") * F.col("n_cell")).cast("double")
+            / (F.col("_cb") * F.col("_cl")).cast("double")
+        )
+    )
+    per = j.select(
+        F.col("_bin").alias("bin"),
+        F.col("_y").alias("label"),
+        "n_cell",
+        r6(F.col("n_cell").cast("double") / F.col("n").cast("double")).alias(
+            "p_cell"
+        ),
+        contrib.alias("mi_contrib"),
+        "n",
+    )
+    ent = lambda cnt: r6(  # noqa: E731  — marginal entropy term, nats
+        (cnt.cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("n").cast("double") / cnt.cast("double"))
+    )
+    hb = (
+        margb.crossJoin(F.broadcast(tot))
+        .select(ent(F.col("_cb")).alias("_t"))
+        .agg(r6(F.sum("_t")).alias("h_bin"))
+    )
+    hl = (
+        margl.crossJoin(F.broadcast(tot))
+        .select(ent(F.col("_cl")).alias("_t"))
+        .agg(r6(F.sum("_t")).alias("h_label"))
+    )
+    mi = per.agg(r6(F.sum("mi_contrib")).alias("mi_nats"))
+    return (
+        per.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hb))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            "bin",
+            "label",
+            "n_cell",
+            "p_cell",
+            "mi_contrib",
+            "n",
+            "mi_nats",
+            "h_bin",
+            "h_label",
+            F.when(
+                (F.col("h_bin") > 0) & (F.col("h_label") > 0),
+                r6(
+                    F.col("mi_nats")
+                    / F.sqrt(F.col("h_bin") * F.col("h_label"))
+                ),
+            ).alias("nmi"),
+        )
+    )

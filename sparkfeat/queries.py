@@ -8693,10 +8693,17 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Two-sample KS drift (sparkfeat.drift.ks_drift)
 # ---------------------------------------------------------------------------
 
-_KS_DRIFT_ORACLE = f"""WITH src AS (
-    SELECT * FROM (WITH {TRANSCRIPTS_CTE}
-        SELECT *, {TURN_SIGNALS_SQL} FROM transcripts) _panel
-),
+def _ks_sql(panel_sql: str, features: list[str]) -> str:
+    """Generic DuckDB twin of ``drift.ks_drift`` over the same
+    first-half vs second-half time split as ``_drift_sql``:
+    ``panel_sql`` must emit ``ts`` plus the ``features`` columns. The
+    fold runs on the SCALED integer gap |c_ref·n_cur − c_cur·n_ref|
+    so max/argmax are exact in both engines."""
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT _w, '{f}' AS feature, CAST(\"{f}\" AS DOUBLE) AS value FROM w"
+        for f in features
+    )
+    return f"""WITH src AS (SELECT * FROM ({panel_sql}) _panel),
 b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM src),
 w AS (
     SELECT src.*,
@@ -8705,7 +8712,7 @@ w AS (
     FROM src, b
 ),
 lng AS (
-    {_QPSI_UNIONS}
+    {unions}
 ),
 pv AS (
     SELECT feature, ROUND(value, 6) AS value,
@@ -8729,10 +8736,13 @@ cum AS (
 gap AS (
     SELECT c.feature, c.value,
         CAST(ABS(c.ca * t.n_cur - c.cb * t.n_ref) AS BIGINT) AS ds,
+        LEAD(c.value) OVER (PARTITION BY c.feature ORDER BY c.value)
+            - c.value AS dx,
         t.n_ref, t.n_cur
     FROM cum c JOIN tot t USING (feature)
 ),
-mx AS (SELECT feature, n_ref, n_cur, MAX(ds) AS dmax
+mx AS (SELECT feature, n_ref, n_cur, MAX(ds) AS dmax,
+              SUM(ROUND(ds * dx, 6)) AS w1s
        FROM gap GROUP BY 1, 2, 3),
 at AS (
     SELECT g.feature, MIN(g.value) AS ks_at
@@ -8745,12 +8755,40 @@ fin AS (
               / CAST(mx.n_ref * mx.n_cur AS DOUBLE), 6) AS ks_d,
         at.ks_at,
         ROUND(1.358 * SQRT(CAST(mx.n_ref + mx.n_cur AS DOUBLE)
-              / CAST(mx.n_ref * mx.n_cur AS DOUBLE)), 6) AS crit_05
+              / CAST(mx.n_ref * mx.n_cur AS DOUBLE)), 6) AS crit_05,
+        ROUND(w1s / CAST(mx.n_ref * mx.n_cur AS DOUBLE), 6) AS w1
     FROM mx JOIN at USING (feature)
 )
 SELECT feature, n_ref, n_cur, ks_d, ks_at, crit_05,
-    CAST(CASE WHEN ks_d > crit_05 THEN 1 ELSE 0 END AS INTEGER) AS drifted
+    CAST(CASE WHEN ks_d > crit_05 THEN 1 ELSE 0 END AS INTEGER) AS drifted,
+    w1
 FROM fin"""
+
+
+_KS_DRIFT_ORACLE = _ks_sql(
+    f"WITH {TRANSCRIPTS_CTE} SELECT *, {TURN_SIGNALS_SQL} FROM transcripts",
+    _QPSI_FEATS,
+)
+
+
+def _time_split_ks(panel: DataFrame, features: list[str]) -> DataFrame:
+    """Spark twin of ``_ks_sql``: the `_time_split_drift` midpoint
+    split (lazy broadcast MIN/MAX, no driver collect) feeding
+    `drift.ks_drift`'s integer-exact fold."""
+    from sparkfeat.drift import ks_drift
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = panel.agg(F.min(us).alias("_mn"), F.max(us).alias("_mx"))
+    mid = F.floor((F.col("_mn") + F.col("_mx")) / F.lit(2.0)).cast("long")
+    base = panel.crossJoin(F.broadcast(bounds)).withColumn(
+        "_w", F.when(us < mid, "ref").otherwise("cur")
+    )
+    out = ks_drift(
+        base.filter(F.col("_w") == "ref"),
+        base.filter(F.col("_w") == "cur"),
+        features,
+    )
+    return out.withColumn("drifted", F.col("drifted").cast("int"))
 
 
 @register("feature_drift_ks", _KS_DRIFT_ORACLE, driver=False)
@@ -8765,22 +8803,35 @@ def q_feature_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; duplicate values collapse in a map-side-combinable
     (feature, value) aggregate BEFORE anything shuffles, so the window
     state is the distinct-value table, invariant in corpus rows."""
-    from sparkfeat.drift import ks_drift
     from sparkfeat.schema import transcripts_from_events, with_turn_signals
 
     sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    bounds = sig.agg(F.min(us).alias("_mn"), F.max(us).alias("_mx"))
-    mid = F.floor((F.col("_mn") + F.col("_mx")) / F.lit(2.0)).cast("long")
-    base = sig.crossJoin(F.broadcast(bounds)).withColumn(
-        "_w", F.when(us < mid, "ref").otherwise("cur")
+    return _time_split_ks(sig, _QPSI_FEATS)
+
+
+_FLAGSHIP_KS_ORACLE = _ks_sql(
+    _FLAGSHIP_ORACLE,
+    ["text_len_lr", "text_len_vol", "text_len_stoch_k", "token_est_ker"],
+)
+
+
+@register("flagship_drift_ks", _FLAGSHIP_KS_ORACLE, driver=False)
+def q_flagship_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS drift over the engine's OWN generated feature panel — the
+    capstone pairing of flagship_drift_psi: the flagship point-in-time
+    features (clipped log-return, rolling vol, stochastic %K, Kaufman
+    ER) compared first-half vs second-half by the exact two-sample KS
+    statistic. The features are already 6-dp-rounded by the flagship
+    query, so the distinct-value collapse and the integer gap fold are
+    engine-exact end-to-end; warm-up-window nulls are excluded per
+    side (KS is over the observed ECDFs — the PSI twin carries the
+    null-rate story). The oracle nests the full flagship window
+    pipeline replay inside the KS fold."""
+    panel = q_flagship(spark, sf_dir)
+    return _time_split_ks(
+        panel,
+        ["text_len_lr", "text_len_vol", "text_len_stoch_k", "token_est_ker"],
     )
-    out = ks_drift(
-        base.filter(F.col("_w") == "ref"),
-        base.filter(F.col("_w") == "cur"),
-        ["text_len", "token_est", "is_tool"],
-    )
-    return out.withColumn("drifted", F.col("drifted").cast("int"))
 
 
 # ---------------------------------------------------------------------------
@@ -8848,6 +8899,87 @@ def q_probe_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_auc(scored, F.col("score"), label)
 
 
+# ---------------------------------------------------------------------------
+# Feature relevance: binned mutual information (sparkfeat.probe.mi_table)
+# ---------------------------------------------------------------------------
+
+
+def _mi_oracle() -> str:
+    # calibration_table's equal-width binning replayed over the raw
+    # feature, then the MI fold: every log argument is a quotient of
+    # exact BIGINT products, every cell/entropy term rounded to 6 dp
+    # BEFORE its sum (order-stable canonicalized addends, the
+    # categorical_drift convention).
+    return f"""WITH d AS (
+  SELECT
+    CAST(LEN(list_filter({_TOKS}, w -> w IN {_STOP_SQL})) AS DOUBLE)
+        / LEN({_TOKS}) AS x,
+    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM documents WHERE text IS NOT NULL
+),
+d2 AS (SELECT x, y FROM d WHERE x IS NOT NULL),
+r AS (SELECT ROUND(MIN(x), 6) AS lo, ROUND(MAX(x), 6) AS hi FROM d2),
+b AS (
+  SELECT COALESCE(LEAST(9, GREATEST(0,
+           CAST(FLOOR((x - lo) / NULLIF((hi - lo) / 10.0, 0))
+                AS INTEGER))), 0) AS bin, y
+  FROM d2, r
+),
+cells AS (
+  SELECT bin, y, CAST(COUNT(*) AS BIGINT) AS n_cell FROM b GROUP BY 1, 2
+),
+mb AS (SELECT bin, CAST(SUM(n_cell) AS BIGINT) AS cb FROM cells GROUP BY 1),
+ml AS (SELECT y, CAST(SUM(n_cell) AS BIGINT) AS cl FROM cells GROUP BY 1),
+t AS (SELECT CAST(SUM(n_cell) AS BIGINT) AS n FROM cells),
+per AS (
+  SELECT c.bin, c.y AS label, c.n_cell,
+    ROUND(CAST(c.n_cell AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_cell,
+    ROUND((CAST(c.n_cell AS DOUBLE) / CAST(n AS DOUBLE))
+          * LN(CAST(n * c.n_cell AS DOUBLE)
+               / CAST(cb * cl AS DOUBLE)), 6) AS mi_contrib,
+    n
+  FROM cells c JOIN mb USING (bin) JOIN ml ON c.y = ml.y, t
+),
+mi AS (SELECT ROUND(SUM(mi_contrib), 6) AS mi_nats FROM per),
+hb AS (
+  SELECT ROUND(SUM(ROUND((CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+      * LN(CAST(n AS DOUBLE) / CAST(cb AS DOUBLE)), 6)), 6) AS h_bin
+  FROM mb, t
+),
+hl AS (
+  SELECT ROUND(SUM(ROUND((CAST(cl AS DOUBLE) / CAST(n AS DOUBLE))
+      * LN(CAST(n AS DOUBLE) / CAST(cl AS DOUBLE)), 6)), 6) AS h_label
+  FROM ml, t
+)
+SELECT per.bin, per.label, per.n_cell, per.p_cell, per.mi_contrib, per.n,
+  mi.mi_nats, hb.h_bin, hl.h_label,
+  CASE WHEN h_bin > 0 AND h_label > 0
+       THEN ROUND(mi_nats / SQRT(h_bin * h_label), 6) END AS nmi
+FROM per, mi, hb, hl"""
+
+
+@register("probe_feature_mi", _mi_oracle(), driver=False)
+def q_probe_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned mutual information between the stopword-ratio feature and
+    the en-label (sparkfeat.probe.mi_table) — the feature-relevance
+    acceptance check that PRECEDES the probe fit in the probe family:
+    MI sees non-monotone label dependence a linear probe (and its AUC)
+    cannot, so it is the audit for "is this feature worth fitting at
+    all". Equal-width 10-bin layout shared with the calibration query;
+    all log arguments are quotients of exact bigint products and every
+    addend is 6-dp-canonicalized before its fold, so both engines sum
+    identical doubles."""
+    from sparkfeat import text as X
+    from sparkfeat.probe import mi_table
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+    )
+    label = (F.col("lang") == "en").cast("double")
+    return mi_table(docs, X.stopword_ratio("text"), label)
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -8883,7 +9015,7 @@ def q_probe_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # conv_near_loops, conv_window_fit, dedup_cluster_keep_best,
 # bpe_fertility, doc_winnow_fingerprints, dedup_winnow_pairs,
 # arena_krippendorff_alpha, dedup_containment_pairs, feature_drift_ks,
-# probe_rank_auc —
+# probe_rank_auc, probe_feature_mi, flagship_drift_ks —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

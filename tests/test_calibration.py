@@ -132,3 +132,84 @@ def test_auc_perfect_inverted_random(spark):
 def test_auc_single_class_is_null(spark):
     row = _auc_row(spark, [1, 2, 3], [1, 1, 1])
     assert row.n_neg == 0 and row.auc is None and row.gini is None
+
+
+# ---------------------------------------------------------------------------
+# mi_table — binned mutual information feature-relevance audit
+# ---------------------------------------------------------------------------
+
+
+def _py_mi(xs, ys, n_bins=10):
+    """Numpy-free reference: same binning, exact-count MI in nats."""
+    import math
+
+    lo, hi = round(min(xs), 6), round(max(xs), 6)
+    width = (hi - lo) / n_bins if hi > lo else None
+
+    def bucket(v):
+        if width is None:
+            return 0
+        return max(0, min(n_bins - 1, math.floor((v - lo) / width)))
+
+    from collections import Counter
+
+    cells = Counter((bucket(x), y) for x, y in zip(xs, ys))
+    n = sum(cells.values())
+    cb = Counter()
+    cl = Counter()
+    for (b, y), c in cells.items():
+        cb[b] += c
+        cl[y] += c
+    mi = sum(
+        round((c / n) * math.log((n * c) / (cb[b] * cl[y])), 6)
+        for (b, y), c in cells.items()
+    )
+    hl = sum(round((c / n) * math.log(n / c), 6) for c in cl.values())
+    return round(mi, 6), round(hl, 6)
+
+
+def _mi_rows(spark, xs, ys):
+    from sparkfeat.probe import mi_table
+
+    df = spark.createDataFrame(
+        list(zip([float(x) for x in xs], [float(y) for y in ys])),
+        "x double, y double",
+    )
+    return mi_table(df, F.col("x"), F.col("y")).collect()
+
+
+def test_mi_matches_python_reference(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    ys = [int(v) for v in rng.integers(0, 2, 400)]
+    # label-dependent location shift => positive MI
+    xs = [float(round(y * 0.8 + v, 2)) for y, v in zip(ys, rng.normal(0, 1, 400))]
+    rows = _mi_rows(spark, xs, ys)
+    mi, hl = _py_mi(xs, ys)
+    assert rows[0].mi_nats == mi and rows[0].h_label == hl
+    assert rows[0].mi_nats > 0.05
+    # cell probabilities are a distribution
+    assert abs(sum(r.p_cell for r in rows) - 1.0) < 1e-4
+
+
+def test_mi_independent_near_zero_and_deterministic_near_entropy(spark):
+    # independent: feature cycles independently of the label
+    xs = [float(i % 10) for i in range(400)]
+    ys = [(i // 10) % 2 for i in range(400)]
+    ind = _mi_rows(spark, xs, ys)[0]
+    assert abs(ind.mi_nats) < 0.01
+    # deterministic: label is a function of the bin -> MI == H_label
+    xs2 = [0.0] * 100 + [9.0] * 300
+    ys2 = [0] * 100 + [1] * 300
+    det = _mi_rows(spark, xs2, ys2)[0]
+    assert abs(det.mi_nats - det.h_label) < 1e-6
+    # bins and labels induce the SAME partition -> perfect NMI
+    assert det.nmi == 1.0
+
+
+def test_mi_constant_feature_zero_info(spark):
+    rows = _mi_rows(spark, [5.0] * 40, [0, 1] * 20)
+    assert len(rows) == 2  # one bin x two labels
+    r = rows[0]
+    assert r.mi_nats == 0.0 and r.h_bin == 0.0 and r.nmi is None

@@ -427,3 +427,34 @@ def test_ks_argmax_smallest_value_tiebreak(spark):
     # two values attain the same scaled gap; ks_at must be the smaller
     row = _two(spark, [1.0, 2.0], [3.0, 4.0])
     assert row.ks_d == 1.0 and row.ks_at == 2.0
+
+
+def test_ks_wasserstein_matches_reference_and_units(spark):
+    import numpy as np
+
+    def py_w1(a, b):
+        vals = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        ca = cb = 0
+        tot = 0.0
+        for v, nxt in zip(vals, vals[1:]):
+            ca += sum(1 for x in a if x == v)
+            cb += sum(1 for x in b if x == v)
+            tot += round(abs(ca * nb - cb * na) * (nxt - v), 6)
+        return round(tot / (na * nb), 6)
+
+    rng = np.random.default_rng(41)
+    ref = [float(round(v, 2)) for v in rng.normal(0, 1, 300)]
+    cur = [float(round(v + 2.5, 2)) for v in rng.normal(0, 1, 250)]
+    row = _two(spark, ref, cur)
+    assert row.w1 == py_w1(ref, cur)
+    # a pure location shift: W1 ~= the shift itself, in value units
+    assert 2.2 < row.w1 < 2.8
+    # KS is already deep in "drifted" territory on the same input —
+    # but bounded by 1, while W1 carries the actual shift magnitude
+    assert row.ks_d > 0.7 and row.drifted
+    # identical windows: zero distance
+    assert _two(spark, ref, list(ref)).w1 == 0.0
+    # single pooled value: no intervals -> null W1, zero KS
+    single = _two(spark, [3.0, 3.0], [3.0])
+    assert single.w1 is None and single.ks_d == 0.0

@@ -357,3 +357,27 @@ def test_rank_auc_groups_before_window_no_corpus_sort(spark):
     single = p.index("Exchange SinglePartition")
     assert "HashAggregate" in p, p
     assert single < agg or p.count("Exchange") >= 2, p
+
+
+def test_mi_table_broadcast_no_sort_no_window(spark, sf_dir):
+    """mi_table: binning from a broadcast (min,max) row, marginals and
+    totals as broadcast joins of ≤2·n_bins-row tables — no window, no
+    global sort, no cartesian anywhere; the corpus is scanned twice
+    (range + cells) and never shuffled on anything wider than the
+    (bin, label) key."""
+    from sparkfeat.probe import mi_table
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+    )
+    out = mi_table(
+        docs,
+        F.length("text").cast("double"),
+        (F.col("lang") == "en").cast("double"),
+    )
+    p = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Sort [" not in p, p
