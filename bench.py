@@ -187,6 +187,10 @@ BENCH_QUERIES = [
     "probe_feature_mi",
     # KS over the engine's own generated features (flagship capstone)
     "flagship_drift_ks",
+    # link analysis: 3-round in-plan PageRank over the domain graph,
+    # and the HITS hub/authority split on the same edges
+    "corpus_domain_pagerank",
+    "corpus_domain_hits",
 ]
 
 

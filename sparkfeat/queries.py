@@ -8980,6 +8980,188 @@ def q_probe_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mi_table(docs, X.stopword_ratio("text"), label)
 
 
+# ---------------------------------------------------------------------------
+# Link analysis: in-plan PageRank over the outlink domain graph
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_sql(edges_sql: str, iters: int = 3, damping: float = 0.85) -> str:
+    """DuckDB twin of ``graph.pagerank``: the power method UNROLLED as
+    ``iters`` CTE stages — dangling mass, contribution spread, gather,
+    update — with every addend and every rank rounded to 9 dp before
+    its sum, exactly the operator's canonicalization, so each round is
+    bit-identical and the final 6-dp ranks hash-match. ``edges_sql``
+    must emit ``(s, d, w)``."""
+    dd, one_minus = repr(float(damping)), repr(1.0 - float(damping))
+    parts = [
+        f"""WITH e AS ({edges_sql}),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+outw AS (SELECT s AS node, ROUND(SUM(w), 9) AS wout FROM e GROUP BY 1),
+b AS (SELECT nodes.node, outw.wout FROM nodes LEFT JOIN outw USING (node)),
+r0 AS (SELECT node, wout, ROUND(1.0 / n, 9) AS rank FROM b, t)"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""",
+d{k} AS (SELECT COALESCE(ROUND(SUM(CASE WHEN wout IS NULL THEN rank END),
+                               9), 0.0) AS dang FROM r{k}),
+c{k} AS (SELECT e.d AS node, ROUND(r.rank * e.w / r.wout, 9) AS c
+         FROM r{k} r JOIN e ON r.node = e.s WHERE r.wout IS NOT NULL),
+g{k} AS (SELECT node, ROUND(SUM(c), 9) AS inr FROM c{k} GROUP BY 1),
+r{k + 1} AS (
+    SELECT b.node, b.wout,
+        ROUND({one_minus} / n
+              + {dd} * (COALESCE(g.inr, 0.0) + d.dang / n), 9) AS rank
+    FROM b LEFT JOIN g{k} g USING (node), t, d{k} d
+)"""
+        )
+    parts.append(
+        f""",
+tot AS (SELECT ROUND(SUM(rank), 6) AS rank_sum FROM r{iters})
+SELECT node, ROUND(rank, 6) AS rank, n AS n_nodes, rank_sum
+FROM r{iters}, t, tot"""
+    )
+    return "".join(parts)
+
+
+_PAGERANK_EDGES_SQL = f"""SELECT source AS s, domain AS d,
+    CAST(COUNT(*) AS DOUBLE) AS w
+FROM (
+    SELECT source,
+        lower(unnest(regexp_extract_all(t0, 'https?://([^/\\s:?#]+)', 1)))
+            AS domain
+    FROM (SELECT source, {_URL_AUG_SQL} AS t0 FROM documents)
+)
+GROUP BY 1, 2"""
+
+
+def _domain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared source → outlink-domain weighted edge table for the link-
+    analysis queries (PageRank / HITS): corpus_domain_stats' planted
+    URLs, extracted map-only, weighted by occurrence count."""
+    from sparkfeat.text import extract_domains
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" see https://ex"),
+                (did % 7).cast("string"),
+                F.lit(".com/p/"),
+                did.cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" at http://sub.ex"),
+                (did % 5).cast("string"),
+                F.lit(".org:8080/x"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" and https://EX"),
+                (did % 7).cast("string"),
+                F.lit(".com/q?u=1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = extract_domains(docs.withColumn("text", aug))
+    return (
+        d.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "domain")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "corpus_domain_pagerank", _pagerank_sql(_PAGERANK_EDGES_SQL), driver=False
+)
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the source → outlink-domain citation graph
+    (sparkfeat.graph.pagerank, 3 power-method rounds, d = 0.85) — the
+    link-analysis signal crawl curation ranks domains by before it
+    ranks documents (harvest ordering, link-spam demotion, per-domain
+    quality priors). Edges reuse corpus_domain_stats' deterministic
+    URL planting (the corpus carries no links) weighted by occurrence
+    count; sources only emit links, domains only receive, so the
+    domain side accumulates rank while source nodes hold teleport +
+    dangling mass — both replayed exactly by the unrolled oracle. The
+    ``rank_sum`` constant column makes the value hash verify rank
+    conservation (Σr = 1), not just per-node arithmetic."""
+    from sparkfeat.graph import pagerank
+
+    edges = _domain_edges(spark, sf_dir)
+    return pagerank(edges, iters=3, src="source", dst="domain", weight="cnt")
+
+
+def _hits_sql(edges_sql: str, iters: int = 3) -> str:
+    """DuckDB twin of ``graph.hits``: the mutual hub/authority
+    recursion UNROLLED as CTE stages with L1 normalization each
+    half-round and the operator's exact 9-dp canonicalization (per-edge
+    product rounded, gather sum rounded, normalized score rounded)."""
+    parts = [
+        f"""WITH e AS ({edges_sql}),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+h0 AS (SELECT node, ROUND(1.0 / n, 9) AS hub FROM nodes, t)"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""",
+ar{k} AS (SELECT e.d AS node, ROUND(SUM(ROUND(h.hub * e.w, 9)), 9) AS raw
+          FROM h{k} h JOIN e ON h.node = e.s GROUP BY 1),
+at{k} AS (SELECT SUM(raw) AS tot FROM ar{k}),
+a{k + 1} AS (
+    SELECT nodes.node, ROUND(COALESCE(ar.raw, 0.0) / at.tot, 9) AS auth
+    FROM nodes LEFT JOIN ar{k} ar USING (node), at{k} at
+),
+hr{k} AS (SELECT e.s AS node, ROUND(SUM(ROUND(a.auth * e.w, 9)), 9) AS raw
+          FROM a{k + 1} a JOIN e ON a.node = e.d GROUP BY 1),
+ht{k} AS (SELECT SUM(raw) AS tot FROM hr{k}),
+h{k + 1} AS (
+    SELECT nodes.node, ROUND(COALESCE(hr.raw, 0.0) / ht.tot, 9) AS hub
+    FROM nodes LEFT JOIN hr{k} hr USING (node), ht{k} ht
+)"""
+        )
+    parts.append(
+        f""",
+fin AS (SELECT h.node, h.hub, a.auth
+        FROM h{iters} h JOIN a{iters} a USING (node)),
+sums AS (SELECT ROUND(SUM(hub), 6) AS hub_sum,
+                ROUND(SUM(auth), 6) AS auth_sum FROM fin)
+SELECT node, ROUND(hub, 6) AS hub, ROUND(auth, 6) AS auth,
+       hub_sum, auth_sum
+FROM fin, sums"""
+    )
+    return "".join(parts)
+
+
+@register("corpus_domain_hits", _hits_sql(_PAGERANK_EDGES_SQL), driver=False)
+def q_domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the same source → outlink-domain
+    graph as corpus_domain_pagerank (sparkfeat.graph.hits, 3 rounds,
+    L1-normalized): PageRank says where rank flows, HITS separates
+    "links to good places" (hub — the well-sourced crawl source) from
+    "linked by good hubs" (authority — the domain worth harvesting).
+    On this bipartite planting the sources carry all hub mass and the
+    domains all authority mass, with the back-edge-free direction
+    pinned at exactly 0 — both conservation constants (hub_sum,
+    auth_sum = 1) ride every row for the value hash."""
+    from sparkfeat.graph import hits
+
+    edges = _domain_edges(spark, sf_dir)
+    return hits(edges, iters=3, src="source", dst="domain", weight="cnt")
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -9015,7 +9197,8 @@ def q_probe_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # conv_near_loops, conv_window_fit, dedup_cluster_keep_best,
 # bpe_fertility, doc_winnow_fingerprints, dedup_winnow_pairs,
 # arena_krippendorff_alpha, dedup_containment_pairs, feature_drift_ks,
-# probe_rank_auc, probe_feature_mi, flagship_drift_ks —
+# probe_rank_auc, probe_feature_mi, flagship_drift_ks,
+# corpus_domain_pagerank, corpus_domain_hits —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #
