@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     # and the HITS hub/authority split on the same edges
     "corpus_domain_pagerank",
     "corpus_domain_hits",
+    # seeded-teleport TrustRank (spam-demotion variant, same edges)
+    "corpus_domain_trustrank",
 ]
 
 

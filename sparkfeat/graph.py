@@ -56,20 +56,34 @@ def pagerank(
     dst: str = "dst",
     weight: str | None = None,
     checkpoint: bool = False,
+    seeds: DataFrame | None = None,
+    seed_node: str = "node",
+    seed_weight: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank over ``edges`` by fixed-iteration power method.
 
     Node set = distinct(src ∪ dst). Per round, with W_out(u) the total
-    out-weight of u and D the dangling mass (rank sitting on nodes with
-    no out-edges — redistributed uniformly, the standard correction):
+    out-weight of u, D the dangling mass (rank sitting on nodes with
+    no out-edges), and t(·) the teleport distribution:
 
-        r'(v) = (1−d)/N + d·( Σ_{u→v} r(u)·w(u,v)/W_out(u) + D/N )
+        r'(v) = (1−d)·t(v) + d·( Σ_{u→v} r(u)·w(u,v)/W_out(u) + D·t(v) )
 
     which preserves Σr = 1 each round (up to the 9-dp canonicalization;
     the output's ``rank_sum`` constant column lets the value hash
     verify conservation). ``weight=None`` means unweighted (w = 1).
     Multi-edges are legal and simply add weight; self-loops are kept
     (they retain rank like any edge).
+
+    ``seeds=None`` is classic PageRank: t uniform = 1/N (computed as
+    the exact ``/N`` division, not a stored vector). Passing ``seeds``
+    — a ``(seed_node[, seed_weight])`` frame — gives TrustRank /
+    personalized PageRank (Gyöngyi et al. 2004): teleport AND dangling
+    mass flow only to the trusted seed set (L1-normalized, 9-dp), so
+    rank reaches other nodes ONLY through links from trust — the
+    link-spam-demotion scheme (a spam cluster citing itself gets no
+    teleport floor to amplify; an unseeded node with no trusted path
+    decays toward 0). Seed rows for nodes absent from the graph are
+    ignored by the join; non-seed nodes get t = 0.
 
     Returns one row per node: ``(node, rank, n_nodes, rank_sum)`` with
     ``rank`` rounded to 6 dp — ready for the broadcast-join back onto a
@@ -91,12 +105,39 @@ def pagerank(
     # 10⁹ nodes both sides must hash-partition (AQE still broadcasts
     # small solves on its own)
     base = nodes.join(outw, "node", "left")
+    if seeds is not None:
+        sw = (
+            F.col(seed_weight).cast("double") if seed_weight else F.lit(1.0)
+        )
+        tele = seeds.select(
+            F.col(seed_node).alias("node"), sw.alias("_sw")
+        )
+        # keep only seeds that are graph nodes BEFORE normalizing, so
+        # t sums to exactly 1 over the node set
+        in_graph = tele.join(nodes, "node")
+        tsum = in_graph.agg(F.sum("_sw").alias("_ts"))
+        base = (
+            base.join(in_graph, "node", "left")
+            .crossJoin(F.broadcast(tsum))
+            .withColumn(
+                "_t",
+                _r9(
+                    F.coalesce(F.col("_sw"), F.lit(0.0)) / F.col("_ts")
+                ),
+            )
+            .drop("_sw", "_ts")
+        )
     if checkpoint:
         base = base.localCheckpoint(eager=False)
-    r = base.crossJoin(F.broadcast(n)).select(
-        "node", "_wout", "_n", _r9(F.lit(1.0) / F.col("_n")).alias("rank")
-    )
     d = float(damping)
+    tcol = F.col("_t") if seeds is not None else None
+    keep = ["node", "_wout", *(["_t"] if seeds is not None else []), "_n"]
+    r = base.crossJoin(F.broadcast(n)).select(
+        *keep,
+        (
+            tcol if seeds is not None else _r9(F.lit(1.0) / F.col("_n"))
+        ).alias("rank"),
+    )
     for _ in range(iters):
         dang = r.agg(
             F.coalesce(
@@ -115,23 +156,22 @@ def pagerank(
             )
         )
         gathered = contrib.groupBy("node").agg(_r9(F.sum("_c")).alias("_in"))
+        inflow = F.coalesce(F.col("_in"), F.lit(0.0))
+        if seeds is not None:
+            update = (1.0 - d) * tcol + F.lit(d) * (
+                inflow + F.col("_dang") * tcol
+            )
+        else:
+            # keep the EXACT division form (x/n is not bit-equal to
+            # x·(1/n)) — the uniform oracle replays this arithmetic
+            update = (1.0 - d) / F.col("_n") + F.lit(d) * (
+                inflow + F.col("_dang") / F.col("_n")
+            )
         r = (
             base.join(gathered, "node", "left")
             .crossJoin(F.broadcast(n))
             .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                "_wout",
-                "_n",
-                _r9(
-                    (1.0 - d) / F.col("_n")
-                    + F.lit(d)
-                    * (
-                        F.coalesce(F.col("_in"), F.lit(0.0))
-                        + F.col("_dang") / F.col("_n")
-                    )
-                ).alias("rank"),
-            )
+            .select(*keep, _r9(update).alias("rank"))
         )
         if checkpoint:
             r = r.localCheckpoint(eager=False)

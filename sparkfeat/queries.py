@@ -8985,22 +8985,57 @@ def q_probe_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pagerank_sql(edges_sql: str, iters: int = 3, damping: float = 0.85) -> str:
+def _pagerank_sql(
+    edges_sql: str,
+    iters: int = 3,
+    damping: float = 0.85,
+    teleport_sql: str | None = None,
+) -> str:
     """DuckDB twin of ``graph.pagerank``: the power method UNROLLED as
     ``iters`` CTE stages — dangling mass, contribution spread, gather,
     update — with every addend and every rank rounded to 9 dp before
     its sum, exactly the operator's canonicalization, so each round is
     bit-identical and the final 6-dp ranks hash-match. ``edges_sql``
-    must emit ``(s, d, w)``."""
+    must emit ``(s, d, w)``. ``teleport_sql`` (emitting ``(node, sw)``;
+    may reference the ``e`` CTE) switches to the TrustRank form:
+    teleport and dangling mass flow by the L1-normalized seed vector
+    instead of 1/N — the operator's seeded branch, including its
+    multiplication (not division) arithmetic."""
     dd, one_minus = repr(float(damping)), repr(1.0 - float(damping))
+    if teleport_sql is None:
+        base_ctes = """b AS (SELECT nodes.node, outw.wout
+     FROM nodes LEFT JOIN outw USING (node)),
+r0 AS (SELECT node, wout, ROUND(1.0 / n, 9) AS rank FROM b, t)"""
+        update = (
+            f"ROUND({one_minus} / n\n"
+            f"              + {dd} * (COALESCE(g.inr, 0.0)"
+            f" + d.dang / n), 9) AS rank"
+        )
+        bt = ""
+    else:
+        base_ctes = f"""tele AS (
+    SELECT tl.node, tl.sw FROM ({teleport_sql}) tl JOIN nodes USING (node)
+),
+ts AS (SELECT SUM(sw) AS tsum FROM tele),
+b AS (SELECT b0.node, b0.wout,
+          ROUND(COALESCE(tele.sw, 0.0) / ts.tsum, 9) AS tv
+      FROM (SELECT nodes.node, outw.wout
+            FROM nodes LEFT JOIN outw USING (node)) b0
+      LEFT JOIN tele USING (node), ts),
+r0 AS (SELECT node, wout, tv, tv AS rank FROM b)"""
+        update = (
+            f"ROUND({one_minus} * b.tv\n"
+            f"              + {dd} * (COALESCE(g.inr, 0.0)"
+            f" + d.dang * b.tv), 9) AS rank"
+        )
+        bt = ", b.tv"
     parts = [
         f"""WITH e AS ({edges_sql}),
 nodes AS (SELECT DISTINCT node
           FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
 t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
 outw AS (SELECT s AS node, ROUND(SUM(w), 9) AS wout FROM e GROUP BY 1),
-b AS (SELECT nodes.node, outw.wout FROM nodes LEFT JOIN outw USING (node)),
-r0 AS (SELECT node, wout, ROUND(1.0 / n, 9) AS rank FROM b, t)"""
+{base_ctes}"""
     ]
     for k in range(iters):
         parts.append(
@@ -9011,9 +9046,8 @@ c{k} AS (SELECT e.d AS node, ROUND(r.rank * e.w / r.wout, 9) AS c
          FROM r{k} r JOIN e ON r.node = e.s WHERE r.wout IS NOT NULL),
 g{k} AS (SELECT node, ROUND(SUM(c), 9) AS inr FROM c{k} GROUP BY 1),
 r{k + 1} AS (
-    SELECT b.node, b.wout,
-        ROUND({one_minus} / n
-              + {dd} * (COALESCE(g.inr, 0.0) + d.dang / n), 9) AS rank
+    SELECT b.node, b.wout{bt},
+        {update}
     FROM b LEFT JOIN g{k} g USING (node), t, d{k} d
 )"""
         )
@@ -9162,6 +9196,42 @@ def q_domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iters=3, src="source", dst="domain", weight="cnt")
 
 
+_TRUSTRANK_SEEDS_SQL = """SELECT DISTINCT s AS node, 1.0 AS sw FROM e
+WHERE CAST(SUBSTR(s, 4) AS INTEGER) % 3 = 0"""
+
+
+@register(
+    "corpus_domain_trustrank",
+    _pagerank_sql(_PAGERANK_EDGES_SQL, teleport_sql=_TRUSTRANK_SEEDS_SQL),
+    driver=False,
+)
+def q_domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyöngyi et al. 2004) over the same source →
+    outlink-domain graph: teleport AND dangling mass flow only to a
+    deterministic trusted-source seed set (every third source id), so
+    domains earn rank ONLY through links from trust — the link-spam
+    demotion scheme. Unseeded sources hold exactly zero teleport floor
+    (their rank decays to the pure link inflow, here 0 on the
+    bipartite planting) — the contrast with corpus_domain_pagerank's
+    uniform floor is the point of the pair. Same 9-dp canonicalized
+    power method; the oracle replays the seeded branch's
+    multiplication (not division) teleport arithmetic."""
+    from sparkfeat.graph import pagerank
+
+    edges = _domain_edges(spark, sf_dir)
+    # try_cast, not cast: the inner seed⋈nodes join lets Catalyst push
+    # this predicate onto the node table, whose domain rows ('ex1.com')
+    # would make an ANSI cast throw mid-scan
+    seeds = (
+        edges.select(F.col("source").alias("node"))
+        .distinct()
+        .filter(F.expr("try_cast(substring(node, 4) AS int) % 3 = 0"))
+    )
+    return pagerank(
+        edges, iters=3, src="source", dst="domain", weight="cnt", seeds=seeds
+    )
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -9198,7 +9268,8 @@ def q_domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bpe_fertility, doc_winnow_fingerprints, dedup_winnow_pairs,
 # arena_krippendorff_alpha, dedup_containment_pairs, feature_drift_ks,
 # probe_rank_auc, probe_feature_mi, flagship_drift_ks,
-# corpus_domain_pagerank, corpus_domain_hits —
+# corpus_domain_pagerank, corpus_domain_hits,
+# corpus_domain_trustrank —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

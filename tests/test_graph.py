@@ -173,3 +173,82 @@ def test_hits_lazy_equals_checkpointed_and_weighted(spark):
         "y": [("b", 1.0)],
     }
     assert lazy == _py_hits(out, {"a", "b", "x", "y"}, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# pagerank(seeds=...) — TrustRank / personalized teleport
+# ---------------------------------------------------------------------------
+
+
+def _py_trustrank(out, nodes, seeds, iters=3, d=0.85):
+    """Replica of the seeded branch (teleport + dangling by the
+    normalized seed vector, multiplication arithmetic)."""
+    r9 = lambda v: round(v, 9)  # noqa: E731
+    t = {u: r9((1.0 if u in seeds else 0.0) / len(seeds)) for u in nodes}
+    ranks = dict(t)
+    for _ in range(iters):
+        dang = r9(sum(ranks[u] for u in nodes if not out.get(u)))
+        inc = {u: 0.0 for u in nodes}
+        for u, vs in out.items():
+            wout = r9(sum(w for _, w in vs))
+            for v, w in vs:
+                inc[v] += r9(ranks[u] * w / wout)
+        ranks = {
+            u: r9((1.0 - d) * t[u] + d * (r9(inc[u]) + dang * t[u]))
+            for u in nodes
+        }
+    return {u: round(r, 6) for u, r in ranks.items()}
+
+
+def test_trustrank_matches_replica_and_demotes_unseeded(spark):
+    # spam ring (s1<->s2) cites itself; trusted "a" cites "x"
+    e = _edges(
+        spark,
+        [("a", "x"), ("x", "a"), ("s1", "s2"), ("s2", "s1"), ("s2", "x")],
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r.node: r.rank
+        for r in pagerank(e, iters=6, seeds=seeds, checkpoint=True).collect()
+    }
+    out = {
+        "a": [("x", 1.0)],
+        "x": [("a", 1.0)],
+        "s1": [("s2", 1.0)],
+        "s2": [("s1", 1.0), ("x", 1.0)],
+    }
+    assert got == _py_trustrank(out, set("ax") | {"s1", "s2"}, {"a"}, iters=6)
+    # the self-citing ring has NO teleport floor: it decays below every
+    # trusted-path node despite having as many internal links
+    assert max(got["s1"], got["s2"]) < min(got["a"], got["x"])
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+
+
+def test_trustrank_uniform_seed_set_approaches_pagerank(spark):
+    # seeding EVERY node ~ uniform teleport: same fixpoint direction as
+    # classic pagerank (arithmetic differs in rounding path, so compare
+    # loosely, not bit-for-bit)
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    seeds = spark.createDataFrame([("a",), ("b",), ("c",)], "node string")
+    classic = {r.node: r.rank for r in pagerank(e, iters=5).collect()}
+    seeded = {
+        r.node: r.rank for r in pagerank(e, iters=5, seeds=seeds).collect()
+    }
+    for u in classic:
+        assert abs(classic[u] - seeded[u]) < 1e-4
+
+
+def test_trustrank_weighted_seeds_and_missing_seed_ignored(spark):
+    e = _edges(spark, [("a", "x"), ("b", "x")])
+    # "ghost" is not a graph node -> must not soak up teleport mass
+    seeds = spark.createDataFrame(
+        [("a", 3.0), ("b", 1.0), ("ghost", 100.0)], "node string, w double"
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            e, iters=4, seeds=seeds, seed_weight="w", checkpoint=True
+        ).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+    assert got["a"] > got["b"]  # 3:1 teleport split survives the solve
