@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "corpus_domain_hits",
     # seeded-teleport TrustRank (spam-demotion variant, same edges)
     "corpus_domain_trustrank",
+    # UniMax budgeted water-filling mixture (k-row closed-form solve)
+    "corpus_unimax_plan",
 ]
 
 

@@ -1160,6 +1160,121 @@ def temperature_weights(
     )
 
 
+def unimax_allocation(
+    docs: "DataFrame",
+    budget: float | None = None,
+    max_epochs: float = 4.0,
+    group_col: str = "source",
+    token_col: str = "n_tok",
+    budget_frac: float | None = None,
+) -> "DataFrame":
+    """UniMax budgeted mixture allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining") — the BUDGETED complement of
+    :func:`temperature_weights`: temperature reshapes *shares*, UniMax
+    answers the planning question "given a total token budget B and an
+    epoch cap e, how many tokens does each source contribute?" by
+    water-filling: spread B uniformly, but never take more than
+    ``e · n_g`` tokens from group g (the repetition ceiling past which
+    data-constrained scaling degrades); surplus from capped small
+    groups reflows to the rest. Head sources share one waterline τ,
+    tail sources contribute their full cap — fairer than temperature
+    (no tail starvation) with an explicit repetition bound.
+
+    Closed form, no iteration: the capped set is a PREFIX of the
+    cap-ascending order, so one ``row_number``/``cumsum`` window over
+    the k-row group table finds it — ``fair_i = (B − Σ_{j<i} cap_j) /
+    (k − i + 1)``, group i capped iff every prefix group satisfies
+    ``cap ≤ fair`` (a running-min flag — belt and braces for the
+    prefix theorem), τ = ``fair`` at the first uncapped row. Caps are
+    6-dp-canonicalized before the prefix sum and fairs to 9 dp, so
+    every comparison and the final allocations are arithmetic on
+    identical doubles in any engine. Scale shape: ONE tiny
+    groupBy(group) over the corpus; everything after flows k rows
+    (windows over the GROUP table, not the corpus), τ/budget-used as
+    one-row broadcast folds. Fully lazy. Pass ``budget`` as an
+    absolute token count, or ``budget_frac`` to derive B = frac · Σ
+    tokens from the corpus itself IN-PLAN (no driver count — the
+    mixture_sample laziness lesson), exactly one of the two.
+
+    Output per group: ``(group, tok_group, cap, alloc, epochs,
+    capped)`` plus panel constants (``waterline`` — NULL when the
+    budget covers every cap, ``budget_used`` = Σ alloc ≤ B, ``n_groups``)
+    riding every row so the value hash verifies the water-filling
+    solve, not just per-row arithmetic."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    r9 = lambda c: F.round(c, 9)  # noqa: E731
+    g = (
+        docs.groupBy(group_col)
+        .agg(F.sum(F.col(token_col)).cast("bigint").alias("tok_group"))
+        .filter(F.col("tok_group") > 0)
+        .withColumn(
+            "cap", r6(F.col("tok_group") * F.lit(float(max_epochs)))
+        )
+    )
+    if (budget is None) == (budget_frac is None):
+        raise ValueError("pass exactly one of budget / budget_frac")
+    wo = Window.orderBy("cap", group_col)
+    wrun = wo.rowsBetween(Window.unboundedPreceding, 0)
+    k = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
+        # budget_frac derives B from the corpus itself, IN-PLAN (no
+        # driver count): B = frac · Σ tokens, 6-dp-canonicalized
+        r6(
+            F.sum("tok_group").cast("double")
+            * F.lit(float(budget_frac if budget_frac is not None else 0.0))
+        ).alias("_bfrac"),
+    )
+    bcol = (
+        F.lit(float(budget)) if budget is not None else F.col("_bfrac")
+    )
+    ranked = (
+        g.crossJoin(F.broadcast(k))
+        .withColumn("_idx", F.row_number().over(wo))
+        .withColumn("_pfx", r6(F.sum("cap").over(wrun) - F.col("cap")))
+        .withColumn(
+            "_fair",
+            r9(
+                (bcol - F.col("_pfx"))
+                / (F.col("_k") - F.col("_idx") + 1).cast("double")
+            ),
+        )
+        .withColumn(
+            "_capped",
+            F.min((F.col("cap") <= F.col("_fair")).cast("int")).over(wrun),
+        )
+    )
+    tau = ranked.agg(
+        F.min_by(
+            F.col("_fair"), F.when(F.col("_capped") == 0, F.col("_idx"))
+        ).alias("_tau")
+    )
+    alloc = F.when(F.col("_capped") == 1, F.col("cap")).otherwise(
+        F.col("_tau")
+    )
+    out = (
+        ranked.crossJoin(F.broadcast(tau))
+        .withColumn("alloc", r6(alloc))
+        .withColumn(
+            "epochs", r6(F.col("alloc") / F.col("tok_group").cast("double"))
+        )
+    )
+    used = out.agg(r6(F.sum("alloc")).alias("budget_used"))
+    return out.crossJoin(F.broadcast(used)).select(
+        group_col,
+        "tok_group",
+        "cap",
+        "alloc",
+        "epochs",
+        F.col("_capped").cast("int").alias("capped"),
+        r6(F.col("_tau")).alias("waterline"),
+        "budget_used",
+        F.col("_k").alias("n_groups"),
+    )
+
+
 def weighted_sample(
     docs: DataFrame,
     k: int = 50,

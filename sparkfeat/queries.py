@@ -9232,6 +9232,74 @@ def q_domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIMAX_ORACLE = """WITH g AS (
+  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS tok_group
+  FROM documents GROUP BY 1 HAVING SUM(n_chars) > 0
+),
+g2 AS (SELECT lang, tok_group, ROUND(tok_group * 1.0, 6) AS cap FROM g),
+k AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+             ROUND(SUM(tok_group) * 0.8, 6) AS b FROM g2),
+r AS (
+  SELECT lang, tok_group, cap,
+    ROW_NUMBER() OVER (ORDER BY cap, lang) AS idx,
+    ROUND(SUM(cap) OVER (ORDER BY cap, lang ROWS UNBOUNDED PRECEDING)
+          - cap, 6) AS pfx
+  FROM g2
+),
+f AS (
+  SELECT r.*, kk, b,
+    ROUND((b - pfx) / CAST(kk - idx + 1 AS DOUBLE), 9) AS fair
+  FROM r, k
+),
+fc AS (
+  SELECT *, MIN(CASE WHEN cap <= fair THEN 1 ELSE 0 END)
+            OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS capped
+  FROM f
+),
+tau AS (SELECT arg_min(fair, idx) FILTER (WHERE capped = 0) AS tv FROM fc),
+a AS (
+  SELECT fc.lang, fc.tok_group, fc.cap, fc.capped, fc.kk, tau.tv,
+    ROUND(CASE WHEN capped = 1 THEN cap ELSE tau.tv END, 6) AS alloc
+  FROM fc, tau
+),
+u AS (SELECT ROUND(SUM(alloc), 6) AS budget_used FROM a)
+SELECT a.lang, a.tok_group, a.cap, a.alloc,
+  ROUND(a.alloc / CAST(a.tok_group AS DOUBLE), 6) AS epochs,
+  CAST(a.capped AS INTEGER) AS capped,
+  ROUND(a.tv, 6) AS waterline,
+  u.budget_used,
+  a.kk AS n_groups
+FROM a, u"""
+
+
+@register("corpus_unimax_plan", _UNIMAX_ORACLE, driver=False)
+def q_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budgeted mixture allocation (Chung et al. 2023) per
+    language (sparkfeat.corpus.unimax_allocation): given 80% of the
+    corpus's own chars as the training budget and a 1-epoch repetition
+    cap, water-fill the budget — tail languages contribute their full
+    cap, head languages share one waterline — the budgeted complement
+    of the temperature mixture (no tail starvation, explicit repetition
+    bound). The budget derives from the corpus IN-PLAN (budget_frac —
+    no driver count); the closed-form prefix solve (row_number +
+    cumulative caps + running-min capped flag + first-uncapped
+    waterline) runs entirely on the k-row language table, every
+    division canonicalized, and the riding waterline/budget_used
+    constants make the hash verify the water-filling itself. The lang
+    skew in the testdata puts four languages at their cap and English
+    at the waterline — both branches live at both dev SFs."""
+    from sparkfeat.corpus import unimax_allocation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unimax_allocation(
+        docs,
+        budget_frac=0.8,
+        max_epochs=1.0,
+        group_col="lang",
+        token_col="n_chars",
+    )
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -9269,7 +9337,7 @@ def q_domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arena_krippendorff_alpha, dedup_containment_pairs, feature_drift_ks,
 # probe_rank_auc, probe_feature_mi, flagship_drift_ks,
 # corpus_domain_pagerank, corpus_domain_hits,
-# corpus_domain_trustrank —
+# corpus_domain_trustrank, corpus_unimax_plan —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

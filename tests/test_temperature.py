@@ -108,3 +108,70 @@ def test_mixture_sample_from_is_lazy(spark):
     mixture_sample_from(docs, w, group_col="source", id_col="n_tok")
     after = len(tracker.getJobIdsForGroup() or [])
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# unimax_allocation — budgeted water-filling mixture
+# ---------------------------------------------------------------------------
+
+
+def _unimax(spark, sizes, budget=None, frac=None, e=1.0):
+    from sparkfeat.corpus import unimax_allocation
+
+    docs = spark.createDataFrame(
+        [(g, n) for g, n in sizes.items()], "source string, n_tok long"
+    )
+    return {
+        r.source: r
+        for r in unimax_allocation(
+            docs, budget=budget, budget_frac=frac, max_epochs=e
+        ).collect()
+    }
+
+
+def test_unimax_hand_computed_waterline(spark):
+    # caps [10, 20, 100, 200], B=100: a,b capped; waterline
+    # (100-30)/2 = 35 shared by c,d; budget exactly consumed
+    got = _unimax(spark, {"a": 10, "b": 20, "c": 100, "d": 200}, budget=100)
+    assert (got["a"].alloc, got["b"].alloc) == (10.0, 20.0)
+    assert got["c"].alloc == got["d"].alloc == 35.0
+    assert got["a"].capped == 1 and got["c"].capped == 0
+    assert got["c"].waterline == 35.0 and got["c"].budget_used == 100.0
+    assert got["c"].epochs == 0.35 and got["a"].epochs == 1.0
+
+
+def test_unimax_budget_covers_everything(spark):
+    # B >= sum(caps): every group at its cap, no waterline, surplus
+    # honestly reported via budget_used < B
+    got = _unimax(spark, {"a": 10, "b": 20}, budget=1000, e=2.0)
+    assert got["a"].alloc == 20.0 and got["b"].alloc == 40.0
+    assert got["a"].waterline is None and got["a"].budget_used == 60.0
+
+
+def test_unimax_no_group_capped_uniform_split(spark):
+    # tiny budget: nobody reaches cap, everyone gets B/k
+    got = _unimax(spark, {"a": 100, "b": 100, "c": 100}, budget=30)
+    assert all(r.alloc == 10.0 and r.capped == 0 for r in got.values())
+
+
+def test_unimax_epoch_cap_and_frac_budget(spark):
+    # frac path: B = 0.5 * 330 = 165, e=1 -> a,b capped at 10/20,
+    # waterline (165-30)/2 = 67.5
+    got = _unimax(spark, {"a": 10, "b": 20, "c": 100, "d": 200}, frac=0.5)
+    assert got["c"].alloc == 67.5 and got["c"].waterline == 67.5
+    assert got["a"].budget_used == 165.0
+    # epoch cap binds: e=0.5 halves every cap
+    got2 = _unimax(spark, {"a": 10, "b": 20}, budget=1000, e=0.5)
+    assert got2["a"].alloc == 5.0 and got2["b"].alloc == 10.0
+
+
+def test_unimax_exactly_one_budget_arg(spark):
+    import pytest as _pt
+
+    from sparkfeat.corpus import unimax_allocation
+
+    docs = spark.createDataFrame([("a", 10)], "source string, n_tok long")
+    with _pt.raises(ValueError):
+        unimax_allocation(docs)
+    with _pt.raises(ValueError):
+        unimax_allocation(docs, budget=10.0, budget_frac=0.5)
