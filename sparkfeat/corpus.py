@@ -1213,6 +1213,12 @@ def unimax_allocation(
         .withColumn(
             "cap", r6(F.col("tok_group") * F.lit(float(max_epochs)))
         )
+        # LAZY persist (no job fires): the solve references this k-row
+        # table four times (totals, rank, waterline, budget fold) — at
+        # 100 TB each reference would otherwise re-scan the corpus to
+        # rebuild the aggregate; cached, the scan happens once (the
+        # bt_strengths lineage strategy)
+        .persist()
     )
     if (budget is None) == (budget_frac is None):
         raise ValueError("pass exactly one of budget / budget_frac")

@@ -9133,7 +9133,13 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkfeat.graph import pagerank
 
     edges = _domain_edges(spark, sf_dir)
-    return pagerank(edges, iters=3, src="source", dst="domain", weight="cnt")
+    # checkpoint=True: the lazy tree triples per round — at 3 rounds
+    # that is pure Catalyst-analysis cost (measured 5.8 s lazy vs ~1 s
+    # cut at sf0.1); values are pytest-identical between the paths
+    return pagerank(
+        edges, iters=3, src="source", dst="domain", weight="cnt",
+        checkpoint=True,
+    )
 
 
 def _hits_sql(edges_sql: str, iters: int = 3) -> str:
@@ -9193,7 +9199,13 @@ def q_domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkfeat.graph import hits
 
     edges = _domain_edges(spark, sf_dir)
-    return hits(edges, iters=3, src="source", dst="domain", weight="cnt")
+    # checkpoint=True is load-bearing here: the mutual recursion's
+    # lazy tree grows ~3x per HALF-round — measured 169 s of pure
+    # plan analysis at 3 rounds vs ~1 s with the per-round cut
+    return hits(
+        edges, iters=3, src="source", dst="domain", weight="cnt",
+        checkpoint=True,
+    )
 
 
 _TRUSTRANK_SEEDS_SQL = """SELECT DISTINCT s AS node, 1.0 AS sw FROM e
@@ -9228,7 +9240,8 @@ def q_domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr("try_cast(substring(node, 4) AS int) % 3 = 0"))
     )
     return pagerank(
-        edges, iters=3, src="source", dst="domain", weight="cnt", seeds=seeds
+        edges, iters=3, src="source", dst="domain", weight="cnt",
+        seeds=seeds, checkpoint=True,
     )
 
 

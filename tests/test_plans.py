@@ -381,3 +381,37 @@ def test_mi_table_broadcast_no_sort_no_window(spark, sf_dir):
     assert "Window" not in p, p
     assert "CartesianProduct" not in p, p
     assert "Sort [" not in p, p
+
+
+def test_unimax_single_corpus_exchange(spark, sf_dir):
+    """unimax_allocation: ONE corpus aggregate; every window after it
+    runs on the k-row group table (SinglePartition — bounded by group
+    cardinality, not corpus rows); no cartesian, broadcast folds."""
+    from sparkfeat.corpus import unimax_allocation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = unimax_allocation(
+        docs, budget_frac=0.8, max_epochs=1.0,
+        group_col="lang", token_col="n_chars",
+    )
+    p = plan_of(out)
+    assert "CartesianProduct" not in p, p
+    # the k-row group table is persisted: all four references to it
+    # read the cache — the corpus scan + groupBy(lang) runs ONCE at
+    # execution even though the printed tree repeats the cached subplan
+    assert "InMemoryTableScan" in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # one-row constant folds
+
+
+def test_pagerank_no_cartesian_broadcast_scalars(spark):
+    """pagerank: scalar folds (node count, dangling mass) broadcast;
+    no cartesian product anywhere in a 3-round lazy plan."""
+    from sparkfeat.graph import pagerank
+
+    e = spark.range(200).select(
+        (F.col("id") % 20).cast("string").alias("src"),
+        (F.col("id") % 31).cast("string").alias("dst"),
+    )
+    p = plan_of(pagerank(e, iters=3))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
