@@ -195,6 +195,9 @@ BENCH_QUERIES = [
     "corpus_domain_trustrank",
     # UniMax budgeted water-filling mixture (k-row closed-form solve)
     "corpus_unimax_plan",
+    # retrieval acceptance: MRR/recall/NDCG of the BM25 run vs
+    # containment-derived graded qrels
+    "search_retrieval_eval",
 ]
 
 

@@ -9313,6 +9313,125 @@ def q_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _retrieval_eval_oracle(k: int = 10) -> str:
+    # Nests the BM25 chain (the run under evaluation), derives the
+    # graded qrel set from term containment (docs matching ≥2 distinct
+    # probe terms; rel = matches − 1), then replays retrieval_eval's
+    # folds: 9-dp gain terms, deterministic (rel DESC, doc_id) ideal
+    # ranking, NULL ndcg for empty qrel sets, macro means skipping
+    # nulls (AVG semantics — identical in Spark).
+    vals = ", ".join(f"({i}, '{q}')" for i, q in _BM25_PROBES)
+    return f"""WITH probes(query_id, query) AS (VALUES {vals}),
+qt AS (
+    SELECT DISTINCT query_id, unnest(list_filter(
+        regexp_split_to_array(lower(query), '\\s+'), x -> x <> '')) AS term
+    FROM probes
+),
+{_bm25_chain_ctes()},
+res AS (SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank
+        FROM r WHERE rnk <= {k}),
+qrel AS (
+    SELECT qt.query_id, h.doc_id,
+        CAST(COUNT(DISTINCT qt.term) - 1 AS BIGINT) AS rel
+    FROM (SELECT DISTINCT doc_id, term FROM hits) h
+    JOIN qt USING (term)
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT qt.term) >= 2
+),
+j AS (
+    SELECT res.query_id, res.rank, qrel.rel
+    FROM res LEFT JOIN qrel
+      ON res.query_id = qrel.query_id AND res.doc_id = qrel.doc_id
+),
+got AS (
+    SELECT query_id,
+        CAST(COUNT(*) AS BIGINT) AS n_ret,
+        MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel_rank,
+        CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits_k,
+        ROUND(SUM(CASE WHEN rel > 0 THEN
+            ROUND((POW(2.0, rel) - 1.0) / LOG2(rank + 1.0), 9)
+            ELSE 0.0 END), 9) AS dcg_k
+    FROM j GROUP BY 1
+),
+ideal AS (
+    SELECT query_id, ROUND(SUM(
+        ROUND((POW(2.0, rel) - 1.0) / LOG2(idx + 1.0), 9)), 9) AS idcg_k
+    FROM (
+        SELECT query_id, rel,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rel DESC, doc_id) AS idx
+        FROM qrel
+    ) WHERE idx <= {k} GROUP BY 1
+),
+nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+         FROM qrel GROUP BY 1),
+per AS (
+    SELECT COALESCE(got.query_id, nrel.query_id, ideal.query_id)
+               AS query_id,
+        COALESCE(n_rel, 0) AS n_rel,
+        COALESCE(n_ret, 0) AS n_ret,
+        first_rel_rank,
+        ROUND(COALESCE(1.0 / first_rel_rank, 0.0), 6) AS mrr,
+        COALESCE(hits_k, 0) AS hits_k,
+        CASE WHEN COALESCE(n_rel, 0) > 0 THEN
+            ROUND(COALESCE(hits_k, 0) / CAST(n_rel AS DOUBLE), 6)
+        END AS recall_k,
+        COALESCE(dcg_k, 0.0) AS dcg_k,
+        idcg_k,
+        CASE WHEN idcg_k > 0 THEN
+            ROUND(COALESCE(dcg_k, 0.0) / idcg_k, 6)
+        END AS ndcg_k
+    FROM got
+    FULL JOIN nrel USING (query_id)
+    FULL JOIN ideal USING (query_id)
+),
+macro AS (
+    SELECT ROUND(AVG(mrr), 6) AS mean_mrr,
+        ROUND(AVG(recall_k), 6) AS mean_recall,
+        ROUND(AVG(ndcg_k), 6) AS mean_ndcg,
+        CAST(COUNT(*) AS BIGINT) AS n_queries
+    FROM per
+)
+SELECT per.*, macro.mean_mrr, macro.mean_recall, macro.mean_ndcg,
+       macro.n_queries
+FROM per, macro"""
+
+
+@register("search_retrieval_eval", _retrieval_eval_oracle(), driver=False)
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval-quality panel (sparkfeat.search.retrieval_eval)
+    over the BM25 run: MRR, recall@10 and graded NDCG@10 per probe
+    query plus macro means — the acceptance metric for the retrieval
+    family, the way ECE/AUC gate the quality probe. The graded qrel
+    set derives deterministically from term containment (a doc is
+    relevant iff it contains ≥2 distinct probe terms, graded by the
+    match count) so run and judgment come from independent definitions
+    of the same information need; the oracle nests the full BM25
+    scoring chain, the qrel derivation, and every eval fold."""
+    from sparkfeat.search import _toks, bm25_topk, retrieval_eval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = spark.createDataFrame(_BM25_PROBES, "query_id long, query string")
+    run = bm25_topk(docs, probes, k=10)
+    qt = probes.select(
+        "query_id",
+        F.explode(F.array_distinct(_toks("query"))).alias("term"),
+    )
+    doc_terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(_toks("text"))).alias("term")
+    )
+    qrels = (
+        doc_terms.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("term").alias("_m"))
+        .filter(F.col("_m") >= 2)
+        .select(
+            "query_id", "doc_id", (F.col("_m") - 1).cast("long").alias("rel")
+        )
+    )
+    return retrieval_eval(run, qrels, k=10)
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -9350,7 +9469,8 @@ def q_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arena_krippendorff_alpha, dedup_containment_pairs, feature_drift_ks,
 # probe_rank_auc, probe_feature_mi, flagship_drift_ks,
 # corpus_domain_pagerank, corpus_domain_hits,
-# corpus_domain_trustrank, corpus_unimax_plan —
+# corpus_domain_trustrank, corpus_unimax_plan,
+# search_retrieval_eval —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

@@ -181,3 +181,126 @@ def rrf_fuse(
             "fused_rank",
         )
     )
+
+
+def retrieval_eval(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Offline retrieval-quality evaluation — MRR, recall@k and graded
+    NDCG@k per query plus macro averages: the acceptance check for the
+    retrieval family (:func:`bm25_topk`, the hybrid RRF fusion, the ANN
+    servers) the same way ECE/AUC gate the quality probe. ``results``
+    is a ranked run ``(query_id, doc_id, rank)`` (rank 1-based, the
+    bm25_topk output shape); ``qrels`` is the graded relevance set
+    ``(query_id, doc_id, rel > 0)``.
+
+    Per query: reciprocal rank of the first relevant hit (0 when none
+    retrieved), recall@k = hits@k / |rel set|, and
+    NDCG@k = DCG@k / IDCG@k with the standard graded gain
+    (2^rel − 1)/log2(rank + 1); IDCG ranks the qrel set by
+    (rel DESC, doc_id) — the deterministic ideal ordering. NDCG is
+    NULL for queries with an empty qrel set (undefined, excluded from
+    the macro mean); a query with relevant docs but no retrieved hits
+    scores honest zeros. Every DCG/IDCG term is rounded to 9 dp before
+    its fold and every metric to 6 dp (order-stable sums, identical
+    doubles in any engine — log2/pow on small integers are exact).
+
+    Scale shape: one rank-filtered equi-join of the run against qrels,
+    two map-side-combinable groupBy(query) folds, one k-bounded window
+    over the QRELS table (partitioned by query — never a global sort),
+    and the macro means ride a one-row broadcast crossJoin. Handles
+    10⁶ queries × deep runs without any per-query driver work.
+
+    Output per query: ``(query_id, n_rel, n_ret, first_rel_rank, mrr,
+    hits_k, recall_k, dcg_k, idcg_k, ndcg_k)`` + riding macro
+    constants ``(mean_mrr, mean_recall, mean_ndcg, n_queries)``."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    r9 = lambda c: F.round(c, 9)  # noqa: E731
+    res = results.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).cast("bigint").alias("_rk"),
+    ).filter(F.col("_rk") <= k)
+    rel = qrels.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rel_col).cast("bigint").alias("_rel"),
+    ).filter(F.col("_rel") > 0)
+    gain = lambda g, pos: r9(  # noqa: E731
+        (F.pow(F.lit(2.0), g.cast("double")) - 1.0)
+        / F.log2(pos.cast("double") + 1.0)
+    )
+    j = res.join(rel, ["_q", "_d"], "left")
+    got = j.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ret"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_rk"))).alias(
+            "first_rel_rank"
+        ),
+        F.sum(
+            F.when(F.col("_rel") > 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("hits_k"),
+        r9(
+            F.sum(
+                F.when(
+                    F.col("_rel") > 0, gain(F.col("_rel"), F.col("_rk"))
+                ).otherwise(F.lit(0.0))
+            )
+        ).alias("dcg_k"),
+    )
+    wq = Window.partitionBy("_q").orderBy(F.col("_rel").desc(), "_d")
+    ideal = (
+        rel.withColumn("_idx", F.row_number().over(wq))
+        .filter(F.col("_idx") <= k)
+        .groupBy("_q")
+        .agg(r9(F.sum(gain(F.col("_rel"), F.col("_idx")))).alias("idcg_k"))
+    )
+    nrel = rel.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+    per = (
+        got.join(nrel, "_q", "full")
+        .join(ideal, "_q", "full")
+        .select(
+            F.col("_q"),
+            F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+            F.coalesce("n_ret", F.lit(0)).alias("n_ret"),
+            "first_rel_rank",
+            r6(
+                F.coalesce(
+                    1.0 / F.col("first_rel_rank").cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("mrr"),
+            F.coalesce("hits_k", F.lit(0)).alias("hits_k"),
+            F.when(
+                F.coalesce("n_rel", F.lit(0)) > 0,
+                r6(
+                    F.coalesce("hits_k", F.lit(0)).cast("double")
+                    / F.col("n_rel").cast("double")
+                ),
+            ).alias("recall_k"),
+            F.coalesce("dcg_k", F.lit(0.0)).alias("dcg_k"),
+            "idcg_k",
+            F.when(
+                F.col("idcg_k") > 0,
+                r6(F.coalesce("dcg_k", F.lit(0.0)) / F.col("idcg_k")),
+            ).alias("ndcg_k"),
+        )
+    )
+    macro = per.agg(
+        r6(F.avg("mrr")).alias("mean_mrr"),
+        r6(F.avg("recall_k")).alias("mean_recall"),
+        r6(F.avg("ndcg_k")).alias("mean_ndcg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+    )
+    return per.crossJoin(F.broadcast(macro)).withColumnRenamed(
+        "_q", query_col
+    )

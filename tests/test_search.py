@@ -141,3 +141,69 @@ def test_rrf_fuse_k_truncates(spark):
     out = rrf_fuse([arm], k=5).collect()
     assert len(out) == 5
     assert sorted(r.fused_rank for r in out) == [1, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# retrieval_eval — MRR / recall@k / graded NDCG@k
+# ---------------------------------------------------------------------------
+
+
+def _eval(spark, res_rows, qrel_rows, k=3):
+    from sparkfeat.search import retrieval_eval
+
+    res = spark.createDataFrame(
+        res_rows, "query_id long, doc_id string, rank long"
+    )
+    qr = spark.createDataFrame(
+        qrel_rows, "query_id long, doc_id string, rel long"
+    )
+    return {
+        r.query_id: r for r in retrieval_eval(res, qr, k=k).collect()
+    }
+
+
+def test_retrieval_eval_hand_computed(spark):
+    import math
+
+    rows = _eval(
+        spark,
+        [(0, "a", 1), (0, "c", 2), (0, "b", 3), (1, "x", 1)],
+        [(0, "a", 2), (0, "b", 1), (0, "z", 1), (2, "m", 1)],
+    )
+    q0 = rows[0]
+    # DCG = 3/log2(2) + 1/log2(4); IDCG over ideal a(2),b(1),z(1)
+    dcg = round(3 / 1.0, 9) + round(1 / 2.0, 9)
+    idcg = round(3.0, 9) + round(1 / math.log2(3), 9) + round(0.5, 9)
+    assert q0.mrr == 1.0 and q0.hits_k == 2 and q0.recall_k == 0.666667
+    assert q0.dcg_k == round(dcg, 9) and q0.idcg_k == round(idcg, 9)
+    assert q0.ndcg_k == round(dcg / idcg, 6)
+    # query with results but empty qrel set: metrics undefined, not 0
+    q1 = rows[1]
+    assert q1.mrr == 0.0 and q1.recall_k is None and q1.ndcg_k is None
+    # query judged but never retrieved: honest zeros
+    q2 = rows[2]
+    assert q2.recall_k == 0.0 and q2.ndcg_k == 0.0 and q2.n_ret == 0
+    assert q0.n_queries == 3
+
+
+def test_retrieval_eval_perfect_run(spark):
+    # run == ideal ordering -> NDCG exactly 1, MRR 1, full recall
+    rows = _eval(
+        spark,
+        [(5, "a", 1), (5, "b", 2)],
+        [(5, "a", 3), (5, "b", 1)],
+    )
+    r = rows[5]
+    assert r.ndcg_k == 1.0 and r.mrr == 1.0 and r.recall_k == 1.0
+
+
+def test_retrieval_eval_rank_cutoff(spark):
+    # a relevant doc at rank 4 is invisible to k=3 everywhere
+    rows = _eval(
+        spark,
+        [(7, "a", 1), (7, "b", 2), (7, "c", 3), (7, "d", 4)],
+        [(7, "d", 2)],
+    )
+    r = rows[7]
+    assert r.hits_k == 0 and r.mrr == 0.0 and r.recall_k == 0.0
+    assert r.dcg_k == 0.0 and r.ndcg_k == 0.0
