@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     # retrieval acceptance: MRR/recall/NDCG of the BM25 run vs
     # containment-derived graded qrels
     "search_retrieval_eval",
+    # judge structural sanity: cyclic-majority-triple census
+    "arena_transitivity",
 ]
 
 

@@ -618,3 +618,117 @@ def length_bias(
         r6(F.col("_mlr")).alias("mean_log_ratio"),
         r6(F.when(nd > 0, (p - 0.5) * 2.0 * F.sqrt(nd))).alias("bias_z"),
     )
+
+
+def transitivity_audit(
+    judgments: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    min_games: int = 1,
+) -> DataFrame:
+    """Judge transitivity audit — how often do the judge's MAJORITY
+    preferences form a cycle (A beats B beats C beats A)? The
+    structural sanity gate beside :func:`length_bias`: Bradley–Terry
+    and every other leaderboard model ASSUME a transitive latent
+    strength, and a judgment stream with a high cyclic-triangle rate is
+    telling you the judge is answering different questions for
+    different pairs (style vs correctness vs verbosity) — its ranking
+    is an artifact. The standard tournament-theory measure: over every
+    triple of players whose three pairwise majority directions are all
+    decided, a triple is either transitive or a 3-cycle; report the
+    cycle fraction.
+
+    Per pair (a < b): majority direction from the win counts (+1 =
+    a beats b, −1 = b beats a); exact ties and pairs with fewer than
+    ``min_games`` judgments are undecided and excluded (their triples
+    simply don't form). Per decided triple x < y < z with directions
+    (d1: x-y, d2: y-z, d3: x-z): cyclic ⇔ d1 = d2 and d3 ≠ d1 (both
+    rotations; every other sign pattern has a dominant vertex and is
+    transitive).
+
+    Scale shape: the 10⁹-row judgment stream reduces in ONE
+    map-side-combinable ``groupBy(pair)`` — everything after runs on
+    the ≤ players²-bounded pair table (players are few by nature; the
+    stream is what's huge): two self-equi-joins enumerate each
+    triangle exactly once (the a < b normalization makes x < y < z
+    automatic). Output: one row per decided triangle —
+    ``(player_x, player_y, player_z, d1, d2, d3, cyclic)`` — with
+    riding panel constants (``n_triangles``, ``n_cyclic``,
+    ``cyclic_rate``, ``n_pairs_decided``, ``n_players``) so the value
+    hash verifies the census, not just per-triangle logic."""
+    j = judgments.filter(
+        F.col(winner_col).isNotNull()
+        & F.col(loser_col).isNotNull()
+        & (F.col(winner_col) != F.col(loser_col))
+    )
+    a = F.least(F.col(winner_col), F.col(loser_col))
+    b = F.greatest(F.col(winner_col), F.col(loser_col))
+    pairs = j.groupBy(a.alias("_a"), b.alias("_b")).agg(
+        F.sum(
+            F.when(F.col(winner_col) == F.least(
+                F.col(winner_col), F.col(loser_col)
+            ), 1).otherwise(0)
+        ).alias("_wab"),
+        F.count(F.lit(1)).alias("_games"),
+    )
+    decided = (
+        pairs.filter(F.col("_games") >= min_games)
+        .withColumn(
+            "_dir",
+            F.when(F.col("_wab") * 2 > F.col("_games"), F.lit(1)).when(
+                F.col("_wab") * 2 < F.col("_games"), F.lit(-1)
+            ),
+        )
+        .filter(F.col("_dir").isNotNull())
+        .select("_a", "_b", "_dir")
+    )
+    p1 = decided.select(
+        F.col("_a").alias("player_x"),
+        F.col("_b").alias("player_y"),
+        F.col("_dir").alias("d1"),
+    )
+    p2 = decided.select(
+        F.col("_a").alias("player_y"),
+        F.col("_b").alias("player_z"),
+        F.col("_dir").alias("d2"),
+    )
+    p3 = decided.select(
+        F.col("_a").alias("player_x"),
+        F.col("_b").alias("player_z"),
+        F.col("_dir").alias("d3"),
+    )
+    tri = (
+        p1.join(p2, "player_y")
+        .join(p3, ["player_x", "player_z"])
+        .withColumn(
+            "cyclic",
+            (
+                (F.col("d1") == F.col("d2"))
+                & (F.col("d3") != F.col("d1"))
+            ).cast("int"),
+        )
+    )
+    nplayers = (
+        decided.select(F.col("_a").alias("p"))
+        .unionByName(decided.select(F.col("_b").alias("p")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_players"))
+    )
+    npairs = decided.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs_decided")
+    )
+    consts = tri.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles"),
+        F.sum("cyclic").cast("bigint").alias("n_cyclic"),
+        F.round(
+            F.sum("cyclic").cast("double") / F.count(F.lit(1)), 6
+        ).alias("cyclic_rate"),
+    )
+    return (
+        tri.select(
+            "player_x", "player_y", "player_z", "d1", "d2", "d3", "cyclic"
+        )
+        .crossJoin(F.broadcast(consts))
+        .crossJoin(F.broadcast(npairs))
+        .crossJoin(F.broadcast(nplayers))
+    )

@@ -9432,6 +9432,61 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_eval(run, qrels, k=10)
 
 
+_TRANSITIVITY_ORACLE = f"""WITH {_ARENA_JUDGMENTS_CTE},
+pr AS (
+    SELECT LEAST(winner, loser) AS a, GREATEST(winner, loser) AS b,
+        SUM(CASE WHEN winner = LEAST(winner, loser) THEN 1 ELSE 0 END)
+            AS wab,
+        COUNT(*) AS games
+    FROM judg WHERE winner <> loser GROUP BY 1, 2
+),
+dd AS (
+    SELECT a, b,
+        CASE WHEN wab * 2 > games THEN 1
+             WHEN wab * 2 < games THEN -1 END AS dir
+    FROM pr
+),
+d2 AS (SELECT a, b, dir FROM dd WHERE dir IS NOT NULL),
+tri AS (
+    SELECT p1.a AS player_x, p1.b AS player_y, p2.b AS player_z,
+        p1.dir AS d1, p2.dir AS d2, p3.dir AS d3,
+        CAST(CASE WHEN p1.dir = p2.dir AND p3.dir <> p1.dir
+             THEN 1 ELSE 0 END AS INTEGER) AS cyclic
+    FROM d2 p1
+    JOIN d2 p2 ON p1.b = p2.a
+    JOIN d2 p3 ON p3.a = p1.a AND p3.b = p2.b
+),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_players FROM
+       (SELECT DISTINCT p FROM
+        (SELECT a AS p FROM d2 UNION ALL SELECT b FROM d2))),
+npr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_decided FROM d2),
+c AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+        CAST(SUM(cyclic) AS BIGINT) AS n_cyclic,
+        ROUND(SUM(cyclic) / CAST(COUNT(*) AS DOUBLE), 6) AS cyclic_rate
+    FROM tri
+)
+SELECT tri.*, c.n_triangles, c.n_cyclic, c.cyclic_rate,
+       npr.n_pairs_decided, np.n_players
+FROM tri, c, npr, np"""
+
+
+@register("arena_transitivity", _TRANSITIVITY_ORACLE, driver=False)
+def q_arena_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judge transitivity audit (sparkfeat.arena.transitivity_audit)
+    over the deterministic source-vs-source judgment stream shared
+    with arena_bt_strengths: the fraction of decided majority triples
+    forming a cycle (A beats B beats C beats A) — the structural
+    check that the Bradley–Terry leaderboard's transitive-strength
+    ASSUMPTION holds for this judge. The 10⁹-judgment reduction is
+    one map-side pair groupBy; triangle enumeration runs on the
+    players²-bounded majority table; per-triangle direction rows plus
+    riding census constants make the hash verify the whole count."""
+    from sparkfeat.arena import transitivity_audit
+
+    return transitivity_audit(_arena_judgments(spark, sf_dir))
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -9470,7 +9525,7 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probe_rank_auc, probe_feature_mi, flagship_drift_ks,
 # corpus_domain_pagerank, corpus_domain_hits,
 # corpus_domain_trustrank, corpus_unimax_plan,
-# search_retrieval_eval —
+# search_retrieval_eval, arena_transitivity —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

@@ -389,3 +389,51 @@ def test_alpha_keeps_items_fleiss_drops(spark):
     a = krippendorff_alpha(df).collect()
     f = fleiss_kappa(df, m=3).collect()
     assert a[0]["n_items"] > f[0]["n_items"]
+
+
+# ---------------------------------------------------------------------------
+# transitivity_audit — cyclic-preference census
+# ---------------------------------------------------------------------------
+
+
+def _tri(spark, judgments, **kw):
+    from sparkfeat.arena import transitivity_audit
+
+    df = spark.createDataFrame(judgments, "winner string, loser string")
+    return transitivity_audit(df, **kw).collect()
+
+
+def test_transitivity_rps_cycle_vs_dominant_player(spark):
+    # a>b, b>c, c>a cycle (with one dissenting a<b judgment outvoted);
+    # d dominates everyone -> 4 triangles, exactly 1 cyclic
+    j = (
+        [("a", "b")] * 3 + [("b", "a")] + [("b", "c")] * 2
+        + [("c", "a")] * 2 + [("d", "a")] * 2 + [("d", "b")] * 2
+        + [("d", "c")] * 2
+    )
+    rows = {(r.player_x, r.player_y, r.player_z): r for r in _tri(spark, j)}
+    assert len(rows) == 4
+    assert rows[("a", "b", "c")].cyclic == 1
+    assert sum(r.cyclic for r in rows.values()) == 1
+    any_row = rows[("a", "b", "c")]
+    assert any_row.n_triangles == 4 and any_row.n_cyclic == 1
+    assert any_row.cyclic_rate == 0.25
+    assert any_row.n_pairs_decided == 6 and any_row.n_players == 4
+    # both rotations of the cycle detect: reverse every edge
+    rev = [(l, w) for w, l in j]
+    rows_r = {(r.player_x, r.player_y, r.player_z): r for r in _tri(spark, rev)}
+    assert rows_r[("a", "b", "c")].cyclic == 1
+    assert sum(r.cyclic for r in rows_r.values()) == 1
+
+
+def test_transitivity_tied_pair_breaks_triangle(spark):
+    # a-b exactly tied -> pair undecided -> the only triple never forms
+    j = [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c")]
+    assert _tri(spark, j) == []
+
+
+def test_transitivity_min_games_gate(spark):
+    # each pair decided on a single judgment; min_games=2 excludes all
+    j = [("a", "b"), ("b", "c"), ("c", "a")]
+    assert len(_tri(spark, j)) == 1  # the cycle, at min_games=1
+    assert _tri(spark, j, min_games=2) == []
