@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "search_retrieval_eval",
     # judge structural sanity: cyclic-majority-triple census
     "arena_transitivity",
+    # model-free Copeland leaderboard on the same majority graph
+    "arena_copeland",
 ]
 
 

@@ -732,3 +732,98 @@ def transitivity_audit(
         .crossJoin(F.broadcast(npairs))
         .crossJoin(F.broadcast(nplayers))
     )
+
+
+def copeland_ranking(
+    judgments: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    min_games: int = 1,
+) -> DataFrame:
+    """Copeland leaderboard over the majority graph — the voting-theory
+    companion of :func:`bt_strengths` and the fallback
+    :func:`transitivity_audit` points to: Copeland scores each player
+    1 per pairwise majority win and ½ per exact majority tie, no
+    latent-strength model at all, so the ranking stays meaningful when
+    the cyclic-triple rate says Bradley–Terry's transitivity
+    assumption is violated (inside a cycle all members simply share
+    the score — honest, where BT would manufacture an ordering).
+    Pairs with fewer than ``min_games`` judgments contribute nothing.
+
+    Integer-exact: scores are DOUBLED (wins·2 + ties) so the fold and
+    the ranking are pure bigint arithmetic; ``copeland`` = the halved
+    6-dp presentation. Scale shape: the judgment stream reduces in the
+    SAME one map-side pair groupBy as the transitivity audit;
+    everything after runs on the players²-bounded pair table, the
+    final rank a window over ≤ players rows. Output per player:
+    ``(player, maj_wins, maj_ties, maj_losses, n_pairs, copeland,
+    rank)`` with ties broken by player name (deterministic), plus a
+    riding ``n_players`` constant."""
+    from pyspark.sql import Window
+
+    j = judgments.filter(
+        F.col(winner_col).isNotNull()
+        & F.col(loser_col).isNotNull()
+        & (F.col(winner_col) != F.col(loser_col))
+    )
+    a = F.least(F.col(winner_col), F.col(loser_col))
+    b = F.greatest(F.col(winner_col), F.col(loser_col))
+    pairs = (
+        j.groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col(winner_col)
+                    == F.least(F.col(winner_col), F.col(loser_col)),
+                    1,
+                ).otherwise(0)
+            ).alias("_wab"),
+            F.count(F.lit(1)).alias("_games"),
+        )
+        .filter(F.col("_games") >= min_games)
+        .withColumn(
+            "_dir",
+            F.when(F.col("_wab") * 2 > F.col("_games"), F.lit(1))
+            .when(F.col("_wab") * 2 < F.col("_games"), F.lit(-1))
+            .otherwise(F.lit(0)),
+        )
+    )
+    side = lambda p, d: pairs.select(  # noqa: E731
+        F.col(p).alias("player"), (F.col("_dir") * d).alias("_rel")
+    )
+    per = (
+        side("_a", 1)
+        .unionByName(side("_b", -1))
+        .groupBy("player")
+        .agg(
+            F.sum(F.when(F.col("_rel") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("maj_wins"),
+            F.sum(F.when(F.col("_rel") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("maj_ties"),
+            F.sum(F.when(F.col("_rel") == -1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("maj_losses"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+        .withColumn(
+            "_c2", F.col("maj_wins") * 2 + F.col("maj_ties")
+        )
+    )
+    w = Window.orderBy(F.col("_c2").desc(), "player")
+    n = per.agg(F.count(F.lit(1)).cast("bigint").alias("n_players"))
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "player",
+            "maj_wins",
+            "maj_ties",
+            "maj_losses",
+            "n_pairs",
+            F.round(F.col("_c2").cast("double") / 2.0, 6).alias("copeland"),
+            "rank",
+            "n_players",
+        )
+    )

@@ -9487,6 +9487,59 @@ def q_arena_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transitivity_audit(_arena_judgments(spark, sf_dir))
 
 
+_COPELAND_ORACLE = f"""WITH {_ARENA_JUDGMENTS_CTE},
+pr AS (
+    SELECT LEAST(winner, loser) AS a, GREATEST(winner, loser) AS b,
+        SUM(CASE WHEN winner = LEAST(winner, loser) THEN 1 ELSE 0 END)
+            AS wab,
+        COUNT(*) AS games
+    FROM judg WHERE winner <> loser GROUP BY 1, 2
+),
+dd AS (
+    SELECT a, b,
+        CASE WHEN wab * 2 > games THEN 1
+             WHEN wab * 2 < games THEN -1 ELSE 0 END AS dir
+    FROM pr
+),
+sides AS (
+    SELECT a AS player, dir AS rel FROM dd
+    UNION ALL
+    SELECT b AS player, -dir AS rel FROM dd
+),
+per AS (
+    SELECT player,
+        CAST(SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS maj_wins,
+        CAST(SUM(CASE WHEN rel = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS maj_ties,
+        CAST(SUM(CASE WHEN rel = -1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS maj_losses,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM sides GROUP BY 1
+),
+sc AS (SELECT *, maj_wins * 2 + maj_ties AS c2 FROM per),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_players FROM per)
+SELECT player, maj_wins, maj_ties, maj_losses, n_pairs,
+    ROUND(c2 / 2.0, 6) AS copeland,
+    CAST(ROW_NUMBER() OVER (ORDER BY c2 DESC, player) AS INTEGER) AS rank,
+    np.n_players
+FROM sc, np"""
+
+
+@register("arena_copeland", _COPELAND_ORACLE, driver=False)
+def q_arena_copeland(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copeland leaderboard (sparkfeat.arena.copeland_ranking) over the
+    shared source-vs-source judgment stream — the model-free
+    voting-theory ranking that stays meaningful when arena_transitivity
+    reports cycles BT's latent-strength assumption can't represent:
+    1 per majority win, ½ per exact majority tie, doubled to pure
+    bigint arithmetic, deterministic (score DESC, player) rank. Same
+    one map-side pair reduction as the transitivity audit."""
+    from sparkfeat.arena import copeland_ranking
+
+    return copeland_ranking(_arena_judgments(spark, sf_dir))
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -9525,7 +9578,7 @@ def q_arena_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probe_rank_auc, probe_feature_mi, flagship_drift_ks,
 # corpus_domain_pagerank, corpus_domain_hits,
 # corpus_domain_trustrank, corpus_unimax_plan,
-# search_retrieval_eval, arena_transitivity —
+# search_retrieval_eval, arena_transitivity, arena_copeland —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

@@ -437,3 +437,37 @@ def test_transitivity_min_games_gate(spark):
     j = [("a", "b"), ("b", "c"), ("c", "a")]
     assert len(_tri(spark, j)) == 1  # the cycle, at min_games=1
     assert _tri(spark, j, min_games=2) == []
+
+
+def test_copeland_hand_computed_with_tie_and_cycle(spark):
+    from sparkfeat.arena import copeland_ranking
+
+    # d beats everyone (3 wins); a/b/c in a cycle (1 win 1 loss each
+    # within the cycle, all lose to d); e-f exactly tied
+    j = (
+        [("a", "b")] * 2 + [("b", "c")] * 2 + [("c", "a")] * 2
+        + [("d", "a")] + [("d", "b")] + [("d", "c")]
+        + [("e", "f"), ("f", "e")]
+    )
+    df = spark.createDataFrame(j, "winner string, loser string")
+    rows = {r.player: r for r in copeland_ranking(df).collect()}
+    assert rows["d"].copeland == 3.0 and rows["d"].rank == 1
+    # cycle members share the score — Copeland is honest about cycles
+    assert rows["a"].copeland == rows["b"].copeland == rows["c"].copeland == 1.0
+    assert rows["e"].copeland == rows["f"].copeland == 0.5
+    assert rows["e"].maj_ties == 1 and rows["e"].maj_wins == 0
+    # deterministic name tie-break inside equal scores
+    assert [rows[p].rank for p in ["a", "b", "c"]] == [2, 3, 4]
+    assert rows["a"].n_players == 6
+
+
+def test_copeland_min_games_drops_thin_pairs(spark):
+    from sparkfeat.arena import copeland_ranking
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c")], "winner string, loser string"
+    )
+    rows = {r.player: r for r in copeland_ranking(df, min_games=2).collect()}
+    # a-c pair (1 game) vanishes entirely; c never appears
+    assert set(rows) == {"a", "b"}
+    assert rows["a"].copeland == 1.0 and rows["a"].n_pairs == 1
