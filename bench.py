@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "arena_transitivity",
     # model-free Copeland leaderboard on the same majority graph
     "arena_copeland",
+    # k-anonymity release gate over publishable metadata tuples
+    "corpus_k_anonymity",
 ]
 
 

@@ -109,3 +109,56 @@ def truncation_leakage_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity release gate over a set of quasi-identifier columns
+    (Sweeney 2002) — the privacy companion of the PII scrubber: regex
+    scrubbing removes DIRECT identifiers, but a row can still be
+    re-identified when its combination of innocuous metadata (source ×
+    language × length bucket × date…) is shared by fewer than ``k``
+    rows. A release pipeline runs this on the metadata columns it
+    plans to publish and either generalizes (coarsen buckets, drop a
+    column) or suppresses the at-risk groups.
+
+    One row per distinct quasi-identifier tuple: the tuple's columns,
+    ``group_size``, and ``at_risk`` (1 iff group_size < k — nulls in
+    quasi columns group together, the conservative reading: a NULL is
+    a value an attacker can match on). Riding panel constants —
+    ``n_rows``, ``n_groups``, ``n_rows_at_risk``, ``risk_frac``
+    (6 dp), ``k_threshold``, and ``min_group_size`` (the corpus's
+    actual anonymity level: the table is k'-anonymous for k' =
+    min_group_size) — make the value hash verify the census.
+
+    Scale shape: ONE map-side-combinable ``groupBy(quasi_cols)`` —
+    the corpus reduces to the distinct-tuple table before anything
+    shuffles — then one tiny aggregate over the groups broadcast back.
+    Fully lazy; no windows, no driver work. The output is
+    group-sized, which is the answer itself (an all-unique worst case
+    IS the finding)."""
+    groups = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size")
+    )
+    at_risk = (F.col("group_size") < k).cast("int")
+    g = groups.withColumn("at_risk", at_risk)
+    consts = g.agg(
+        F.sum("group_size").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.col("group_size") * F.col("at_risk"))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.round(
+            F.sum(F.col("group_size") * F.col("at_risk")).cast("double")
+            / F.sum("group_size").cast("double"),
+            6,
+        ).alias("risk_frac"),
+        F.min("group_size").cast("bigint").alias("min_group_size"),
+    )
+    return (
+        g.crossJoin(F.broadcast(consts))
+        .withColumn("k_threshold", F.lit(int(k)))
+    )

@@ -9540,6 +9540,48 @@ def q_arena_copeland(spark: SparkSession, sf_dir: str) -> DataFrame:
     return copeland_ranking(_arena_judgments(spark, sf_dir))
 
 
+_KANON_ORACLE = """WITH g AS (
+    SELECT lang, source, CAST(n_chars // 200 AS BIGINT) AS len_bucket,
+        CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM documents GROUP BY 1, 2, 3
+),
+g2 AS (
+    SELECT *, CAST(CASE WHEN group_size < 5 THEN 1 ELSE 0 END AS INTEGER)
+        AS at_risk
+    FROM g
+),
+c AS (
+    SELECT CAST(SUM(group_size) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(group_size * at_risk) AS BIGINT) AS n_rows_at_risk,
+        ROUND(SUM(group_size * at_risk) / CAST(SUM(group_size) AS DOUBLE),
+              6) AS risk_frac,
+        CAST(MIN(group_size) AS BIGINT) AS min_group_size
+    FROM g2
+)
+SELECT g2.*, c.n_rows, c.n_groups, c.n_rows_at_risk, c.risk_frac,
+    c.min_group_size, CAST(5 AS INTEGER) AS k_threshold
+FROM g2, c"""
+
+
+@register("corpus_k_anonymity", _KANON_ORACLE, driver=False)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate (sparkfeat.audit.k_anonymity_audit)
+    over the metadata a release would publish — (lang, source,
+    200-char length bucket): groups smaller than k = 5 are
+    re-identification risks even after PII scrubbing removes direct
+    identifiers. One map-side groupBy collapses the corpus to the
+    distinct-tuple table; riding census constants (rows at risk, risk
+    fraction, the corpus's actual min group size = its k'-anonymity
+    level) make the hash verify the gate's verdict."""
+    from sparkfeat.audit import k_anonymity_audit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "len_bucket", F.expr("n_chars div 200").cast("bigint")
+    )
+    return k_anonymity_audit(docs, ["lang", "source", "len_bucket"], k=5)
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -9578,7 +9620,8 @@ def q_arena_copeland(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probe_rank_auc, probe_feature_mi, flagship_drift_ks,
 # corpus_domain_pagerank, corpus_domain_hits,
 # corpus_domain_trustrank, corpus_unimax_plan,
-# search_retrieval_eval, arena_transitivity, arena_copeland —
+# search_retrieval_eval, arena_transitivity, arena_copeland,
+# corpus_k_anonymity —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

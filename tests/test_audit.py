@@ -101,3 +101,51 @@ def test_audit_published_into_run_manifest(spark, transcripts, tmp_path):
     audits = [r for r in recs if r.get("audit") == "leakage"]
     assert len(audits) == 1 and audits[0]["clean"] is True
     assert len([r for r in recs if "bucket" in r]) == 4
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_audit — release-gate census
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_hand_computed(spark):
+    from sparkfeat.audit import k_anonymity_audit
+
+    rows = (
+        [("en", "s1")] * 5  # safe at k=5
+        + [("en", "s2")] * 2  # at risk
+        + [("fr", "s1")]  # unique -> at risk
+    )
+    df = spark.createDataFrame(rows, "lang string, source string")
+    got = {
+        (r.lang, r.source): r
+        for r in k_anonymity_audit(df, ["lang", "source"], k=5).collect()
+    }
+    assert got[("en", "s1")].at_risk == 0
+    assert got[("en", "s2")].at_risk == 1 and got[("fr", "s1")].at_risk == 1
+    c = got[("en", "s1")]
+    assert c.n_rows == 8 and c.n_groups == 3
+    assert c.n_rows_at_risk == 3 and c.risk_frac == 0.375
+    assert c.min_group_size == 1 and c.k_threshold == 5
+
+
+def test_k_anonymity_nulls_group_conservatively(spark):
+    from sparkfeat.audit import k_anonymity_audit
+
+    df = spark.createDataFrame(
+        [("en",), (None,), (None,), (None,), (None,), (None,)],
+        "lang string",
+    )
+    got = {r.lang: r for r in k_anonymity_audit(df, ["lang"], k=5).collect()}
+    # five NULLs form one size-5 group (matchable value), 'en' is unique
+    assert got[None].group_size == 5 and got[None].at_risk == 0
+    assert got["en"].at_risk == 1
+
+
+def test_k_anonymity_all_unique_worst_case(spark):
+    from sparkfeat.audit import k_anonymity_audit
+
+    df = spark.createDataFrame([(str(i),) for i in range(4)], "uid string")
+    rows = k_anonymity_audit(df, ["uid"], k=2).collect()
+    assert all(r.at_risk == 1 for r in rows)
+    assert rows[0].risk_frac == 1.0 and rows[0].min_group_size == 1
