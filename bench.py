@@ -204,6 +204,8 @@ BENCH_QUERIES = [
     "arena_copeland",
     # k-anonymity release gate over publishable metadata tuples
     "corpus_k_anonymity",
+    # l-diversity: homogeneity-attack gate (distinct + entropy forms)
+    "corpus_l_diversity",
 ]
 
 

@@ -162,3 +162,78 @@ def k_anonymity_audit(
         g.crossJoin(F.broadcast(consts))
         .withColumn("k_threshold", F.lit(int(k)))
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l_threshold: int = 2,
+) -> DataFrame:
+    """l-diversity release gate (Machanavajjhala et al. 2007) — the
+    k-anonymity sibling that catches the attack group SIZE cannot: a
+    size-50 quasi group is 50-anonymous, but if all 50 rows share one
+    value of the sensitive attribute, membership alone discloses it
+    (the homogeneity attack). Per quasi-identifier group this reports
+    the number of DISTINCT sensitive values and the stronger
+    entropy form: ``entropy_l`` = exp(H) of the sensitive-value
+    distribution within the group — the "effective number" of
+    sensitive values an attacker must still distinguish (a 49-vs-1
+    split has 2 distinct values but entropy_l ≈ 1.1; the distinct
+    count alone would pass it).
+
+    ``at_risk`` flags groups with fewer than ``l_threshold`` distinct
+    sensitive values; NULL sensitive values count as a value (they are
+    disclosable facts too) and NULL quasi values group together (the
+    k-anonymity convention). Entropy terms are 9-dp-canonicalized
+    before the fold and exp(H) rounded to 6 dp — engine-exact.
+
+    Scale shape: TWO stacked map-side-combinable aggregates —
+    ``groupBy(quasi, sensitive)`` then ``groupBy(quasi)`` — so
+    per-task state is bounded by the aggregate hash map, never a
+    distinct-set buffer under a hot group; census constants broadcast
+    back. Output per quasi group: the tuple's columns, ``group_size``,
+    ``n_sensitive``, ``entropy_l``, ``at_risk`` + riding
+    ``n_groups``, ``n_rows``, ``n_rows_at_risk``, ``risk_frac``,
+    ``min_diversity``, ``l_threshold``."""
+    qc = [F.col(c) for c in quasi_cols]
+    lvl1 = df.groupBy(*qc, F.col(sensitive_col).alias("_sv")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    totals = lvl1.groupBy(*qc).agg(F.sum("_c").alias("_n"))
+    ent_term = F.round(
+        -(F.col("_c").cast("double") / F.col("_n").cast("double"))
+        * F.log(F.col("_c").cast("double") / F.col("_n").cast("double")),
+        9,
+    )
+    g = (
+        lvl1.join(totals, list(quasi_cols))
+        .withColumn("_h", ent_term)
+        .groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(
+            F.max("_n").cast("bigint").alias("group_size"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sensitive"),
+            F.round(F.exp(F.round(F.sum("_h"), 9)), 6).alias("entropy_l"),
+        )
+        .withColumn(
+            "at_risk",
+            (F.col("n_sensitive") < l_threshold).cast("int"),
+        )
+    )
+    consts = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("group_size").cast("bigint").alias("n_rows"),
+        F.sum(F.col("group_size") * F.col("at_risk"))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.round(
+            F.sum(F.col("group_size") * F.col("at_risk")).cast("double")
+            / F.sum("group_size").cast("double"),
+            6,
+        ).alias("risk_frac"),
+        F.min("n_sensitive").cast("bigint").alias("min_diversity"),
+    )
+    return (
+        g.crossJoin(F.broadcast(consts))
+        .withColumn("l_threshold", F.lit(int(l_threshold)))
+    )

@@ -9582,6 +9582,63 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_audit(docs, ["lang", "source", "len_bucket"], k=5)
 
 
+_LDIV_ORACLE = """WITH l1 AS (
+    SELECT source, CAST(n_chars // 400 AS BIGINT) AS len_bucket, lang,
+        CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1, 2, 3
+),
+tt AS (
+    SELECT source, len_bucket, SUM(c) AS n FROM l1 GROUP BY 1, 2
+),
+h AS (
+    SELECT l1.source, l1.len_bucket, l1.c, tt.n,
+        ROUND(-(l1.c / CAST(tt.n AS DOUBLE))
+              * LN(l1.c / CAST(tt.n AS DOUBLE)), 9) AS ht
+    FROM l1 JOIN tt USING (source, len_bucket)
+),
+g AS (
+    SELECT source, len_bucket,
+        CAST(MAX(n) AS BIGINT) AS group_size,
+        CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+        ROUND(EXP(ROUND(SUM(ht), 9)), 6) AS entropy_l,
+        CAST(CASE WHEN COUNT(*) < 2 THEN 1 ELSE 0 END AS INTEGER)
+            AS at_risk
+    FROM h GROUP BY 1, 2
+),
+c AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(group_size) AS BIGINT) AS n_rows,
+        CAST(SUM(group_size * at_risk) AS BIGINT) AS n_rows_at_risk,
+        ROUND(SUM(group_size * at_risk)
+              / CAST(SUM(group_size) AS DOUBLE), 6) AS risk_frac,
+        CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity
+    FROM g
+)
+SELECT g.*, c.n_groups, c.n_rows, c.n_rows_at_risk, c.risk_frac,
+    c.min_diversity, CAST(2 AS INTEGER) AS l_threshold
+FROM g, c"""
+
+
+@register("corpus_l_diversity", _LDIV_ORACLE, driver=False)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release gate (sparkfeat.audit.l_diversity_audit) —
+    the homogeneity-attack check k-anonymity cannot make: per
+    (source, 400-char bucket) quasi group, the distinct and ENTROPY
+    diversity of the language attribute (exp(H) = the effective number
+    of values an attacker must still distinguish; a 49-vs-1 split has
+    2 distinct values but entropy_l ≈ 1.1). Two stacked map-side
+    aggregates bound per-task state; the oracle replays the 9-dp
+    entropy fold and the census constants."""
+    from sparkfeat.audit import l_diversity_audit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "len_bucket", F.expr("n_chars div 400").cast("bigint")
+    )
+    return l_diversity_audit(
+        docs, ["source", "len_bucket"], "lang", l_threshold=2
+    )
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -9621,7 +9678,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_domain_pagerank, corpus_domain_hits,
 # corpus_domain_trustrank, corpus_unimax_plan,
 # search_retrieval_eval, arena_transitivity, arena_copeland,
-# corpus_k_anonymity —
+# corpus_k_anonymity, corpus_l_diversity —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

@@ -149,3 +149,44 @@ def test_k_anonymity_all_unique_worst_case(spark):
     rows = k_anonymity_audit(df, ["uid"], k=2).collect()
     assert all(r.at_risk == 1 for r in rows)
     assert rows[0].risk_frac == 1.0 and rows[0].min_group_size == 1
+
+
+def test_l_diversity_homogeneity_attack_and_entropy(spark):
+    import math
+
+    from sparkfeat.audit import l_diversity_audit
+
+    rows = (
+        [("g1", "flu")] * 49 + [("g1", "hiv")]  # 50-anonymous, near-
+        + [("g2", "flu")] * 3 + [("g2", "cold")] * 3  # homogeneous
+        + [("g3", "flu")] * 5  # fully homogeneous -> at risk
+    )
+    df = spark.createDataFrame(rows, "grp string, dx string")
+    got = {
+        r.grp: r
+        for r in l_diversity_audit(df, ["grp"], "dx", l_threshold=2).collect()
+    }
+    # distinct count passes g1, but entropy exposes the 49-vs-1 split
+    assert got["g1"].n_sensitive == 2 and got["g1"].at_risk == 0
+    h = round(-(49 / 50) * math.log(49 / 50), 9) + round(
+        -(1 / 50) * math.log(1 / 50), 9
+    )
+    assert got["g1"].entropy_l == round(math.exp(round(h, 9)), 6)
+    assert got["g2"].entropy_l == 2.0  # balanced 3-3
+    assert got["g3"].at_risk == 1 and got["g3"].entropy_l == 1.0
+    assert got["g1"].n_rows_at_risk == 5 and got["g1"].min_diversity == 1
+
+
+def test_l_diversity_null_sensitive_counts_as_value(spark):
+    from sparkfeat.audit import l_diversity_audit
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), ("h", None), ("h", None)],
+        "grp string, dx string",
+    )
+    got = {
+        r.grp: r
+        for r in l_diversity_audit(df, ["grp"], "dx", l_threshold=2).collect()
+    }
+    assert got["g"].n_sensitive == 2 and got["g"].at_risk == 0
+    assert got["h"].n_sensitive == 1 and got["h"].at_risk == 1
