@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "corpus_k_anonymity",
     # l-diversity: homogeneity-attack gate (distinct + entropy forms)
     "corpus_l_diversity",
+    # t-closeness: skewness-attack gate (sparse-exact TVD)
+    "corpus_t_closeness",
 ]
 
 

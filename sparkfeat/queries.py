@@ -9639,6 +9639,69 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TCLOSE_ORACLE = """WITH l1 AS (
+    SELECT source, CAST(n_chars // 400 AS BIGINT) AS len_bucket, lang,
+        CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1, 2, 3
+),
+tt AS (SELECT source, len_bucket, SUM(c) AS n FROM l1 GROUP BY 1, 2),
+gl AS (SELECT lang, SUM(c) AS gc FROM l1 GROUP BY 1),
+na AS (SELECT SUM(gc) AS nall FROM gl),
+j AS (
+    SELECT l1.source, l1.len_bucket, tt.n,
+        ROUND(ABS(l1.c / CAST(tt.n AS DOUBLE)
+                  - gl.gc / CAST(na.nall AS DOUBLE)), 9) AS ad,
+        ROUND(gl.gc / CAST(na.nall AS DOUBLE), 9) AS qp
+    FROM l1 JOIN tt USING (source, len_bucket)
+    JOIN gl USING (lang), na
+),
+g AS (
+    SELECT source, len_bucket,
+        CAST(MAX(n) AS BIGINT) AS group_size,
+        ROUND((ROUND(SUM(ad), 9) + 1.0 - ROUND(SUM(qp), 9)) / 2.0, 6)
+            AS tvd
+    FROM j GROUP BY 1, 2
+),
+g2 AS (
+    SELECT *, CAST(CASE WHEN tvd > 0.2 THEN 1 ELSE 0 END AS INTEGER)
+        AS at_risk
+    FROM g
+),
+c AS (
+    SELECT MAX(tvd) AS max_tvd,
+        CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(group_size) AS BIGINT) AS n_rows,
+        CAST(SUM(group_size * at_risk) AS BIGINT) AS n_rows_at_risk,
+        ROUND(SUM(group_size * at_risk)
+              / CAST(SUM(group_size) AS DOUBLE), 6) AS risk_frac
+    FROM g2
+)
+SELECT g2.*, c.max_tvd, c.n_groups, c.n_rows, c.n_rows_at_risk,
+    c.risk_frac, 0.2 AS t_threshold
+FROM g2, c"""
+
+
+@register("corpus_t_closeness", _TCLOSE_ORACLE, driver=False)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release gate (sparkfeat.audit.t_closeness_audit) —
+    the skewness-attack check completing the privacy trilogy: per
+    (source, 400-char bucket) quasi group, the total-variation
+    distance between the group's language distribution and the
+    corpus's (a group can be diverse yet leak a 40× belief update on a
+    rare value). Sparse-exact TVD — absent values fold in closed form,
+    the group never materializes the full support; same stacked
+    aggregates as the l-diversity gate plus one broadcast marginal
+    join. Riding max_tvd reports the table's actual t."""
+    from sparkfeat.audit import t_closeness_audit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "len_bucket", F.expr("n_chars div 400").cast("bigint")
+    )
+    return t_closeness_audit(
+        docs, ["source", "len_bucket"], "lang", t_threshold=0.2
+    )
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -9678,7 +9741,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_domain_pagerank, corpus_domain_hits,
 # corpus_domain_trustrank, corpus_unimax_plan,
 # search_retrieval_eval, arena_transitivity, arena_copeland,
-# corpus_k_anonymity, corpus_l_diversity —
+# corpus_k_anonymity, corpus_l_diversity, corpus_t_closeness —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

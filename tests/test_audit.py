@@ -190,3 +190,38 @@ def test_l_diversity_null_sensitive_counts_as_value(spark):
     }
     assert got["g"].n_sensitive == 2 and got["g"].at_risk == 0
     assert got["h"].n_sensitive == 1 and got["h"].at_risk == 1
+
+
+def test_t_closeness_skewness_attack(spark):
+    from sparkfeat.audit import t_closeness_audit
+
+    # corpus: flu 90%, hiv 10%; g1 mirrors it (tvd 0), g2 mildly
+    # skewed, g3 pure-flu (tvd exactly 0.1 via the absent-value fold)
+    rows = (
+        [("g1", "flu")] * 45 + [("g1", "hiv")] * 5
+        + [("g2", "flu")] * 30 + [("g2", "hiv")] * 5
+        + [("g3", "flu")] * 15
+    )
+    df = spark.createDataFrame(rows, "grp string, dx string")
+    got = {
+        r.grp: r
+        for r in t_closeness_audit(df, ["grp"], "dx", t_threshold=0.05
+                                   ).collect()
+    }
+    assert got["g1"].tvd == 0.0 and got["g1"].at_risk == 0
+    assert got["g2"].tvd == 0.042857 and got["g2"].at_risk == 0
+    assert got["g3"].tvd == 0.1 and got["g3"].at_risk == 1
+    assert got["g1"].max_tvd == 0.1 and got["g1"].n_rows_at_risk == 15
+    # l-diversity would flag nothing here but g3: the 40%-hiv version
+    skew = [("s", "hiv")] * 4 + [("s", "flu")] * 6 + [("t", "flu")] * 86 + [
+        ("t", "hiv")
+    ] * 4
+    df2 = spark.createDataFrame(skew, "grp string, dx string")
+    got2 = {
+        r.grp: r
+        for r in t_closeness_audit(df2, ["grp"], "dx", t_threshold=0.2
+                                    ).collect()
+    }
+    # global hiv prevalence 8%; group s shows 40% -> big TVD, flagged
+    assert got2["s"].tvd > 0.3 and got2["s"].at_risk == 1
+    assert got2["t"].at_risk == 0
