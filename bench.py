@@ -208,6 +208,12 @@ BENCH_QUERIES = [
     "corpus_l_diversity",
     # t-closeness: skewness-attack gate (sparse-exact TVD)
     "corpus_t_closeness",
+    # preference-pair contrast screen: relational BLEU over mined DPO
+    # pairs (pair-keyed gram combines — no UDF, no cartesian)
+    "preference_pair_bleu",
+    # sequential change-point monitor: Page CUSUM as two stacked
+    # windows (closed form of the max(0,.) recursion)
+    "events_cusum",
 ]
 
 

@@ -45,6 +45,7 @@ __all__ = [
     "quantile_edges",
     "categorical_drift",
     "ks_drift",
+    "cusum_alarms",
 ]
 
 
@@ -545,4 +546,98 @@ def ks_drift(
                 F.round(F.col("_w1s") / nn, 6),
             ).alias("w1"),
         )
+    )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    series_cols: tuple[str, ...] = ("series",),
+    order_col: str = "t",
+    value_col: str = "x",
+    ref_n: int = 48,
+    k: float = 0.5,
+    h: float = 4.0,
+    nd: int = 6,
+) -> DataFrame:
+    """Tabular CUSUM change-point detection per metric series — the
+    SEQUENTIAL member of the drift family. PSI/KS/chi² compare two
+    frozen snapshots; CUSUM (Page 1954) watches an ORDERED stream of
+    metric points and flags the first time the mean has shifted by
+    more than ~2k standard deviations, accumulating evidence across
+    points — it catches slow drifts each individual snapshot test
+    would miss.
+
+    Per series: the first ``ref_n`` points are the burn-in reference
+    (mean mu, population std sigma); every later point is standardized
+    ``z = (x - mu) / sigma`` and folded into the two one-sided
+    statistics ``S+_t = max(0, S+_{t-1} + z_t - k)`` (upward shift)
+    and ``S-_t = max(0, S-_{t-1} - z_t - k)`` (downward); ``alarm``
+    fires while either exceeds ``h``. Defaults k=0.5, h=4 are the
+    textbook choice (detects a 1-sigma mean shift with ~ARL-370 false
+    alarms).
+
+    The recurrence is deliberately NOT an applyInPandas fold: the
+    Page recursion has the closed form ``S_t = C_t - min(0,
+    min_{j<=t} C_j)`` where ``C`` is the plain cumulative sum of the
+    increments (subtracting the running minimum restarts the sum
+    exactly where max(0, ·) would have clamped it), so both statistics
+    are two stacked window aggregates over ONE ``series_cols``
+    partitioning — O(1) state per row, plain codegen, and the DuckDB
+    oracle replays it verbatim.
+
+    Output per input row: ``(*series_cols, order_col, x, in_reference,
+    z, s_pos, s_neg, alarm)``, doubles rounded ``nd`` dp. A
+    zero-variance burn-in (sigma = 0) yields z NULL and never alarms
+    (reported, not crashed). First-alarm extraction is a trivial
+    downstream ``where(alarm).groupBy(series).min(order)``.
+
+    Scale shape: series are metric streams (per source/event-type per
+    hour), so a partition is tiny by construction; ONE exchange on
+    ``series_cols``, every window reuses that partitioning (single
+    sort), reference stats ride a per-series equi-join of a
+    |series|-row aggregate. No UDFs, no collect.
+    """
+    from pyspark.sql import Window
+
+    scols = list(series_cols)
+    w = Window.partitionBy(*scols).orderBy(order_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    x = F.col(value_col).cast("double")
+
+    staged = df.select(*scols, F.col(order_col), x.alias("_x")).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    ref = staged.where(F.col("_rn") <= ref_n).groupBy(*scols).agg(
+        F.avg("_x").alias("_mu"), F.stddev_pop("_x").alias("_sigma")
+    )
+    z = F.when(
+        F.col("_sigma") > 0, (F.col("_x") - F.col("_mu")) / F.col("_sigma")
+    )
+    mon = (
+        staged.join(ref, scols)
+        .withColumn("_z", z)
+        .withColumn("_live", (F.col("_rn") > ref_n) & F.col("_z").isNotNull())
+        .withColumn(
+            "_cp", F.sum(F.when(F.col("_live"), F.col("_z") - k).otherwise(0.0)).over(wcum)
+        )
+        .withColumn(
+            "_cn", F.sum(F.when(F.col("_live"), -F.col("_z") - k).otherwise(0.0)).over(wcum)
+        )
+        .withColumn("_mp", F.least(F.min("_cp").over(wcum), F.lit(0.0)))
+        .withColumn("_mn", F.least(F.min("_cn").over(wcum), F.lit(0.0)))
+    )
+    s_pos = F.when(F.col("_live"), F.col("_cp") - F.col("_mp")).otherwise(0.0)
+    s_neg = F.when(F.col("_live"), F.col("_cn") - F.col("_mn")).otherwise(0.0)
+    return mon.select(
+        *scols,
+        F.col(order_col),
+        (F.round(F.col("_x"), nd) + F.lit(0.0)).alias("x"),
+        (F.col("_rn") <= ref_n).alias("in_reference"),
+        (F.round(F.col("_z"), nd) + F.lit(0.0)).alias("z"),
+        (F.round(s_pos, nd) + F.lit(0.0)).alias("s_pos"),
+        (F.round(s_neg, nd) + F.lit(0.0)).alias("s_neg"),
+        # the boundary compares the ROUNDED statistics: both engines
+        # see identical nd-dp doubles, so the flag is deterministic
+        # (the ks_drift convention)
+        ((F.round(s_pos, nd) > h) | (F.round(s_neg, nd) > h)).alias("alarm"),
     )

@@ -9702,6 +9702,164 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLEU_PAIRS_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+f AS (
+    SELECT conv_id, turn_idx AS retry_idx,
+        text AS rejected_text,
+        MIN(CASE WHEN tool IS DISTINCT FROM 'retry' THEN turn_idx END)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+            AS chosen_idx,
+        FIRST_VALUE(CASE WHEN tool IS DISTINCT FROM 'retry' THEN text END
+                    IGNORE NULLS)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+            AS chosen_text,
+        tool = 'retry' AS r
+    FROM transcripts
+),
+p AS (
+    SELECT conv_id, retry_idx,
+        list_filter(regexp_split_to_array(lower(COALESCE(chosen_text, '')),
+                    '\\s+'), x -> x <> '') AS ct,
+        list_filter(regexp_split_to_array(lower(COALESCE(rejected_text, '')),
+                    '\\s+'), x -> x <> '') AS rt
+    FROM f WHERE r AND chosen_idx IS NOT NULL
+),
+g AS (
+    SELECT conv_id, retry_idx, v.n,
+        unnest(list_transform(generate_series(1, greatest(len(ct) - v.n + 1, 0)),
+               i -> array_to_string(ct[i:i + v.n - 1], ' '))) AS gram,
+        1 AS is_cand
+    FROM p CROSS JOIN (VALUES (1), (2), (3), (4)) v(n)
+    UNION ALL
+    SELECT conv_id, retry_idx, v.n,
+        unnest(list_transform(generate_series(1, greatest(len(rt) - v.n + 1, 0)),
+               i -> array_to_string(rt[i:i + v.n - 1], ' '))) AS gram,
+        0 AS is_cand
+    FROM p CROSS JOIN (VALUES (1), (2), (3), (4)) v(n)
+),
+c AS (
+    SELECT conv_id, retry_idx, n, gram,
+        SUM(CASE WHEN is_cand = 1 THEN 1 ELSE 0 END) AS c,
+        SUM(CASE WHEN is_cand = 0 THEN 1 ELSE 0 END) AS r
+    FROM g GROUP BY conv_id, retry_idx, n, gram
+),
+pn AS (
+    SELECT conv_id, retry_idx, n, SUM(LEAST(c, r)) AS clip
+    FROM c GROUP BY conv_id, retry_idx, n
+),
+pl AS (SELECT conv_id, retry_idx, len(ct) AS clen, len(rt) AS rlen FROM p),
+agg AS (
+    SELECT pl.conv_id, pl.retry_idx, pl.clen, pl.rlen,
+        SUM(LN((CASE WHEN pn.clip > 0 THEN CAST(pn.clip AS DOUBLE)
+                     ELSE 0.1 END) / (pl.clen - pn.n + 1))) AS logp,
+        MAX(CASE WHEN pn.n = 1 THEN pn.clip END) AS clip1
+    FROM pl LEFT JOIN pn
+      ON pl.conv_id = pn.conv_id AND pl.retry_idx = pn.retry_idx
+    GROUP BY pl.conv_id, pl.retry_idx, pl.clen, pl.rlen
+),
+res AS (
+    SELECT conv_id, retry_idx,
+        CAST(clen AS BIGINT) AS cand_len, CAST(rlen AS BIGINT) AS ref_len,
+        clen >= 4 AND rlen >= 1 AS valid,
+        CASE WHEN clen = 0 THEN 0.0 WHEN clen >= rlen THEN 1.0
+             ELSE exp(1 - rlen / CAST(clen AS DOUBLE)) END AS bp_raw,
+        logp, clip1
+    FROM agg
+)
+SELECT conv_id, retry_idx, cand_len, ref_len,
+    CASE WHEN valid THEN ROUND(clip1 / CAST(cand_len AS DOUBLE), 6)
+         ELSE 0.0 END AS unigram_prec,
+    CASE WHEN valid THEN ROUND(bp_raw, 6) ELSE 0.0 END AS brevity_penalty,
+    CASE WHEN valid THEN ROUND(bp_raw * exp(logp / 4), 6)
+         ELSE 0.0 END AS bleu,
+    (CASE WHEN valid THEN ROUND(bp_raw * exp(logp / 4), 6)
+          ELSE 0.0 END) >= 0.5 AS low_contrast
+FROM res"""
+
+
+@register("preference_pair_bleu", _BLEU_PAIRS_ORACLE, driver=False)
+def q_preference_pair_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair contrast screen (sparkfeat.geneval.bleu_pairs):
+    BLEU(chosen | rejected) for every mined DPO pair — pairs whose two
+    responses are lexically near-identical (``low_contrast``) carry no
+    preference signal and get dropped before training. Pure relational
+    BLEU: one explode per side, two stacked (pair, n, gram)-keyed
+    combines (the pair id is IN the key, so Zipf-head grams never
+    concentrate), equi-join back to the pair spine — no UDFs, no
+    window, no collect."""
+    from sparkfeat.conv import preference_pairs
+    from sparkfeat.geneval import bleu_pairs
+
+    pp = preference_pairs(transcripts_from_events(spark, sf_dir))
+    return bleu_pairs(pp.select("conv_id", "retry_idx", "chosen_text", "rejected_text"))
+
+
+_CUSUM_ORACLE = """WITH hourly AS (
+    SELECT event_type AS series, date_trunc('hour', ts) AS t,
+        AVG(value) AS x
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+st AS (
+    SELECT series, t, x,
+        ROW_NUMBER() OVER (PARTITION BY series ORDER BY t) AS rn
+    FROM hourly
+),
+ref AS (
+    SELECT series, AVG(x) AS mu, stddev_pop(x) AS sigma
+    FROM st WHERE rn <= 48 GROUP BY series
+),
+z AS (
+    SELECT st.*,
+        CASE WHEN ref.sigma > 0 THEN (st.x - ref.mu) / ref.sigma END AS zv
+    FROM st JOIN ref USING (series)
+),
+l AS (SELECT *, rn > 48 AND zv IS NOT NULL AS live FROM z),
+c AS (
+    SELECT *,
+        SUM(CASE WHEN live THEN zv - 0.5 ELSE 0.0 END) OVER w AS cp,
+        SUM(CASE WHEN live THEN -zv - 0.5 ELSE 0.0 END) OVER w AS cn
+    FROM l
+    WINDOW w AS (PARTITION BY series ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+m AS (
+    SELECT *,
+        LEAST(MIN(cp) OVER w, 0.0) AS mp,
+        LEAST(MIN(cn) OVER w, 0.0) AS mn
+    FROM c
+    WINDOW w AS (PARTITION BY series ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT series, t, ROUND(x, 6) AS x, rn <= 48 AS in_reference,
+    ROUND(zv, 6) AS z,
+    ROUND(CASE WHEN live THEN cp - mp ELSE 0.0 END, 6) AS s_pos,
+    ROUND(CASE WHEN live THEN cn - mn ELSE 0.0 END, 6) AS s_neg,
+    ROUND(CASE WHEN live THEN cp - mp ELSE 0.0 END, 6) > 4.0
+        OR ROUND(CASE WHEN live THEN cn - mn ELSE 0.0 END, 6) > 4.0 AS alarm
+FROM m"""
+
+
+@register("events_cusum", _CUSUM_ORACLE, driver=False)
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential change-point monitoring (sparkfeat.drift.cusum_alarms)
+    over the hourly per-event-type mean-value stream: the first 48 hours
+    per series are the burn-in reference; the two one-sided Page CUSUM
+    statistics accumulate standardized deviations and ``alarm`` fires
+    past h=4. The max(0, ·) recursion runs as its closed form (cumsum
+    minus clamped running min) — two stacked windows on ONE series
+    exchange, no fold UDF."""
+    from sparkfeat.drift import cusum_alarms
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("series"),
+        F.date_trunc("hour", F.col("ts")).alias("t"),
+    ).agg(F.avg("value").alias("x"))
+    return cusum_alarms(hourly, ("series",), "t", "x", ref_n=48, k=0.5, h=4.0)
+
+
 # pytest (tests/test_oracle_parity.py runs QUERIES ∪ EXTRA_QUERIES).
 # A frozen split would let a query sit outside the driver gate forever —
 # round 4 shipped two brand-new operators (doc_duplicate_spans,
@@ -9741,7 +9899,8 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_domain_pagerank, corpus_domain_hits,
 # corpus_domain_trustrank, corpus_unimax_plan,
 # search_retrieval_eval, arena_transitivity, arena_copeland,
-# corpus_k_anonymity, corpus_l_diversity, corpus_t_closeness —
+# corpus_k_anonymity, corpus_l_diversity, corpus_t_closeness,
+# preference_pair_bleu, events_cusum —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #
