@@ -214,6 +214,10 @@ BENCH_QUERIES = [
     # sequential change-point monitor: Page CUSUM as two stacked
     # windows (closed form of the max(0,.) recursion)
     "events_cusum",
+    # ROUGE-L (Arrow LCS kernel, numpy-vectorized DP, capped) and
+    # Wald SPRT early-stopping over the pairwise judgment stream
+    "preference_pair_rouge",
+    "arena_sprt",
 ]
 
 

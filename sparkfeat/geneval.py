@@ -1,4 +1,5 @@
-"""Generation-eval metrics over paired texts: corpus-scale BLEU.
+"""Generation-eval metrics over paired texts: corpus-scale BLEU (pure
+relational algebra) and ROUGE-L (Arrow LCS kernel).
 
 The preference-pair miner (`sparkfeat.conv.preference_pairs`) emits
 (chosen, rejected) response pairs; a DPO batch built from pairs whose
@@ -46,10 +47,12 @@ public algorithm, standard smoothing.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bleu_pairs"]
+__all__ = ["bleu_pairs", "rouge_l_pairs"]
 
 
 def _tokens(c):
@@ -176,4 +179,86 @@ def bleu_pairs(
         (F.when(valid, bleu).otherwise(F.lit(0.0)) >= low_contrast_at).alias(
             "low_contrast"
         ),
+    )
+
+
+def rouge_l_pairs(
+    pairs: DataFrame,
+    id_cols: tuple[str, ...] = ("conv_id", "retry_idx"),
+    cand_col: str = "chosen_text",
+    ref_col: str = "rejected_text",
+    max_tokens: int = 512,
+    beta: float = 1.0,
+    nd: int = 6,
+) -> DataFrame:
+    """ROUGE-L (Lin 2004) per pair: LCS-based recall/precision/F —
+    BLEU's order-sensitive complement (BLEU counts bag-of-ngram
+    overlap; ROUGE-L credits only tokens appearing in the SAME ORDER,
+    so a shuffled copy scores high BLEU-1 but low ROUGE-L).
+
+    The token LCS is a true dynamic program — not expressible as
+    relational algebra — so this is an Arrow-kernel operator (the
+    EWMA/lang-ID seam): one `pandas_udf` whose inner DP is
+    numpy-vectorized over the reference axis (per candidate token:
+    ``c = max(prev[1:], prev[:-1] + match)`` then the running-max
+    ``np.maximum.accumulate`` closes the in-row dependency), so the
+    Python cost is O(min(len, max_tokens)) numpy ops per pair, not
+    O(n·m) interpreted steps. Both sides are CAPPED at ``max_tokens``
+    (DP cost is quadratic; a 10⁷-token boilerplate doc must not own a
+    task — the text.py bounded-time discipline). The cap is part of
+    the metric's definition here and recorded in the column names'
+    contract: rouge_r = LCS / min(ref_len, cap) etc.
+
+    Output per pair: ``(*id_cols, cand_len, ref_len, lcs_len,
+    rouge_r, rouge_p, rouge_f)`` (lengths pre-cap, LCS over capped
+    prefixes; F = (1+β²)·P·R / (R + β²·P), β=1 harmonic default;
+    empty/null side → zeros). Scale shape: map-only — the kernel
+    fuses into the scan, no shuffle at all; partition-size-bounded
+    Arrow batches.
+    """
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _lcs(cand: pd.Series, ref: pd.Series) -> pd.Series:
+        out = np.zeros(len(cand), dtype=np.int64)
+        for i, (ct, rt) in enumerate(zip(cand, ref)):
+            if ct is None or rt is None or len(ct) == 0 or len(rt) == 0:
+                continue
+            a = ct[:max_tokens]
+            b = np.asarray(rt[:max_tokens], dtype=object)
+            dp = np.zeros(len(b) + 1, dtype=np.int64)
+            for tok in a:
+                match = np.asarray(b == tok).astype(np.int64)
+                c = np.maximum(dp[1:], dp[:-1] + match)
+                dp = np.concatenate(([0], np.maximum.accumulate(c)))
+            out[i] = dp[-1]
+        return pd.Series(out)
+
+    base = pairs.select(
+        *id_cols,
+        _tokens(F.col(cand_col)).alias("_ct"),
+        _tokens(F.col(ref_col)).alias("_rt"),
+    ).select(
+        *id_cols,
+        F.size("_ct").cast("long").alias("cand_len"),
+        F.size("_rt").cast("long").alias("ref_len"),
+        _lcs(F.col("_ct"), F.col("_rt")).alias("lcs_len"),
+    )
+    r = F.col("lcs_len") / F.least(F.col("ref_len"), F.lit(max_tokens))
+    p = F.col("lcs_len") / F.least(F.col("cand_len"), F.lit(max_tokens))
+    b2 = beta * beta
+    f = F.when(
+        (F.col("lcs_len") > 0),
+        (1.0 + b2) * r * p / (r + b2 * p),
+    ).otherwise(F.lit(0.0))
+    zero = (F.col("cand_len") == 0) | (F.col("ref_len") == 0)
+    r6 = lambda c: F.round(c, nd) + F.lit(0.0)  # noqa: E731
+    return base.select(
+        *id_cols,
+        "cand_len",
+        "ref_len",
+        "lcs_len",
+        r6(F.when(zero, F.lit(0.0)).otherwise(r)).alias("rouge_r"),
+        r6(F.when(zero, F.lit(0.0)).otherwise(p)).alias("rouge_p"),
+        r6(F.when(zero, F.lit(0.0)).otherwise(f)).alias("rouge_f"),
     )

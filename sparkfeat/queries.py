@@ -9841,6 +9841,119 @@ SELECT series, t, ROUND(x, 6) AS x, rn <= 48 AS in_reference,
 FROM m"""
 
 
+import math as _math
+
+# identical float literals on BOTH engines (repr round-trips exactly),
+# so the cumulative LLR is the same sequence of double additions —
+# bit-identical before the 6-dp rounding even sees it
+_SPRT_UP = repr(_math.log(0.6 / 0.5))
+_SPRT_DOWN = repr(_math.log(0.4 / 0.5))
+_SPRT_HI = repr(_math.log(0.95 / 0.05))
+_SPRT_LO = repr(_math.log(0.05 / 0.95))
+
+_SPRT_ORACLE = f"""WITH e AS (
+    SELECT doc_id // 2 AS half, source AS s_e, n_chars AS c_e
+    FROM documents WHERE doc_id % 2 = 0
+),
+o AS (
+    SELECT doc_id // 2 AS half, source AS s_o, n_chars AS c_o
+    FROM documents WHERE doc_id % 2 = 1
+),
+judg AS (
+    SELECT half,
+        CASE WHEN c_e >= c_o THEN s_e ELSE s_o END AS winner,
+        CASE WHEN c_e >= c_o THEN s_o ELSE s_e END AS loser
+    FROM e JOIN o USING (half)
+),
+stream AS (
+    SELECT LEAST(winner, loser) AS a, GREATEST(winner, loser) AS b,
+        half AS t, winner = LEAST(winner, loser) AS a_won
+    FROM judg WHERE winner <> loser
+),
+st AS (
+    SELECT a, b, t, a_won,
+        ROW_NUMBER() OVER w AS n,
+        ROUND(SUM(CASE WHEN a_won THEN {_SPRT_UP}
+                       ELSE {_SPRT_DOWN} END) OVER
+              (PARTITION BY a, b ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+            AS llr
+    FROM stream
+    WINDOW w AS (PARTITION BY a, b ORDER BY t)
+),
+cr AS (
+    SELECT *, CASE WHEN llr >= {_SPRT_HI} THEN 'accept_h1'
+                   WHEN llr <= {_SPRT_LO} THEN 'accept_h0' END AS cross_d
+    FROM st
+)
+SELECT a, b,
+    CAST(COUNT(*) AS BIGINT) AS n_judgments,
+    ROUND(max_by(llr, n), 6) AS llr_final,
+    COALESCE(min_by(cross_d, CASE WHEN cross_d IS NOT NULL THEN n END),
+             'continue') AS decision,
+    CAST(MIN(CASE WHEN cross_d IS NOT NULL THEN n END) AS BIGINT)
+        AS n_decision,
+    ROUND(min_by(llr, CASE WHEN cross_d IS NOT NULL THEN n END), 6)
+        AS llr_at_decision
+FROM cr GROUP BY a, b"""
+
+
+@register("arena_sprt", _SPRT_ORACLE, driver=False)
+def q_arena_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential eval early-stopping (sparkfeat.arena.sprt_monitor):
+    Wald's SPRT per source pairing over the deterministic length-judge
+    stream — H0 p=0.5 vs H1 p=0.6, alpha=beta=0.05; each pair decides
+    at its first 6-dp-rounded LLR boundary crossing or reports
+    'continue'. One pair-keyed exchange: ordered cumsum of two literal
+    increments + conditional-MIN first crossing + the summary rollup,
+    all in the same partitioning. The oracle interpolates the SAME
+    repr'd float literals, so both engines add identical doubles."""
+    from sparkfeat.arena import sprt_monitor
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("half"),
+        F.col("source").alias("s_e"),
+        F.col("n_chars").alias("c_e"),
+    )
+    od = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.expr("doc_id div 2").alias("half"),
+        F.col("source").alias("s_o"),
+        F.col("n_chars").alias("c_o"),
+    )
+    won = F.col("c_e") >= F.col("c_o")
+    judg = ev.join(od, "half").select(
+        F.col("half"),
+        F.when(won, F.col("s_e")).otherwise(F.col("s_o")).alias("winner"),
+        F.when(won, F.col("s_o")).otherwise(F.col("s_e")).alias("loser"),
+    )
+    stream = judg.where(F.col("winner") != F.col("loser")).select(
+        F.least("winner", "loser").alias("a"),
+        F.greatest("winner", "loser").alias("b"),
+        F.col("half").alias("t"),
+        (F.col("winner") == F.least("winner", "loser")).alias("a_won"),
+    )
+    return sprt_monitor(stream, p0=0.5, p1=0.6, alpha=0.05, beta=0.05)
+
+
+@register("preference_pair_rouge", None, driver=False)
+def q_preference_pair_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L contrast screen (sparkfeat.geneval.rouge_l_pairs) over
+    the mined DPO pairs — the order-sensitive complement of
+    preference_pair_bleu (LCS credits only same-order tokens). The LCS
+    is a true DP, hence the Arrow-kernel seam: rows-only driver check;
+    the DP itself is pytest-pinned against a pure-Python reference
+    (tests/test_geneval.py), the house convention for non-relational
+    kernels (EWMA, GASF)."""
+    from sparkfeat.conv import preference_pairs
+    from sparkfeat.geneval import rouge_l_pairs
+
+    pp = preference_pairs(transcripts_from_events(spark, sf_dir))
+    return rouge_l_pairs(
+        pp.select("conv_id", "retry_idx", "chosen_text", "rejected_text")
+    )
+
+
 @register("events_cusum", _CUSUM_ORACLE, driver=False)
 def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential change-point monitoring (sparkfeat.drift.cusum_alarms)

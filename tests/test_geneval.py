@@ -222,3 +222,164 @@ def test_cusum_single_exchange_plan(spark):
     )
     assert plan.count("Exchange") <= 3, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -------------------------------------------------------------- ROUGE-L
+
+
+def _ref_lcs(a, b):
+    """Plain O(n·m) textbook LCS — independent of the numpy kernel."""
+    n, m = len(a), len(b)
+    dp = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            dp[i][j] = (
+                dp[i - 1][j - 1] + 1
+                if a[i - 1] == b[j - 1]
+                else max(dp[i - 1][j], dp[i][j - 1])
+            )
+    return dp[n][m]
+
+
+ROUGE_PAIRS = [
+    (1, "the cat sat on the mat", "the cat sat on the mat"),
+    (2, "the cat sat on the mat", "mat the on sat cat the"),  # shuffled copy
+    (3, "a b c d e f g", "a x b y c z d"),
+    (4, "alpha beta", ""),
+    (5, "", "some reference text"),
+    (6, "w w w w w", "w w"),
+]
+
+
+def test_rouge_l_matches_textbook_lcs(spark):
+    from sparkfeat.geneval import rouge_l_pairs
+
+    df = spark.createDataFrame(ROUGE_PAIRS, "pair_id int, cand string, ref string")
+    got = {
+        r["pair_id"]: r.asDict()
+        for r in rouge_l_pairs(
+            df, id_cols=("pair_id",), cand_col="cand", ref_col="ref"
+        ).collect()
+    }
+    for pid, cand, ref in ROUGE_PAIRS:
+        ct, rt = cand.split(), ref.split()
+        lcs = _ref_lcs(ct, rt)
+        assert got[pid]["lcs_len"] == lcs, pid
+        if ct and rt:
+            r_ = lcs / len(rt)
+            p_ = lcs / len(ct)
+            f_ = 2 * r_ * p_ / (r_ + p_) if lcs else 0.0
+            assert got[pid]["rouge_r"] == pytest.approx(round(r_, 6)), pid
+            assert got[pid]["rouge_p"] == pytest.approx(round(p_, 6)), pid
+            assert got[pid]["rouge_f"] == pytest.approx(round(f_, 6)), pid
+        else:
+            assert got[pid]["rouge_f"] == 0.0
+
+
+def test_rouge_l_order_sensitivity_vs_bleu_blindspot(spark):
+    """The shuffled copy: identical unigram bag, destroyed order —
+    ROUGE-L must punish it while unigram precision stays 1."""
+    from sparkfeat.geneval import bleu_pairs, rouge_l_pairs
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "mat the on sat cat the")],
+        "pair_id int, cand string, ref string",
+    )
+    rouge = rouge_l_pairs(
+        df, id_cols=("pair_id",), cand_col="cand", ref_col="ref"
+    ).collect()[0]
+    bleu = bleu_pairs(
+        df, id_cols=("pair_id",), cand_col="cand", ref_col="ref"
+    ).collect()[0]
+    assert bleu["unigram_prec"] == 1.0
+    # shuffling cut ROUGE-L in half (LCS 3 of 6) while the unigram bag
+    # is still a perfect match — the order-blindness gap
+    assert rouge["rouge_f"] == 0.5
+
+
+def test_rouge_l_token_cap_bounds_dp(spark):
+    """A pathological long pair must respect max_tokens: LCS computed
+    on the capped prefixes only (and the call returns promptly)."""
+    from sparkfeat.geneval import rouge_l_pairs
+
+    long_text = " ".join(f"t{i}" for i in range(5000))
+    df = spark.createDataFrame(
+        [(1, long_text, long_text)], "pair_id int, cand string, ref string"
+    )
+    row = rouge_l_pairs(
+        df, id_cols=("pair_id",), cand_col="cand", ref_col="ref", max_tokens=64
+    ).collect()[0]
+    assert row["lcs_len"] == 64  # capped prefix is identical
+    assert row["cand_len"] == 5000  # lengths reported pre-cap
+    assert row["rouge_r"] == 1.0  # recall normalized by min(len, cap)
+
+
+# ---------------------------------------------------------------- SPRT
+
+
+def test_sprt_decides_and_stops_at_first_crossing(spark):
+    import math
+
+    from sparkfeat.arena import sprt_monitor
+
+    up = math.log(0.6 / 0.5)
+    hi = math.log(0.95 / 0.05)
+    need = math.ceil(hi / up)  # consecutive a-wins to cross
+    rows = [("m1", "m2", t, True) for t in range(need + 5)]
+    # a pair that never decides: strict alternation hovers near 0
+    rows += [("m1", "m3", t, t % 2 == 0) for t in range(40)]
+    df = spark.createDataFrame(rows, "a string, b string, t int, a_won boolean")
+    got = {
+        (r["a"], r["b"]): r.asDict()
+        for r in sprt_monitor(df).collect()
+    }
+    d12 = got[("m1", "m2")]
+    assert d12["decision"] == "accept_h1"
+    assert d12["n_decision"] == need  # stopped exactly at first crossing
+    assert d12["llr_at_decision"] >= round(hi, 6)
+    d13 = got[("m1", "m3")]
+    assert d13["decision"] == "continue"
+    assert d13["n_decision"] is None and d13["llr_at_decision"] is None
+
+
+def test_sprt_symmetric_loss_stream_accepts_h0(spark):
+    import math
+
+    from sparkfeat.arena import sprt_monitor
+
+    down = math.log(0.4 / 0.5)
+    lo = math.log(0.05 / 0.95)
+    need = math.ceil(lo / down)
+    rows = [("x", "y", t, False) for t in range(need + 3)]
+    df = spark.createDataFrame(rows, "a string, b string, t int, a_won boolean")
+    d = sprt_monitor(df).collect()[0].asDict()
+    assert d["decision"] == "accept_h0"
+    assert d["n_decision"] == need
+
+
+def test_sprt_matches_sequential_reference_fold(spark):
+    """Random-ish deterministic stream vs a pure-Python Wald fold."""
+    import math
+
+    from sparkfeat.arena import sprt_monitor
+
+    up, down = math.log(0.6 / 0.5), math.log(0.4 / 0.5)
+    hi, lo = math.log(0.95 / 0.05), math.log(0.05 / 0.95)
+    wins = [(t * 2654435761) % 97 < 55 for t in range(200)]
+    df = spark.createDataFrame(
+        [("p", "q", t, w) for t, w in enumerate(wins)],
+        "a string, b string, t int, a_won boolean",
+    )
+    got = sprt_monitor(df).collect()[0].asDict()
+    llr, decision, n_dec, llr_dec = 0.0, "continue", None, None
+    for i, w in enumerate(wins, 1):
+        llr += up if w else down
+        r = round(llr, 6)
+        if decision == "continue" and (r >= round(hi, 6) or r <= round(lo, 6)):
+            decision = "accept_h1" if r >= round(hi, 6) else "accept_h0"
+            n_dec, llr_dec = i, r
+    assert got["decision"] == decision
+    assert got["n_decision"] == n_dec
+    assert got["llr_final"] == pytest.approx(round(llr, 6), abs=2e-6)
+    if llr_dec is not None:
+        assert got["llr_at_decision"] == pytest.approx(llr_dec, abs=2e-6)
