@@ -218,6 +218,10 @@ BENCH_QUERIES = [
     # Wald SPRT early-stopping over the pairwise judgment stream
     "preference_pair_rouge",
     "arena_sprt",
+    # SFT loss-mask manifest (distributed prefix sum + clipped spans)
+    # and the deterministic Poisson-bootstrap win-rate CI
+    "sft_loss_mask",
+    "arena_winrate_bootstrap",
 ]
 
 

@@ -919,3 +919,118 @@ def sprt_monitor(
         F.col("_nd").cast("bigint").alias("n_decision"),
         r6(F.col("_dec._llr")).alias("llr_at_decision"),
     )
+
+
+#: cumulative Poisson(1) CDF scaled to integer millionths — the
+#: inverse-CDF ladder for the deterministic online bootstrap. Integer
+#: thresholds mean the weight is a pure bigint comparison, replayable
+#: bit-for-bit in any engine with md5 (the hash_bucket convention).
+POISSON1_MILLIONTHS = (367879, 735758, 919698, 981011, 996340, 999405, 999916)
+
+
+def bootstrap_winrate_ci(
+    judgments: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    order_col: str = "t",
+    a_won_col: str = "a_won",
+    n_boot: int = 200,
+    conf: float = 0.95,
+    seed: str = "bs",
+    nd: int = 6,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for each pair's win
+    rate — the UNCERTAINTY companion of `winrate_matrix` (whose Wilson
+    bound assumes independent Bernoulli wins; the bootstrap makes no
+    parametric assumption and generalizes to any per-pair statistic).
+
+    Online (Poisson) bootstrap, the standard one-pass distributed
+    form: resampling n rows with replacement is, per row, Binomial(n,
+    1/n) ≈ Poisson(1) copies — so each judgment row gets, for every
+    replicate b, a DETERMINISTIC Poisson(1) weight drawn by inverse
+    CDF from an md5 integer bucket of (seed, b, pair, order). No RNG
+    state: every engine, rerun, and retry sees the same resamples
+    (hash-sampling's composability argument, `corpus.hash_bucket`).
+    Weights are capped at 7 (P(W>7) < 1e-5; at most a 1e-5 relative
+    distortion of the resample mass, far inside bootstrap noise).
+
+    Output per pair: ``(a, b, n_judgments, win_rate, ci_lo, ci_hi,
+    ci_width, n_boot)`` — ``ci_lo``/``ci_hi`` the (1∓conf)/2 exact
+    percentiles across the ``n_boot`` replicate rates (replicates
+    whose total weight resamples to zero are dropped — the honest
+    convention for tiny pairs).
+
+    Scale shape: the replicate explode multiplies the stream by
+    ``n_boot`` BUT feeds straight into a map-side-combinable
+    groupBy(pair, replicate) — what shuffles is pairs × n_boot
+    aggregate rows, not the exploded stream; the percentile then runs
+    per pair over ``n_boot`` doubles (bounded state). One more tiny
+    groupBy for the point estimate joins back on the pair key.
+    """
+    lo_q, hi_q = (1.0 - conf) / 2.0, 1.0 - (1.0 - conf) / 2.0
+    base = judgments.select(
+        F.col(a_col).alias("a"),
+        F.col(b_col).alias("b"),
+        F.col(order_col).cast("string").alias("_t"),
+        F.col(a_won_col).cast("int").alias("_aw"),
+    )
+    reps = base.withColumn(
+        "_rep", F.explode(F.sequence(F.lit(1), F.lit(int(n_boot))))
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(seed),
+                        F.col("_rep").cast("string"),
+                        F.col("a"),
+                        F.col("b"),
+                        F.col("_t"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    w = F.lit(7)
+    for k in range(len(POISSON1_MILLIONTHS) - 1, -1, -1):
+        w = F.when(bucket < POISSON1_MILLIONTHS[k], F.lit(k)).otherwise(w)
+    per_rep = (
+        reps.withColumn("_w", w.cast("bigint"))
+        .groupBy("a", "b", "_rep")
+        .agg(
+            F.sum("_w").alias("_wt"),
+            F.sum(F.col("_w") * F.col("_aw")).alias("_ww"),
+        )
+        .where(F.col("_wt") > 0)
+        .withColumn("_rate", F.col("_ww").cast("double") / F.col("_wt"))
+    )
+    ci = per_rep.groupBy("a", "b").agg(
+        F.percentile(F.col("_rate"), F.array(F.lit(lo_q), F.lit(hi_q))).alias(
+            "_ci"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("_nrep"),
+    )
+    point = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_judgments"),
+        F.sum("_aw").cast("bigint").alias("_wins"),
+    )
+    r6 = lambda c: F.round(c, nd) + F.lit(0.0)  # noqa: E731
+    return point.join(ci, ["a", "b"]).select(
+        "a",
+        "b",
+        "n_judgments",
+        r6(F.col("_wins").cast("double") / F.col("n_judgments")).alias(
+            "win_rate"
+        ),
+        r6(F.element_at("_ci", 1)).alias("ci_lo"),
+        r6(F.element_at("_ci", 2)).alias("ci_hi"),
+        r6(F.element_at("_ci", 2) - F.element_at("_ci", 1)).alias("ci_width"),
+        F.col("_nrep").alias("n_boot"),
+    )

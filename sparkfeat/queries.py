@@ -9841,6 +9841,70 @@ SELECT series, t, ROUND(x, 6) AS x, rn <= 48 AS in_reference,
 FROM m"""
 
 
+def _sft_mask_oracle(budget: int = 128) -> str:
+    """Loss-mask manifest oracle: the pack oracle's global cumsum plus
+    the response-span clip — one generate_series explode per example
+    over the sequences its response touches."""
+    return f"""WITH packed AS (
+    SELECT * FROM ({_sft_pack_oracle(budget)}) _pk
+),
+sp AS (
+    SELECT * FROM ({_SFT_PAIRS_ORACLE}) _sp
+),
+rr AS (
+    SELECT
+        CAST(substr(conv_id, 2) AS BIGINT) * 1000000 + turn_idx AS example_id,
+        CAST(len(regexp_split_to_array(response, '\\s+')) AS BIGINT) AS r
+    FROM sp
+),
+spans AS (
+    SELECT p.example_id,
+        p.tok_start + p.n_tok - rr.r AS s,
+        p.tok_start + p.n_tok AS e
+    FROM packed p JOIN rr USING (example_id)
+    WHERE p.tok_start + p.n_tok > p.tok_start + p.n_tok - rr.r
+),
+ex AS (
+    SELECT example_id, s, e,
+        unnest(generate_series(s // {budget}, (e - 1) // {budget})) AS seq_id
+    FROM spans
+)
+SELECT example_id, CAST(seq_id AS BIGINT) AS seq_id,
+    CAST(GREATEST(s, seq_id * {budget}) - seq_id * {budget} AS BIGINT)
+        AS mask_start,
+    CAST(LEAST(e, (seq_id + 1) * {budget}) - seq_id * {budget} AS BIGINT)
+        AS mask_end,
+    CAST(LEAST(e, (seq_id + 1) * {budget})
+         - GREATEST(s, seq_id * {budget}) AS BIGINT) AS n_trainable
+FROM ex"""
+
+
+@register("sft_loss_mask", _sft_mask_oracle(), driver=False)
+def q_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-mask manifest (sparkfeat.sft.loss_mask_spans) for the SFT
+    pack: per (example, sequence) intersection, the token range inside
+    the sequence whose loss is KEPT (the response's last-r-tokens span,
+    clipped at sequence boundaries) — the mask table the sample-writer
+    reads next to sft_pack_manifest. Distributed prefix sum + one
+    equi-join + a bounded sequence() explode; exact bigint index math
+    end to end."""
+    from sparkfeat.sft import loss_mask_spans, sft_pairs
+
+    tr = transcripts_from_events(spark, sf_dir)
+    pairs = sft_pairs(
+        tr, token_budget=_SFT_BUDGET, max_context_turns=_SFT_MAX_TURNS
+    )
+    examples = pairs.select(
+        (
+            F.expr("CAST(substring(conv_id, 2) AS BIGINT)") * 1000000
+            + F.col("turn_idx")
+        ).alias("example_id"),
+        "prompt",
+        "response",
+    )
+    return loss_mask_spans(examples, budget=128)
+
+
 import math as _math
 
 # identical float literals on BOTH engines (repr round-trips exactly),
@@ -9896,6 +9960,109 @@ SELECT a, b,
     ROUND(min_by(llr, CASE WHEN cross_d IS NOT NULL THEN n END), 6)
         AS llr_at_decision
 FROM cr GROUP BY a, b"""
+
+
+_BOOT_N = 64  # replicates in the driver query (operator default 200)
+
+_BOOT_LADDER = " ".join(
+    f"WHEN bkt < {t} THEN {k}"
+    for k, t in enumerate((367879, 735758, 919698, 981011, 996340, 999405, 999916))
+)
+
+_BOOT_ORACLE = f"""WITH e AS (
+    SELECT doc_id // 2 AS half, source AS s_e, n_chars AS c_e
+    FROM documents WHERE doc_id % 2 = 0
+),
+o AS (
+    SELECT doc_id // 2 AS half, source AS s_o, n_chars AS c_o
+    FROM documents WHERE doc_id % 2 = 1
+),
+judg AS (
+    SELECT half,
+        CASE WHEN c_e >= c_o THEN s_e ELSE s_o END AS winner,
+        CASE WHEN c_e >= c_o THEN s_o ELSE s_e END AS loser
+    FROM e JOIN o USING (half)
+),
+stream AS (
+    SELECT LEAST(winner, loser) AS a, GREATEST(winner, loser) AS b,
+        CAST(half AS VARCHAR) AS t,
+        CAST(winner = LEAST(winner, loser) AS INT) AS aw
+    FROM judg WHERE winner <> loser
+),
+reps AS (
+    SELECT s.*, r.rep,
+        CAST(('0x' || substr(md5('bs:' || CAST(r.rep AS VARCHAR) || ':' ||
+            s.a || ':' || s.b || ':' || s.t), 1, 8)) AS BIGINT) % 1000000
+            AS bkt
+    FROM stream s CROSS JOIN
+        (SELECT unnest(generate_series(1, {_BOOT_N})) AS rep) r
+),
+wts AS (
+    SELECT a, b, rep, aw,
+        CASE {_BOOT_LADDER} ELSE 7 END AS w
+    FROM reps
+),
+per_rep AS (
+    SELECT a, b, rep, SUM(w) AS wt, SUM(w * aw) AS ww
+    FROM wts GROUP BY a, b, rep
+    HAVING SUM(w) > 0
+),
+ci AS (
+    SELECT a, b,
+        quantile_cont(CAST(ww AS DOUBLE) / wt, 0.025) AS lo,
+        quantile_cont(CAST(ww AS DOUBLE) / wt, 0.975) AS hi,
+        CAST(COUNT(*) AS BIGINT) AS n_boot
+    FROM per_rep GROUP BY a, b
+),
+pt AS (
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_judgments,
+        SUM(aw) AS wins
+    FROM stream GROUP BY a, b
+)
+SELECT pt.a, pt.b, pt.n_judgments,
+    ROUND(CAST(pt.wins AS DOUBLE) / pt.n_judgments, 6) AS win_rate,
+    ROUND(ci.lo, 6) AS ci_lo,
+    ROUND(ci.hi, 6) AS ci_hi,
+    ROUND(ci.hi - ci.lo, 6) AS ci_width,
+    ci.n_boot
+FROM pt JOIN ci USING (a, b)"""
+
+
+@register("arena_winrate_bootstrap", _BOOT_ORACLE, driver=False)
+def q_arena_winrate_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic online-bootstrap CI (arena.bootstrap_winrate_ci)
+    for each pairing's win rate: per (judgment, replicate) an md5
+    integer bucket draws a Poisson(1) weight by integer inverse-CDF
+    ladder (no RNG state — the hash-sampling composability argument),
+    replicate rates reduce map-side, exact percentiles across
+    replicates give the CI. The explode multiplies the stream by
+    n_boot but what shuffles is pairs x n_boot aggregate rows."""
+    from sparkfeat.arena import bootstrap_winrate_ci
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("half"),
+        F.col("source").alias("s_e"),
+        F.col("n_chars").alias("c_e"),
+    )
+    od = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.expr("doc_id div 2").alias("half"),
+        F.col("source").alias("s_o"),
+        F.col("n_chars").alias("c_o"),
+    )
+    won = F.col("c_e") >= F.col("c_o")
+    judg = ev.join(od, "half").select(
+        F.col("half"),
+        F.when(won, F.col("s_e")).otherwise(F.col("s_o")).alias("winner"),
+        F.when(won, F.col("s_o")).otherwise(F.col("s_e")).alias("loser"),
+    )
+    stream = judg.where(F.col("winner") != F.col("loser")).select(
+        F.least("winner", "loser").alias("a"),
+        F.greatest("winner", "loser").alias("b"),
+        F.col("half").alias("t"),
+        (F.col("winner") == F.least("winner", "loser")).alias("a_won"),
+    )
+    return bootstrap_winrate_ci(stream, n_boot=_BOOT_N, seed="bs")
 
 
 @register("arena_sprt", _SPRT_ORACLE, driver=False)

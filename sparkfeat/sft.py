@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sft_pairs"]
+__all__ = ["sft_pairs", "loss_mask_spans"]
 
 
 def sft_pairs(
@@ -132,3 +132,85 @@ def sft_pairs(
         )
     )
     return out
+
+
+def loss_mask_spans(
+    examples: DataFrame,
+    budget: int = 128,
+    id_col: str = "example_id",
+    prompt_col: str = "prompt",
+    response_col: str = "response",
+    block: int = 4096,
+) -> DataFrame:
+    """Trainable-span manifest for packed SFT sequences — the LOSS MASK
+    the sample-writer needs next to `corpus.pack_sequences`' layout:
+    SFT trains only on response tokens, so every packed sequence needs
+    the token ranges whose loss is kept (everything else — prompts,
+    and the tail of a truncated example — is masked).
+
+    Each example renders ``prompt ⏎ response`` (the sft_pack_manifest
+    layout) and its RESPONSE occupies the last ``r`` tokens of the
+    rendered example, where ``r`` is the whitespace token count of the
+    response alone — defining the span from the END sidesteps the
+    empty-prompt tokenization quirk (an empty prompt still contributes
+    a leading empty split token to the rendered count). An example may
+    cross sequence boundaries (concat-then-chunk packing), so its
+    response span is CLIPPED per sequence: one output row per
+    (example, sequence) intersection —
+
+    ``(example_id, seq_id, mask_start, mask_end, n_trainable)``
+
+    with ``mask_start``/``mask_end`` token positions INSIDE the
+    sequence (end exclusive) and ``n_trainable`` the row's span width.
+    A writer materializing sequence ``s`` keeps loss exactly on the
+    union of that sequence's spans. Examples with an empty response
+    emit no row. All index math is exact bigint (no 2^53 ceiling).
+
+    Scale shape: `pack_sequences`' two-level distributed prefix sum
+    (no single-task window, no driver collect) + ONE equi-join back to
+    the example table on ``id_col`` + a per-example `sequence()`
+    explode bounded by ceil(example_tokens / budget) — linear in
+    corpus tokens, and the explode fans out only for examples longer
+    than a sequence. No UDFs.
+    """
+    from sparkfeat.corpus import pack_sequences
+
+    rendered = examples.select(
+        F.col(id_col),
+        F.concat_ws("\n", F.col(prompt_col), F.col(response_col)).alias("_ex"),
+        F.size(F.split(F.col(response_col), r"\s+")).cast("bigint").alias("_r"),
+    )
+    packed = pack_sequences(
+        rendered.select(id_col, "_ex"), budget=budget, text_col="_ex", id_col=id_col
+    )
+    j = packed.join(rendered.select(id_col, "_r"), id_col)
+    start = F.col("tok_start") + F.col("n_tok") - F.col("_r")
+    end = F.col("tok_start") + F.col("n_tok")
+    # bigint floor-div via SQL div (start/end are non-negative)
+    j = j.select(
+        F.col(id_col),
+        start.alias("_s"),
+        end.alias("_e"),
+    ).where(F.col("_e") > F.col("_s"))
+    j = j.withColumn("_slo", F.expr(f"_s div {budget}")).withColumn(
+        "_shi", F.expr(f"(_e - 1) div {budget}")
+    )
+    out = j.select(
+        F.col(id_col),
+        "_s",
+        "_e",
+        F.explode(F.sequence(F.col("_slo"), F.col("_shi"))).alias("seq_id"),
+    )
+    mask_start = F.greatest(F.col("_s"), F.col("seq_id") * budget) - F.col(
+        "seq_id"
+    ) * budget
+    mask_end = F.least(F.col("_e"), (F.col("seq_id") + 1) * budget) - F.col(
+        "seq_id"
+    ) * budget
+    return out.select(
+        F.col(id_col),
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        mask_start.cast("bigint").alias("mask_start"),
+        mask_end.cast("bigint").alias("mask_end"),
+        (mask_end - mask_start).cast("bigint").alias("n_trainable"),
+    )

@@ -471,3 +471,80 @@ def test_copeland_min_games_drops_thin_pairs(spark):
     # a-c pair (1 game) vanishes entirely; c never appears
     assert set(rows) == {"a", "b"}
     assert rows["a"].copeland == 1.0 and rows["a"].n_pairs == 1
+
+
+# ------------------------------------------------------ bootstrap CI
+
+
+def _boot_stream(spark, n=400, p_num=3, p_den=5):
+    """Deterministic stream: a wins on a fixed residue pattern
+    (p_num/p_den of judgments)."""
+    rows = [("m1", "m2", t, (t * 7919) % p_den < p_num) for t in range(n)]
+    return spark.createDataFrame(rows, "a string, b string, t int, a_won boolean")
+
+
+def test_bootstrap_ci_is_deterministic_and_brackets_the_rate(spark):
+    from sparkfeat.arena import bootstrap_winrate_ci
+
+    df = _boot_stream(spark, n=400)
+    r1 = bootstrap_winrate_ci(df, n_boot=100).collect()[0].asDict()
+    r2 = bootstrap_winrate_ci(df, n_boot=100).collect()[0].asDict()
+    assert r1 == r2  # hash-derived weights: no RNG state anywhere
+    assert r1["n_judgments"] == 400
+    assert r1["win_rate"] == pytest.approx(0.6, abs=0.01)
+    assert r1["ci_lo"] < r1["win_rate"] < r1["ci_hi"]
+    # a 95% CI on 400 Bernoulli(0.6) draws is roughly ±2*sqrt(pq/n) ≈ ±0.049
+    assert 0.05 < r1["ci_width"] < 0.2
+    assert r1["n_boot"] == 100
+
+
+def test_bootstrap_ci_narrows_with_sample_size(spark):
+    from sparkfeat.arena import bootstrap_winrate_ci
+
+    small = bootstrap_winrate_ci(_boot_stream(spark, n=100), n_boot=100)
+    large = bootstrap_winrate_ci(_boot_stream(spark, n=1600), n_boot=100)
+    ws = small.collect()[0]["ci_width"]
+    wl = large.collect()[0]["ci_width"]
+    assert wl < ws  # 16x the data -> ~4x narrower; strictly less is the pin
+
+
+def test_bootstrap_seed_changes_resamples_not_the_story(spark):
+    from sparkfeat.arena import bootstrap_winrate_ci
+
+    df = _boot_stream(spark, n=400)
+    a = bootstrap_winrate_ci(df, n_boot=100, seed="s1").collect()[0].asDict()
+    b = bootstrap_winrate_ci(df, n_boot=100, seed="s2").collect()[0].asDict()
+    assert a["win_rate"] == b["win_rate"]  # point estimate is seed-free
+    assert (a["ci_lo"], a["ci_hi"]) != (b["ci_lo"], b["ci_hi"])  # resamples differ
+    # both seeds bracket the truth
+    for r in (a, b):
+        assert r["ci_lo"] < 0.6 < r["ci_hi"]
+
+
+def test_bootstrap_poisson_weights_mean_one(spark):
+    """The integer inverse-CDF ladder must draw ~Poisson(1): across a
+    large deterministic draw the mean weight sits near 1 and the zero
+    fraction near e^-1."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sparkfeat.arena import POISSON1_MILLIONTHS
+
+    df = spark.range(20000).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % 1000000
+        ).alias("bkt")
+    )
+    w = F.lit(7)
+    for k in range(len(POISSON1_MILLIONTHS) - 1, -1, -1):
+        w = F.when(F.col("bkt") < POISSON1_MILLIONTHS[k], F.lit(k)).otherwise(w)
+    got = df.select(
+        F.avg(w).alias("mean_w"),
+        F.avg((w == 0).cast("double")).alias("zero_frac"),
+    ).collect()[0]
+    assert got["mean_w"] == pytest.approx(1.0, abs=0.03)
+    assert got["zero_frac"] == pytest.approx(math.exp(-1), abs=0.02)
