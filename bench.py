@@ -222,6 +222,9 @@ BENCH_QUERIES = [
     # and the deterministic Poisson-bootstrap win-rate CI
     "sft_loss_mask",
     "arena_winrate_bootstrap",
+    # verbatim-overlap memorization audit: reference side distinct-
+    # collapsed map-side, gram-keyed semi-join (never broadcasts)
+    "corpus_memorization",
 ]
 
 

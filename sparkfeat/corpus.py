@@ -1510,3 +1510,84 @@ def length_batches(
             ),
         )
     )
+
+
+def memorization_score(
+    candidates: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    nd: int = 6,
+) -> DataFrame:
+    """Per-candidate n-gram memorization rate against a reference
+    corpus — the Lee/Carlini-style verbatim-overlap audit run on model
+    GENERATIONS vs their training data (or on a new crawl vs an
+    already-trained corpus). `decontaminate` answers "does this corpus
+    doc touch the (tiny, broadcastable) benchmark?"; this operator
+    answers the inverse-scale question — "how much of each candidate
+    is already verbatim in the (100 TB) reference?" — so the reference
+    side can NEVER broadcast and the join shape is different by
+    design.
+
+    Per candidate: ``n_grams`` (all word-``n``-gram positions),
+    ``n_distinct``, ``n_hit`` (positions whose gram occurs anywhere in
+    the reference), ``n_distinct_hit``, ``mem_rate = n_hit/n_grams``
+    (position-weighted — a doc that repeats one memorized line scores
+    by how much of its TEXT is covered), ``distinct_mem_rate``.
+    Candidates shorter than ``n`` tokens report zeros with NULL rates.
+
+    Scale shape: the reference collapses to its DISTINCT gram-hash
+    table map-side BEFORE any join (Zipf ⇒ far smaller than its token
+    stream); candidates pre-aggregate to (doc, gram, multiplicity).
+    The single wide operation is the gram-keyed LEFT-SEMI equi-join —
+    md5 8-gram keys are near-uniform, residual boilerplate heads are
+    AQE skew-join's case — followed by a doc-keyed map-side-combinable
+    rollup. Nothing corpus-sized reaches the driver; no UDFs.
+    """
+    ref_grams = reference.select(
+        F.explode(token_ngram_hashes(text_col, n=n)).alias("gram")
+    ).distinct()
+    cand = candidates.select(
+        F.col(id_col), token_ngram_hashes(text_col, n=n).alias("_g")
+    )
+    base = cand.select(
+        F.col(id_col),
+        F.size("_g").cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct("_g")).cast("bigint").alias("n_distinct"),
+    )
+    cg = (
+        cand.select(F.col(id_col), F.explode("_g").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("_mult"))
+    )
+    hits = (
+        cg.join(ref_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_mult").cast("bigint").alias("n_hit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_hit"),
+        )
+    )
+    r6 = lambda c: F.round(c, nd) + F.lit(0.0)  # noqa: E731
+    out = base.join(hits, id_col, "left")
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_distinct",
+        F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        F.coalesce("n_distinct_hit", F.lit(0))
+        .cast("bigint")
+        .alias("n_distinct_hit"),
+        F.when(
+            F.col("n_grams") > 0,
+            r6(F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_grams")),
+        ).alias("mem_rate"),
+        F.when(
+            F.col("n_distinct") > 0,
+            r6(
+                F.coalesce("n_distinct_hit", F.lit(0)).cast("double")
+                / F.col("n_distinct")
+            ),
+        ).alias("distinct_mem_rate"),
+    )

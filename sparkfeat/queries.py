@@ -9841,6 +9841,69 @@ SELECT series, t, ROUND(x, 6) AS x, rn <= 48 AS in_reference,
 FROM m"""
 
 
+def _memorization_oracle(n: int = 3, ref_pct: int = 500) -> str:
+    gram = " || ' ' || ".join(f"ws[i+{k}]" if k else "ws[i]" for k in range(n))
+    return f"""WITH h AS (
+    SELECT doc_id, lower(text) AS lc, {_hex_bucket_sql("doc_id", 9, 1000)} AS bb
+    FROM documents
+),
+w AS (
+    SELECT doc_id, bb, regexp_split_to_array(lc, '\\s+') AS ws FROM h
+),
+gr AS (
+    SELECT doc_id, bb,
+        list_transform(generate_series(1, GREATEST(len(ws) - {n - 1}, 0)),
+                       i -> md5({gram})) AS grams
+    FROM w
+),
+refg AS (
+    SELECT DISTINCT unnest(grams) AS gram FROM gr WHERE bb < {ref_pct}
+),
+cand AS (SELECT doc_id, grams FROM gr WHERE bb >= {ref_pct}),
+cg AS (
+    SELECT doc_id, gram, COUNT(*) AS mult
+    FROM (SELECT doc_id, unnest(grams) AS gram FROM cand)
+    GROUP BY doc_id, gram
+),
+hit AS (
+    SELECT cg.doc_id, SUM(cg.mult) AS n_hit, COUNT(*) AS n_distinct_hit
+    FROM cg JOIN refg USING (gram) GROUP BY cg.doc_id
+)
+SELECT cand.doc_id,
+    CAST(len(grams) AS BIGINT) AS n_grams,
+    CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+    CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+    CAST(COALESCE(n_distinct_hit, 0) AS BIGINT) AS n_distinct_hit,
+    CASE WHEN len(grams) > 0 THEN
+        ROUND(COALESCE(n_hit, 0) / CAST(len(grams) AS DOUBLE), 6) END
+        AS mem_rate,
+    CASE WHEN len(list_distinct(grams)) > 0 THEN
+        ROUND(COALESCE(n_distinct_hit, 0)
+              / CAST(len(list_distinct(grams)) AS DOUBLE), 6) END
+        AS distinct_mem_rate
+FROM cand LEFT JOIN hit USING (doc_id)"""
+
+
+@register("corpus_memorization", _memorization_oracle(), driver=False)
+def q_corpus_memorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-overlap memorization audit
+    (sparkfeat.corpus.memorization_score): per candidate doc, the
+    position-weighted and distinct fraction of its word n-grams
+    already present ANYWHERE in the reference half of the corpus
+    (deterministic md5 50/50 split; n=3 for the tiny synthetic
+    vocabulary, n=8 for prose). The inverse-scale complement of
+    corpus_decontaminate: the reference side can never broadcast, so
+    it distinct-collapses map-side and the one wide op is the
+    gram-keyed semi-join."""
+    from sparkfeat.corpus import hash_bucket, memorization_score
+
+    docs = _docs(spark, sf_dir)
+    bb = hash_bucket("doc_id", start=9, buckets=1000)
+    return memorization_score(
+        docs.filter(bb >= 500), docs.filter(bb < 500), n=3
+    )
+
+
 def _sft_mask_oracle(budget: int = 128) -> str:
     """Loss-mask manifest oracle: the pack oracle's global cumsum plus
     the response-span clip — one generate_series explode per example
@@ -10180,7 +10243,9 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_domain_trustrank, corpus_unimax_plan,
 # search_retrieval_eval, arena_transitivity, arena_copeland,
 # corpus_k_anonymity, corpus_l_diversity, corpus_t_closeness,
-# preference_pair_bleu, events_cusum —
+# preference_pair_bleu, events_cusum, preference_pair_rouge,
+# arena_sprt, sft_loss_mask, arena_winrate_bootstrap,
+# corpus_memorization —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #

@@ -861,3 +861,69 @@ def test_length_batches_two_phase_equals_direct_window(spark):
         bucket, rnk = ref[r["doc_id"]]
         assert r["bucket"] == bucket
         assert r["batch_id"] * r["batch_size"] + r["pos_in_batch"] == rnk
+
+
+# ------------------------------------------------------- memorization
+
+
+def test_memorization_score_planted_overlap(spark):
+    from sparkfeat.corpus import memorization_score
+
+    ref = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [
+            # verbatim copy: every 3-gram memorized
+            (1, "alpha beta gamma delta epsilon zeta"),
+            # half-copied: prefix from ref, novel suffix
+            (2, "alpha beta gamma nova one two three"),
+            # fully novel
+            (3, "red green blue cyan magenta yellow"),
+            # repeats one memorized trigram 3x: position-weighted counts
+            # all 3 occurrences, distinct counts it once
+            (4, "alpha beta gamma alpha beta gamma alpha beta gamma"),
+            # shorter than n
+            (5, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in memorization_score(cands, ref, n=3).collect()
+    }
+    assert got[1]["mem_rate"] == 1.0 and got[1]["distinct_mem_rate"] == 1.0
+    # doc 2: grams = 5 positions, only 'alpha beta gamma' is in ref
+    assert got[2]["n_grams"] == 5 and got[2]["n_hit"] == 1
+    assert got[2]["mem_rate"] == 0.2
+    assert got[3]["n_hit"] == 0 and got[3]["mem_rate"] == 0.0
+    # doc 4: 7 gram positions cycling 3 distinct trigrams; only
+    # 'alpha beta gamma' (3 of the 7 positions) is in ref -> position
+    # rate 3/7, distinct rate 1/3
+    assert got[4]["n_grams"] == 7 and got[4]["n_hit"] == 3
+    assert got[4]["n_distinct"] == 3 and got[4]["n_distinct_hit"] == 1
+    assert got[4]["mem_rate"] == pytest.approx(round(3 / 7, 6))
+    assert got[4]["distinct_mem_rate"] == pytest.approx(round(1 / 3, 6))
+    # doc 5: below n -> zeros with NULL rates (self-describing row)
+    assert got[5]["n_grams"] == 0 and got[5]["mem_rate"] is None
+
+
+def test_memorization_reference_never_broadcasts_whole_docs(spark):
+    """Plan shape: the reference side must collapse to DISTINCT gram
+    hashes before the join, and the join must be gram-keyed (no
+    cartesian, no broadcast of the raw reference)."""
+    from sparkfeat.corpus import memorization_score
+
+    ref = spark.range(200).selectExpr(
+        "id AS doc_id", "concat('tok', id, ' tok', id+1, ' tok', id+2, ' tok', id+3) AS text"
+    )
+    cand = spark.range(50).selectExpr(
+        "id + 1000 AS doc_id", "concat('tok', id, ' tok', id+1, ' tok', id+2) AS text"
+    )
+    df = memorization_score(cand, ref, n=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # every candidate trigram is the prefix trigram of one ref doc
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert all(rows[i + 1000]["n_hit"] == 1 for i in range(50))
