@@ -225,6 +225,9 @@ BENCH_QUERIES = [
     # verbatim-overlap memorization audit: reference side distinct-
     # collapsed map-side, gram-keyed semi-join (never broadcasts)
     "corpus_memorization",
+    # in-plan IRLS logistic probe: 4 unrolled Newton steps, Cramer
+    # solve on the moment row, broadcast sigmoid apply
+    "doc_logistic_probe",
 ]
 
 

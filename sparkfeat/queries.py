@@ -9841,6 +9841,118 @@ SELECT series, t, ROUND(x, 6) AS x, rn <= 48 AS in_reference,
 FROM m"""
 
 
+def _logit_oracle(n_iter: int = 4, lam: float = 1e-3) -> str:
+    """Unrolled IRLS replay (sparkfeat.probe.logistic_fit): one
+    (moments → Cramer step) CTE pair per Newton iteration, every
+    determinant written in _det3's exact term order, moments ROUND 6 /
+    weights ROUND 9 at the same points as the engine."""
+
+    def det(a) -> str:
+        return (
+            f"({a[0][0]}) * (({a[1][1]}) * ({a[2][2]}) - ({a[1][2]}) * ({a[2][1]}))"
+            f" - ({a[0][1]}) * (({a[1][0]}) * ({a[2][2]}) - ({a[1][2]}) * ({a[2][0]}))"
+            f" + ({a[0][2]}) * (({a[1][0]}) * ({a[2][1]}) - ({a[1][1]}) * ({a[2][0]}))"
+        )
+
+    bucket = _hex_bucket_sql("doc_id", 21, 100)
+    ctes = [
+        f"""f AS (
+  SELECT doc_id, lang,
+    CAST(LEN(list_filter({_TOKS}, w -> w IN {_STOP_SQL})) AS DOUBLE)
+        / LEN({_TOKS}) AS x1,
+    LEAST(CAST(LENGTH(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+        / LEN({_TOKS}) / 8.0, 1.0) AS x2,
+    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+    ({bucket} < 50) AS is_seed
+  FROM documents WHERE text IS NOT NULL
+)""",
+        "w_0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)",
+    ]
+    for k in range(n_iter):
+        p = "(1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2))))"
+        s = f"({p} * (1.0 - {p}))"
+        ctes.append(
+            f"""m_{k} AS (
+  SELECT ROUND(SUM({s}), 6) AS h00,
+         ROUND(SUM({s} * f.x1), 6) AS h01,
+         ROUND(SUM({s} * f.x2), 6) AS h02,
+         ROUND(SUM({s} * f.x1 * f.x1), 6) AS h11,
+         ROUND(SUM({s} * f.x1 * f.x2), 6) AS h12,
+         ROUND(SUM({s} * f.x2 * f.x2), 6) AS h22,
+         ROUND(SUM(f.y - {p}), 6) AS g0,
+         ROUND(SUM((f.y - {p}) * f.x1), 6) AS g1,
+         ROUND(SUM((f.y - {p}) * f.x2), 6) AS g2,
+         ANY_VALUE(w.w0) AS w0, ANY_VALUE(w.w1) AS w1, ANY_VALUE(w.w2) AS w2
+  FROM f CROSS JOIN w_{k} w WHERE f.is_seed
+)"""
+        )
+        a = [
+            [f"h00 + {lam}", "h01", "h02"],
+            ["h01", f"h11 + {lam}", "h12"],
+            ["h02", "h12", f"h22 + {lam}"],
+        ]
+        b = [f"g0 - {lam} * w0", f"g1 - {lam} * w1", f"g2 - {lam} * w2"]
+        d = det(a)
+        steps = []
+        for j, name in enumerate(("w0", "w1", "w2")):
+            aj = [
+                [b[i] if c == j else a[i][c] for c in range(3)]
+                for i in range(3)
+            ]
+            steps.append(
+                f"CASE WHEN ({d}) <> 0 THEN ROUND({name} + ({det(aj)}) / ({d}), 9)"
+                f" ELSE {name} END AS {name}"
+            )
+        ctes.append(
+            f"w_{k + 1} AS (SELECT {', '.join(steps)} FROM m_{k})"
+        )
+    body = ",\n".join(ctes)
+    p_final = "(1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2))))"
+    return f"""WITH {body}
+SELECT f.doc_id, f.lang,
+    ROUND(f.x1, 6) AS x1, ROUND(f.x2, 6) AS x2, f.is_seed,
+    ROUND({p_final}, 6) AS p_hat,
+    ROUND(w.w0, 9) AS w0, ROUND(w.w1, 9) AS w1, ROUND(w.w2, 9) AS w2
+FROM f CROSS JOIN w_{n_iter} w"""
+
+
+@register("doc_logistic_probe", _logit_oracle(), driver=False)
+def q_doc_logistic_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan IRLS logistic probe (sparkfeat.probe.logistic_fit): the
+    classification-correct upgrade of doc_quality_probe — 4 unrolled
+    Newton steps, each one map-side-combined moment aggregate over the
+    50% md5 seed slice + a Cramer 3x3 solve ON the moment row, weights
+    broadcast back; every doc then scored with the calibrated
+    sigmoid(w·x). Moments ROUND 6 before each solve, weights ROUND 9
+    after (the bt_strengths trajectory-replay convention) — the oracle
+    unrolls the identical CTE chain, so the hash verifies the whole
+    MLE trajectory, not just the final dot product."""
+    from sparkfeat import text as X
+    from sparkfeat.corpus import hash_bucket
+    from sparkfeat.probe import logistic_score
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+    )
+    x1 = X.stopword_ratio("text")
+    x2 = F.least(X.avg_word_len("text") / 8.0, F.lit(1.0))
+    label = (F.col("lang") == "en").cast("double")
+    seed = hash_bucket("doc_id", start=21, buckets=100) < 50
+    out = logistic_score(docs, x1, x2, label, seed, n_iter=4)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.round(x1, 6).alias("x1"),
+        F.round(x2, 6).alias("x2"),
+        seed.alias("is_seed"),
+        "p_hat",
+        "w0",
+        "w1",
+        "w2",
+    )
+
+
 def _memorization_oracle(n: int = 3, ref_pct: int = 500) -> str:
     gram = " || ' ' || ".join(f"ws[i+{k}]" if k else "ws[i]" for k in range(n))
     return f"""WITH h AS (

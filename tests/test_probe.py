@@ -127,3 +127,129 @@ def test_probe_plan_broadcast_map_only(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
     assert "rangepartitioning" not in p.lower(), p
+
+
+# ------------------------------------------------------ logistic IRLS
+
+
+def _np_irls(x1, x2, y, n_iter=4, lam=1e-3):
+    """Independent numpy IRLS with the engine's exact canonicalization
+    points (moments 6dp before each solve, weights 9dp after)."""
+    import numpy as np
+
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    w = np.zeros(3)
+    for _ in range(n_iter):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        s = p * (1 - p)
+        H = np.round((X * s[:, None]).T @ X, 6) + lam * np.eye(3)
+        g = np.round(X.T @ (y - p), 6) - lam * w
+        # engine rounds the nine moment SUMS, not the matrix: redo
+        # entries individually to match exactly
+        h00 = round(float(np.sum(s)), 6) + lam
+        h01 = round(float(np.sum(s * x1)), 6)
+        h02 = round(float(np.sum(s * x2)), 6)
+        h11 = round(float(np.sum(s * x1 * x1)), 6) + lam
+        h12 = round(float(np.sum(s * x1 * x2)), 6)
+        h22 = round(float(np.sum(s * x2 * x2)), 6) + lam
+        H = np.array([[h00, h01, h02], [h01, h11, h12], [h02, h12, h22]])
+        g = np.array(
+            [
+                round(float(np.sum(y - p)), 6) - lam * w[0],
+                round(float(np.sum((y - p) * x1)), 6) - lam * w[1],
+                round(float(np.sum((y - p) * x2)), 6) - lam * w[2],
+            ]
+        )
+        if np.linalg.det(H) != 0:
+            w = np.round(w + np.linalg.solve(H, g), 9)
+    return w
+
+
+def test_logistic_fit_matches_numpy_irls(spark):
+    import numpy as np
+
+    from sparkfeat.probe import logistic_fit
+
+    rng = [(i, (i * 37) % 100 / 100.0, ((i * 61) % 100) / 100.0) for i in range(300)]
+    rows = [
+        (i, a, b, 1.0 if (2.0 * a - 1.5 * b - 0.2 + ((i * 13) % 7 - 3) * 0.05) > 0 else 0.0)
+        for i, a, b in rng
+    ]
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, y double")
+    got = logistic_fit(
+        df, F.col("x1"), F.col("x2"), F.col("y"), F.lit(True), n_iter=4
+    ).collect()[0]
+    x1 = np.array([r[1] for r in rows])
+    x2 = np.array([r[2] for r in rows])
+    y = np.array([r[3] for r in rows])
+    want = _np_irls(x1, x2, y, n_iter=4)
+    # identical canonicalization points -> agreement far below the 9dp
+    # rounding grain (Cramer vs np.linalg.solve differ only in ulps)
+    assert got["w0"] == pytest.approx(want[0], abs=1e-6)
+    assert got["w1"] == pytest.approx(want[1], abs=1e-6)
+    assert got["w2"] == pytest.approx(want[2], abs=1e-6)
+    # the planted direction is recovered
+    assert got["w1"] > 0 and got["w2"] < 0
+
+
+def test_logistic_beats_linear_probe_on_log_loss(spark):
+    """The point of the upgrade: on a genuinely logistic-shaped
+    planted problem the calibrated sigmoid must have strictly lower
+    log-loss than the clipped linear-least-squares probe (whose
+    predictions are not probabilities). The driver-testdata labels are
+    nearly feature-independent, so this pin uses the planted stream."""
+    from sparkfeat.probe import linear_probe_score, logistic_score
+
+    rows = [
+        (
+            i,
+            (i * 37) % 100 / 100.0,
+            ((i * 61) % 100) / 100.0,
+            1.0
+            if (
+                4.0 * ((i * 37) % 100 / 100.0)
+                - 3.0 * (((i * 61) % 100) / 100.0)
+                - 0.5
+                + ((i * 13) % 7 - 3) * 0.1
+            )
+            > 0
+            else 0.0,
+        )
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, "id long, x1 double, x2 double, y double")
+    x1, x2 = F.col("x1"), F.col("x2")
+    label = F.col("y")
+    seed = F.lit(True)
+    lin = linear_probe_score(docs, x1, x2, label, seed).withColumn("_y", label)
+    log = logistic_score(docs, x1, x2, label, seed, n_iter=6).withColumn(
+        "_y", label
+    )
+
+    def loss(df, col, clip=True):
+        p = F.col(col)
+        if clip:
+            p = F.least(F.greatest(p, F.lit(1e-6)), F.lit(1.0 - 1e-6))
+        ll = -(F.col("_y") * F.log(p) + (1 - F.col("_y")) * F.log(1 - p))
+        return df.agg(F.avg(ll)).collect()[0][0]
+
+    assert loss(log, "p_hat") < loss(lin, "score")
+
+
+def test_logistic_singular_guard_keeps_iterate(spark):
+    """A seed whose features are constant makes H singular beyond the
+    ridge; the fit must return finite weights, not NaN."""
+    import math
+
+    from sparkfeat.probe import logistic_fit
+
+    df = spark.createDataFrame(
+        [(i, 0.5, 0.5, float(i % 2)) for i in range(20)],
+        "id long, x1 double, x2 double, y double",
+    )
+    w = logistic_fit(
+        df, F.col("x1"), F.col("x2"), F.col("y"), F.lit(True), n_iter=3
+    ).collect()[0]
+    assert all(
+        v is not None and not math.isnan(v) for v in (w["w0"], w["w1"], w["w2"])
+    )
