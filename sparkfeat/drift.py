@@ -46,6 +46,7 @@ __all__ = [
     "categorical_drift",
     "ks_drift",
     "cusum_alarms",
+    "cusum_profile",
 ]
 
 
@@ -640,4 +641,34 @@ def cusum_alarms(
         # see identical nd-dp doubles, so the flag is deterministic
         # (the ks_drift convention)
         ((F.round(s_pos, nd) > h) | (F.round(s_neg, nd) > h)).alias("alarm"),
+    )
+
+
+def cusum_profile(
+    df: DataFrame,
+    series_cols: tuple[str, ...] = ("series",),
+    order_col: str = "t",
+    value_col: str = "x",
+    ref_n: int = 48,
+) -> DataFrame:
+    """Freeze the CUSUM burn-in reference: per series, mean and
+    population std of the first ``ref_n`` points — the tiny table a
+    LIVE monitor (`streaming.stream_cusum`) broadcasts, exactly as
+    `drift_profile` ships PSI's frozen edges. One row per series:
+    ``(*series_cols, mu, sigma, n_ref)``."""
+    from pyspark.sql import Window
+
+    scols = list(series_cols)
+    w = Window.partitionBy(*scols).orderBy(order_col)
+    staged = df.select(
+        *scols, F.col(order_col), F.col(value_col).cast("double").alias("_x")
+    ).withColumn("_rn", F.row_number().over(w))
+    return (
+        staged.where(F.col("_rn") <= ref_n)
+        .groupBy(*scols)
+        .agg(
+            F.avg("_x").alias("mu"),
+            F.stddev_pop("_x").alias("sigma"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ref"),
+        )
     )

@@ -420,3 +420,122 @@ def stream_asof_serve(
         probe_ts=probe_ts,
         broadcast=broadcast,
     )
+
+
+def stream_cusum(
+    stream: DataFrame,
+    profile: DataFrame,
+    series_col: str = "series",
+    order_col: str = "t",
+    value_col: str = "x",
+    k: float = 0.5,
+    h: float = 4.0,
+    nd: int = 6,
+) -> DataFrame:
+    """LIVE sequential change-point monitor: the streaming twin of
+    `drift.cusum_alarms`, watching a metric stream against the FROZEN
+    burn-in profile (`drift.cusum_profile` — mu/sigma per series, the
+    table that ships with the deployment like PSI's frozen edges).
+
+    Per series the two one-sided Page statistics live in the state
+    store — TWO DOUBLES per series, carried across micro-batches and
+    restarts — and each batch folds its (order-sorted) points through
+    the same closed form the batch operator uses, generalized for a
+    carried initial value: with ``C = cumsum(z - k)``,
+
+        S_i = max(0, s0 + C_i, C_i - running_min(C)_i)
+
+    (either the pre-batch statistic ``s0`` survives un-clamped, or the
+    last clamp was at an in-batch point — the same
+    cumsum-minus-running-min identity, so stream ≡ batch is exact, not
+    approximate, and pytest pins it bit-for-bit across a restart).
+
+    Rows whose series has no profile row (or sigma = 0) emit NULL z
+    with zero statistics and never alarm — the batch operator's
+    convention. Alarms compare the ``nd``-rounded statistic (the
+    engine-deterministic boundary). Output per input row:
+    ``(series, order, x, z, s_pos, s_neg, alarm)``.
+
+    Scale shape: one broadcast stream-static join (|series| rows) then
+    ONE stateful operator keyed by series — state O(series), not
+    O(points); within a batch the fold is numpy over the series'
+    batch rows.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    src = {f.name: f for f in stream.schema.fields}
+    joined = stream.join(
+        F.broadcast(profile.select(series_col, "mu", "sigma")),
+        series_col,
+        "left",
+    )
+    out_schema = StructType(
+        [
+            src[series_col],
+            src[order_col],
+            StructField("x", DoubleType(), True),
+            StructField("z", DoubleType(), True),
+            StructField("s_pos", DoubleType(), True),
+            StructField("s_neg", DoubleType(), True),
+            StructField("alarm", BooleanType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("sp", DoubleType(), True),
+            StructField("sn", DoubleType(), True),
+        ]
+    )
+
+    def _fold(y: np.ndarray, s0: float) -> np.ndarray:
+        c = np.cumsum(y)
+        runmin = np.minimum.accumulate(c)
+        return np.maximum(0.0, np.maximum(s0 + c, c - runmin))
+
+    def fn(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([order_col], kind="mergesort")
+        x = rows[value_col].to_numpy(dtype=np.float64)
+        mu = rows["mu"].to_numpy(dtype=np.float64)
+        sig = rows["sigma"].to_numpy(dtype=np.float64)
+        live = np.isfinite(mu) & np.isfinite(sig) & (sig > 0)
+        n = len(rows)
+        z = np.full(n, np.nan)
+        sp_out = np.zeros(n)
+        sn_out = np.zeros(n)
+        if live.any():
+            zl = (x[live] - mu[live]) / sig[live]
+            z[live] = zl
+            s0p, s0n = state.get if state.exists else (0.0, 0.0)
+            spl = _fold(zl - k, s0p)
+            snl = _fold(-zl - k, s0n)
+            sp_out[live] = spl
+            sn_out[live] = snl
+            state.update((float(spl[-1]), float(snl[-1])))
+        rp = np.round(sp_out, nd)
+        rn_ = np.round(sn_out, nd)
+        out = pd.DataFrame(
+            {
+                series_col: key[0],
+                order_col: rows[order_col],
+                "x": np.round(x, nd),
+                "z": np.round(z, nd),
+                "s_pos": rp,
+                "s_neg": rn_,
+                "alarm": (rp > h) | (rn_ > h),
+            }
+        )
+        out.loc[~live, "z"] = None
+        yield out
+
+    return joined.groupBy(series_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -350,3 +350,101 @@ def test_stream_preference_pairs_matches_batch_across_restart(
     )
     assert len(want) > 0  # the fixture must actually exercise the path
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_cusum_equals_batch_across_restart(spark, tmp_path):
+    """stream_cusum ≡ cusum_alarms: the live monitor fed the
+    post-burn-in points (profile frozen from the burn-in) reproduces
+    the batch operator's live rows exactly, with the (s_pos, s_neg)
+    state carried across two availableNow invocations (restart
+    recovery); a stable series stays silent, the shifted one alarms."""
+    import pandas as pd
+
+    from sparkfeat.drift import cusum_alarms, cusum_profile
+    from sparkfeat.streaming import stream_cusum
+
+    ref_n = 8
+    xs_shift = [10.0, 10.4, 9.6, 10.2, 9.8, 10.1, 9.9, 10.0] + [12.5] * 10
+    xs_flat = [5.0 + (0.1 if i % 2 else -0.1) for i in range(18)]
+    rows = [("up", i, x) for i, x in enumerate(xs_shift)] + [
+        ("flat", i, x) for i, x in enumerate(xs_flat)
+    ]
+    df = spark.createDataFrame(rows, "series string, t int, x double")
+
+    batch = {
+        (r["series"], r["t"]): r.asDict()
+        for r in cusum_alarms(df, ("series",), "t", "x", ref_n=ref_n).collect()
+    }
+    prof = cusum_profile(df, ("series",), "t", "x", ref_n=ref_n)
+
+    indir, ck, outdir = (
+        str(tmp_path / d) for d in ("in_cusum", "ck_cusum", "out_cusum")
+    )
+    live = df.where(F.col("t") >= ref_n)
+
+    def run_once(part):
+        part.write.mode("append").parquet(indir)
+        st = spark.readStream.schema("series string, t int, x double").parquet(
+            indir
+        )
+        q = (
+            stream_cusum(st, prof, "series", "t", "x", k=0.5, h=4.0)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once(live.where(F.col("t") < 12))
+    run_once(live.where(F.col("t") >= 12))
+
+    got = spark.read.parquet(outdir).collect()
+    assert len(got) == live.count()
+    for r in got:
+        b = batch[(r["series"], r["t"])]
+        assert r["s_pos"] == pytest.approx(b["s_pos"], abs=1e-9), (r, b)
+        assert r["s_neg"] == pytest.approx(b["s_neg"], abs=1e-9), (r, b)
+        assert r["alarm"] == b["alarm"], (r, b)
+        assert r["z"] == pytest.approx(b["z"], abs=1e-9)
+    assert any(r["alarm"] for r in got if r["series"] == "up")
+    assert not any(r["alarm"] for r in got if r["series"] == "flat")
+
+
+def test_stream_cusum_unknown_series_emits_null_z(spark, tmp_path):
+    """A series with no profile row must flow through with NULL z and
+    silent statistics (the batch zero-variance convention), not crash
+    the stream."""
+    from sparkfeat.drift import cusum_profile
+    from sparkfeat.streaming import stream_cusum
+
+    known = [("a", i, float(i % 3)) for i in range(6)]
+    df = spark.createDataFrame(known, "series string, t int, x double")
+    prof = cusum_profile(df, ("series",), "t", "x", ref_n=6)
+
+    indir, ck, outdir = (
+        str(tmp_path / d) for d in ("in_cu2", "ck_cu2", "out_cu2")
+    )
+    mixed = spark.createDataFrame(
+        [("a", 10, 9.9), ("ghost", 0, 1.0), ("ghost", 1, 2.0)],
+        "series string, t int, x double",
+    )
+    mixed.write.mode("append").parquet(indir)
+    st = spark.readStream.schema("series string, t int, x double").parquet(indir)
+    q = (
+        stream_cusum(st, prof, "series", "t", "x")
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["series"], r["t"]): r.asDict() for r in spark.read.parquet(outdir).collect()}
+    assert len(got) == 3
+    assert got[("ghost", 0)]["z"] is None
+    assert got[("ghost", 0)]["alarm"] is False
+    assert got[("a", 10)]["z"] is not None
