@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     # in-plan IRLS logistic probe: 4 unrolled Newton steps, Cramer
     # solve on the moment row, broadcast sigmoid apply
     "doc_logistic_probe",
+    # semantic-diversity balancing: IVF assignment + exact-k per cluster
+    "embedding_cluster_sample",
 ]
 
 

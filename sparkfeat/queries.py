@@ -9841,6 +9841,53 @@ SELECT series, t, ROUND(x, 6) AS x, rn <= 48 AS in_reference,
 FROM m"""
 
 
+_CLUSTER_SAMPLE_ORACLE = f"""WITH c AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv
+    FROM (SELECT * FROM c ORDER BY vec_id LIMIT 16)
+),
+assigned AS (
+    SELECT vec_id, cent_id FROM (
+        SELECT c.vec_id, cents.cent_id,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                {_COS.format(a='c.v', b='cents.cv')} DESC, cents.cent_id) AS r
+        FROM c, cents) WHERE r = 1
+),
+keyed AS (
+    SELECT cent_id, vec_id,
+        md5('cb' || ':' || CAST(vec_id AS VARCHAR)) AS key
+    FROM assigned
+),
+rk AS (
+    SELECT cent_id, vec_id,
+        ROW_NUMBER() OVER (PARTITION BY cent_id ORDER BY key, vec_id)
+            AS sample_rank
+    FROM keyed
+)
+SELECT CAST(cent_id AS INT) AS cent_id, vec_id,
+    CAST(sample_rank AS INT) AS sample_rank
+FROM rk WHERE sample_rank <= 25"""
+
+
+@register("embedding_cluster_sample", _CLUSTER_SAMPLE_ORACLE, driver=False)
+def q_embedding_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-diversity balancing
+    (sparkfeat.similarity.cluster_balanced_sample): exactly 25 vectors
+    per embedding cluster — broadcast nearest-centroid assignment then
+    the two-phase exact-k md5 rank, so no task ever owns a whole
+    cluster; the oracle replays assignment (the IVF CTE) and the rank
+    as its definitional single window."""
+    from sparkfeat.similarity import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cluster_balanced_sample(emb, n_centroids=16, k_per_cluster=25)
+    return out.select(
+        F.col("cent_id").cast("int").alias("cent_id"), "vec_id", "sample_rank"
+    )
+
+
 def _logit_oracle(n_iter: int = 4, lam: float = 1e-3) -> str:
     """Unrolled IRLS replay (sparkfeat.probe.logistic_fit): one
     (moments → Cramer step) CTE pair per Newton iteration, every

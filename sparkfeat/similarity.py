@@ -701,3 +701,49 @@ def hard_negatives(
         .filter(F.col("rk") <= k)
         .select(probe_id, id_col, "cosine", "rk")
     )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    k_per_cluster: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "cb",
+    shards: int = 32,
+) -> DataFrame:
+    """Semantic-diversity balancing: exactly ``k_per_cluster`` vectors
+    from EACH embedding cluster — the SemDeDup-adjacent curation move
+    that keeps a corpus's topic coverage flat instead of letting the
+    dominant mode (one crawl template, one language register) own the
+    sample. Metadata-keyed balancing (`corpus.mixture_sample` on
+    source/lang) can't see semantic skew INSIDE a key; clustering the
+    embedding space and sampling per cluster can.
+
+    Composition of two verified parts: `ivf_assign` (broadcast
+    nearest-centroid pass — each vector touches only the
+    n_centroids-row broadcast, never another vector) labels every
+    vector with its cluster, then `corpus.eval_sample`'s two-phase
+    exact-k rank (md5(seed‖id) order, per-(cluster, shard) prune to k
+    before the per-cluster rank sees ≤ shards·k survivors) draws the
+    deterministic sample — no single task ever owns a whole cluster,
+    so a 90%-of-corpus mega-cluster is as safe as a tail one.
+
+    Output: ``(cent_id, id, sample_rank)`` — clusters smaller than
+    ``k_per_cluster`` contribute everything they have (honest, not
+    padded). Membership is a pure function of (centroids, seed, id).
+    """
+    from sparkfeat.corpus import eval_sample
+
+    cents = ivf_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col).select(
+        id_col, "cent_id"
+    )
+    return eval_sample(
+        assigned,
+        k=k_per_cluster,
+        group_col="cent_id",
+        id_col=id_col,
+        seed=seed,
+        shards=shards,
+    )

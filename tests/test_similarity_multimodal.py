@@ -852,3 +852,38 @@ def test_hard_negatives_excludes_positives(spark):
     )
     got = hard_negatives(corpus, probes, k=5, lo=0.2, hi=0.9).collect()
     assert [r["vec_id"] for r in got] == [2]
+
+
+def test_cluster_balanced_sample_flattens_skew(spark):
+    """A corpus where one mode dominates 10:1: per-cluster exact-k must
+    return (close to) equal counts per cluster, membership must be
+    deterministic, and sub-k clusters contribute all they have."""
+    import numpy as np
+
+    from sparkfeat.similarity import cluster_balanced_sample
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # two well-separated modes: 200 near +e1, 20 near -e1 (ids interleave)
+    for i in range(220):
+        big = i % 11 != 0
+        base = np.array([1.0, 0.0, 0.0, 0.0]) if big else np.array([-1.0, 0.0, 0.0, 0.0])
+        v = base + rng.normal(0, 0.05, 4)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cluster_balanced_sample(emb, n_centroids=2, k_per_cluster=15).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cent_id"], set()).add(r["vec_id"])
+    # both clusters present, each capped at k
+    assert set(len(v) for v in by_cluster.values()) <= {15}
+    assert len(by_cluster) == 2
+    # deterministic replay
+    again = cluster_balanced_sample(emb, n_centroids=2, k_per_cluster=15).collect()
+    assert sorted((r["cent_id"], r["vec_id"]) for r in again) == sorted(
+        (r["cent_id"], r["vec_id"]) for r in out
+    )
+    # the dominant mode contributed 15 of ~200, the tail 15 of ~20:
+    # the SAMPLE is flat even though the corpus is 10:1
+    sizes = sorted(len(v) for v in by_cluster.values())
+    assert sizes == [15, 15]
