@@ -230,6 +230,8 @@ BENCH_QUERIES = [
     "doc_logistic_probe",
     # semantic-diversity balancing: IVF assignment + exact-k per cluster
     "embedding_cluster_sample",
+    # data-contract gate: 7 declarative rules in one scan + window + distinct
+    "transcripts_expectations",
 ]
 
 

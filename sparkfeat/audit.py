@@ -322,3 +322,154 @@ def t_closeness_audit(
         g.crossJoin(F.broadcast(consts))
         .withColumn("t_threshold", F.lit(float(t_threshold)))
     )
+
+
+def expectations_audit(
+    df: DataFrame,
+    rules: Sequence[dict],
+    nd: int = 6,
+) -> DataFrame:
+    """Data-contract gate: declarative row-level expectations checked
+    in (almost) ONE corpus scan — the ingestion acceptance test a
+    pipeline runs before features, dedup, or packing ever see the
+    table (the Great-Expectations idea re-expressed as Column
+    algebra; nothing is collected, the verdict table is rules-sized).
+
+    Each rule is a dict with ``name``, ``type`` and type-specific
+    keys:
+
+    * ``{"type": "not_null", "col": c}`` — c must be non-null;
+    * ``{"type": "range", "col": c, "min": lo, "max": hi}`` — either
+      bound optional; NULLs are not range violations (compose with
+      not_null — one rule, one verdict each);
+    * ``{"type": "allowed", "col": c, "values": [...]}`` — value set
+      membership (NULL is a violation unless None is listed);
+    * ``{"type": "regex", "col": c, "pattern": p}`` — full-match
+      rlike; NULL is a violation;
+    * ``{"type": "monotonic", "col": c, "by": entity, "order": o}`` —
+      c must never DECREASE along o within each entity (the
+      resequence_turns invariant as a gate); adds one window on the
+      entity key;
+    * ``{"type": "unique", "cols": [c, ...]}`` — the tuple must be
+      unique table-wide; adds one distinct aggregate on those cols.
+
+    Output one row per rule: ``(rule, kind, n_checked, n_violations,
+    violation_rate, passed)``. ``n_checked`` counts rows the rule
+    examined (all rows, except ``monotonic`` which skips each
+    entity's first row and ``unique`` which counts distinct tuples).
+
+    Scale shape: every row-level rule compiles to a conditional SUM in
+    ONE map-side-combined global aggregate over ONE scan; the verdict
+    rows are exploded from a literal struct array on the 1-row
+    aggregate. A ``monotonic`` rule adds one window exchange on its
+    entity key (reused if the table is already bucketed there); each
+    ``unique`` rule adds one distinct aggregate (two-level hash, no
+    row ever collected). Rules-sized output, no UDFs.
+    """
+    aggs: list = []
+    outs: list = []
+
+    work = df
+    for i, r in enumerate(rules):
+        kind = r["type"]
+        name = r.get("name") or f"rule_{i}_{kind}"
+        if kind == "monotonic":
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(r["by"]).orderBy(r["order"])
+            flag = f"_mono_{i}"
+            prev = F.lag(F.col(r["col"])).over(w)
+            work = work.withColumn(
+                flag,
+                F.when(prev.isNull(), F.lit(None)).otherwise(
+                    (F.col(r["col"]) < prev).cast("int")
+                ),
+            )
+
+    for i, r in enumerate(rules):
+        kind = r["type"]
+        name = r.get("name") or f"rule_{i}_{kind}"
+        if kind == "not_null":
+            viol = F.col(r["col"]).isNull().cast("int")
+            checked = F.lit(1)
+        elif kind == "range":
+            c = F.col(r["col"])
+            conds = []
+            if r.get("min") is not None:
+                conds.append(c < F.lit(r["min"]))
+            if r.get("max") is not None:
+                conds.append(c > F.lit(r["max"]))
+            bad = conds[0]
+            for x in conds[1:]:
+                bad = bad | x
+            viol = F.coalesce(bad.cast("int"), F.lit(0))
+            checked = F.lit(1)
+        elif kind == "allowed":
+            c = F.col(r["col"])
+            ok = c.isin(*[v for v in r["values"] if v is not None])
+            if None in r["values"]:
+                ok = ok | c.isNull()
+            else:
+                ok = F.coalesce(ok, F.lit(False))
+            viol = (~ok).cast("int")
+            checked = F.lit(1)
+        elif kind == "regex":
+            c = F.col(r["col"])
+            viol = (~F.coalesce(c.rlike(r["pattern"]), F.lit(False))).cast(
+                "int"
+            )
+            checked = F.lit(1)
+        elif kind == "monotonic":
+            viol = F.coalesce(F.col(f"_mono_{i}"), F.lit(0))
+            checked = F.col(f"_mono_{i}").isNotNull().cast("int")
+        elif kind == "unique":
+            cols = [F.col(c) for c in r["cols"]]
+            aggs.append(
+                F.count_distinct(*cols).cast("bigint").alias(f"_uq_{i}")
+            )
+            aggs.append(
+                F.count(F.lit(1)).cast("bigint").alias(f"_uqn_{i}")
+            )
+            outs.append((name, kind, f"_uq_{i}", f"_uqn_{i}", "unique"))
+            continue
+        else:
+            raise ValueError(f"unknown expectation type {kind!r}")
+        aggs.append(F.sum(viol).cast("bigint").alias(f"_v_{i}"))
+        aggs.append(F.sum(checked).cast("bigint").alias(f"_n_{i}"))
+        outs.append((name, kind, f"_v_{i}", f"_n_{i}", "row"))
+
+    agg = work.agg(*aggs)
+    structs = []
+    for name, kind, a, b, mode in outs:
+        if mode == "unique":
+            n_checked = F.col(a)  # distinct tuples
+            n_viol = F.col(b) - F.col(a)  # duplicate rows
+        else:
+            n_checked = F.col(b)
+            n_viol = F.col(a)
+        structs.append(
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.lit(kind).alias("kind"),
+                n_checked.cast("bigint").alias("n_checked"),
+                n_viol.cast("bigint").alias("n_violations"),
+            )
+        )
+    exploded = agg.select(F.explode(F.array(*structs)).alias("_s")).select(
+        "_s.rule", "_s.kind", "_s.n_checked", "_s.n_violations"
+    )
+    rate = F.when(
+        F.col("n_checked") > 0,
+        F.round(
+            F.col("n_violations").cast("double") / F.col("n_checked"), nd
+        )
+        + F.lit(0.0),
+    )
+    return exploded.select(
+        "rule",
+        "kind",
+        "n_checked",
+        "n_violations",
+        rate.alias("violation_rate"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -9841,6 +9841,100 @@ SELECT series, t, ROUND(x, 6) AS x, rn <= 48 AS in_reference,
 FROM m"""
 
 
+_EXPECT_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
+mono AS (
+    SELECT CASE WHEN LAG(ts) OVER w IS NULL THEN NULL
+                WHEN ts < LAG(ts) OVER w THEN 1 ELSE 0 END AS flag
+    FROM transcripts
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+rows_out AS (
+    SELECT 'text_not_null' AS rule, 'not_null' AS kind,
+        CAST(COUNT(*) AS BIGINT) AS n_checked,
+        CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violations
+    FROM transcripts
+    UNION ALL
+    SELECT 'role_allowed', 'allowed', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN role IN ('user', 'assistant', 'tool')
+                 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM transcripts
+    UNION ALL
+    SELECT 'turn_idx_range', 'range', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN turn_idx < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM transcripts
+    UNION ALL
+    SELECT 'conv_id_format', 'regex', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN conv_id IS NOT NULL
+                      AND regexp_matches(conv_id, '^c[0-9]+$')
+                 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM transcripts
+    UNION ALL
+    SELECT 'tool_not_null', 'not_null', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM transcripts
+    UNION ALL
+    SELECT 'ts_monotonic', 'monotonic', CAST(COUNT(flag) AS BIGINT),
+        CAST(COALESCE(SUM(flag), 0) AS BIGINT)
+    FROM mono
+    UNION ALL
+    SELECT 'turn_key_unique', 'unique',
+        CAST(COUNT(DISTINCT (conv_id, turn_idx)) AS BIGINT),
+        CAST(COUNT(*) - COUNT(DISTINCT (conv_id, turn_idx)) AS BIGINT)
+    FROM transcripts
+)
+SELECT rule, kind, n_checked, n_violations,
+    CASE WHEN n_checked > 0 THEN
+        ROUND(n_violations / CAST(n_checked AS DOUBLE), 6) END
+        AS violation_rate,
+    n_violations = 0 AS passed
+FROM rows_out"""
+
+
+@register("transcripts_expectations", _EXPECT_ORACLE, driver=False)
+def q_transcripts_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract gate (sparkfeat.audit.expectations_audit): seven
+    declarative expectations over the transcript table — null/set/
+    range/format row rules compile into ONE map-side-combined scan,
+    ts-monotonicity adds its conv_id window, the (conv_id, turn_idx)
+    key adds one distinct aggregate; the verdict table is rules-sized.
+    The deliberately failing tool_not_null row pins the honest-failure
+    path (tool is null on most turns)."""
+    from sparkfeat.audit import expectations_audit
+
+    tr = transcripts_from_events(spark, sf_dir)
+    rules = [
+        {"name": "text_not_null", "type": "not_null", "col": "text"},
+        {
+            "name": "role_allowed",
+            "type": "allowed",
+            "col": "role",
+            "values": ["user", "assistant", "tool"],
+        },
+        {"name": "turn_idx_range", "type": "range", "col": "turn_idx", "min": 0},
+        {
+            "name": "conv_id_format",
+            "type": "regex",
+            "col": "conv_id",
+            "pattern": "^c[0-9]+$",
+        },
+        {"name": "tool_not_null", "type": "not_null", "col": "tool"},
+        {
+            "name": "ts_monotonic",
+            "type": "monotonic",
+            "col": "ts",
+            "by": "conv_id",
+            "order": "turn_idx",
+        },
+        {
+            "name": "turn_key_unique",
+            "type": "unique",
+            "cols": ["conv_id", "turn_idx"],
+        },
+    ]
+    return expectations_audit(tr, rules)
+
+
 _CLUSTER_SAMPLE_ORACLE = f"""WITH c AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),

@@ -369,3 +369,82 @@ def test_corpus_stat_invariants_on_docs(spark, sf_dir):
             # log f on log rank can never be positive.
             assert r["zipf_slope"] <= 0.0
             assert 0.0 <= r["zipf_r2"] <= 1.0
+
+
+# ------------------------------------------------------- expectations
+
+
+def test_expectations_audit_every_rule_kind(spark):
+    """One synthetic table with a planted violation per rule kind; the
+    gate must localize each violation to its own rule row with exact
+    counts, and pass the clean rules."""
+    from sparkfeat.audit import expectations_audit
+
+    rows = [
+        # (id, ent, ord, val, name, cat)
+        (1, "a", 0, 1.0, "x1", "good"),
+        (2, "a", 1, 2.0, None, "good"),      # name null -> not_null viol
+        (3, "a", 2, -5.0, "x3", "good"),     # val < 0 -> range viol
+        (4, "b", 0, 3.0, "x4", "weird"),     # cat not allowed
+        (5, "b", 1, 4.0, "4x", "good"),      # name fails regex
+        (5, "b", 2, 5.0, "x6", "good"),      # id 5 repeated -> unique viol
+        (6, "c", 0, 6.0, "x7", "good"),
+        (7, "c", 1, 5.5, "x8", "good"),      # val decreases within c -> mono viol
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ent string, ord int, val double, name string, cat string"
+    )
+    rules = [
+        {"name": "name_not_null", "type": "not_null", "col": "name"},
+        {"name": "val_range", "type": "range", "col": "val", "min": 0.0},
+        {"name": "cat_allowed", "type": "allowed", "col": "cat", "values": ["good"]},
+        {"name": "name_regex", "type": "regex", "col": "name", "pattern": "^x[0-9]+$"},
+        {"name": "val_mono", "type": "monotonic", "col": "val", "by": "ent", "order": "ord"},
+        {"name": "id_unique", "type": "unique", "cols": ["id"]},
+    ]
+    got = {r["rule"]: r.asDict() for r in expectations_audit(df, rules).collect()}
+    assert got["name_not_null"]["n_violations"] == 1
+    assert got["val_range"]["n_violations"] == 1  # NULL-safe: only -5.0
+    assert got["cat_allowed"]["n_violations"] == 1
+    # regex: '4x' fails AND the null name fails (null never matches)
+    assert got["name_regex"]["n_violations"] == 2
+    # monotonic checks rows with a predecessor: 8 rows - 3 entity openers;
+    # violations: -5.0 after 2.0 in ent a (the range row trips this rule
+    # too) and 5.5 after 6.0 in ent c
+    assert got["val_mono"]["n_checked"] == 5
+    assert got["val_mono"]["n_violations"] == 2
+    assert got["id_unique"]["n_checked"] == 7  # distinct ids
+    assert got["id_unique"]["n_violations"] == 1  # one duplicate row
+    assert not got["id_unique"]["passed"]
+    assert all(
+        not got[r]["passed"] for r in got
+    )  # every rule here has a planted violation
+    # rates are exact
+    assert got["val_mono"]["violation_rate"] == pytest.approx(0.4)
+
+
+def test_expectations_audit_clean_table_passes(spark):
+    from sparkfeat.audit import expectations_audit
+
+    df = spark.createDataFrame(
+        [(i, "e", i, float(i)) for i in range(10)],
+        "id long, ent string, ord int, val double",
+    )
+    rules = [
+        {"name": "val_nn", "type": "not_null", "col": "val"},
+        {"name": "rng", "type": "range", "col": "val", "min": 0.0, "max": 100.0},
+        {"name": "mono", "type": "monotonic", "col": "val", "by": "ent", "order": "ord"},
+        {"name": "uq", "type": "unique", "cols": ["id"]},
+    ]
+    rows = expectations_audit(df, rules).collect()
+    assert len(rows) == 4
+    assert all(r["passed"] for r in rows)
+    assert all(r["n_violations"] == 0 for r in rows)
+
+
+def test_expectations_unknown_rule_raises(spark):
+    from sparkfeat.audit import expectations_audit
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="unknown expectation"):
+        expectations_audit(df, [{"type": "nope", "col": "id"}]).collect()
