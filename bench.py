@@ -232,6 +232,8 @@ BENCH_QUERIES = [
     "embedding_cluster_sample",
     # data-contract gate: 7 declarative rules in one scan + window + distinct
     "transcripts_expectations",
+    # drop-attribution waterfall over the 4-stage prep verdicts
+    "corpus_filter_waterfall",
 ]
 
 

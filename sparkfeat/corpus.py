@@ -1591,3 +1591,88 @@ def memorization_score(
             ),
         ).alias("distinct_mem_rate"),
     )
+
+
+def filter_waterfall(
+    flags: DataFrame,
+    stages: list,
+    nd: int = 6,
+) -> DataFrame:
+    """Drop-attribution waterfall for a composed filter: given a
+    per-doc verdict table (each stage's PASS predicate) and the stage
+    ORDER, report where documents actually fall out — the curation
+    report every ablation discussion starts from ("dedup removed 40%"
+    is meaningless unless you say what ran before it).
+
+    ``stages`` is an ordered list of ``(stage_name, pass_column)``
+    (Column or column-name; NULL counts as fail). Output one row per
+    stage, in order, plus a final ``kept`` row:
+
+    * ``n_in`` — docs that SURVIVED every earlier stage;
+    * ``n_dropped_here`` — of those, docs this stage rejects (the
+      waterfall attribution: each doc is charged to its FIRST failing
+      stage);
+    * ``n_fail_independent`` — docs this stage rejects regardless of
+      order (the marginal view; the two differ exactly by overlap);
+    * ``drop_rate`` — n_dropped_here / n_in (6 dp, NULL at n_in = 0).
+
+    Scale shape: every count is a conditional SUM over prefix
+    conjunctions of the pass predicates — ONE map-side-combined global
+    aggregate over one scan of the verdict table; output rows explode
+    from a literal struct array on the 1-row aggregate (the
+    expectations_audit shape). 10⁹ docs → stages+1 rows, no collect.
+    """
+    norm = []
+    for name, c in stages:
+        col = F.col(c) if isinstance(c, str) else c
+        norm.append((name, F.coalesce(col.cast("boolean"), F.lit(False))))
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_total")]
+    prefix = F.lit(True)
+    for i, (name, p) in enumerate(norm):
+        aggs.append(
+            F.sum(prefix.cast("int")).cast("bigint").alias(f"_in_{i}")
+        )
+        aggs.append(
+            F.sum((prefix & ~p).cast("int")).cast("bigint").alias(f"_dr_{i}")
+        )
+        aggs.append(F.sum((~p).cast("int")).cast("bigint").alias(f"_if_{i}"))
+        prefix = prefix & p
+    aggs.append(F.sum(prefix.cast("int")).cast("bigint").alias("_kept"))
+
+    agg = flags.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(f"_in_{i}").alias("n_in"),
+            F.col(f"_dr_{i}").alias("n_dropped_here"),
+            F.col(f"_if_{i}").alias("n_fail_independent"),
+        )
+        for i, (name, _) in enumerate(norm)
+    ] + [
+        F.struct(
+            F.lit(len(norm)).alias("stage_idx"),
+            F.lit("kept").alias("stage"),
+            F.col("_kept").alias("n_in"),
+            F.lit(0).cast("bigint").alias("n_dropped_here"),
+            F.lit(0).cast("bigint").alias("n_fail_independent"),
+        )
+    ]
+    out = agg.select(F.explode(F.array(*structs)).alias("_s")).select(
+        F.col("_s.stage_idx").cast("int").alias("stage_idx"),
+        "_s.stage",
+        "_s.n_in",
+        "_s.n_dropped_here",
+        "_s.n_fail_independent",
+    )
+    return out.withColumn(
+        "drop_rate",
+        F.when(
+            F.col("n_in") > 0,
+            F.round(
+                F.col("n_dropped_here").cast("double") / F.col("n_in"), nd
+            )
+            + F.lit(0.0),
+        ),
+    )

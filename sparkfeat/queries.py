@@ -9841,6 +9841,70 @@ SELECT series, t, ROUND(x, 6) AS x, rn <= 48 AS in_reference,
 FROM m"""
 
 
+_WATERFALL_ORACLE = f"""WITH fl AS (
+    SELECT quality_pass AS p0, lang_ok AS p1, exact_keep AS p2,
+        NOT neardup_drop AS p3
+    FROM ({_corpus_prep_oracle()}) _f
+),
+agg AS (
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS in0,
+        CAST(SUM(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS BIGINT) AS dr0,
+        CAST(SUM(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS BIGINT) AS if0,
+        CAST(SUM(CASE WHEN p0 THEN 1 ELSE 0 END) AS BIGINT) AS in1,
+        CAST(SUM(CASE WHEN p0 AND NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS dr1,
+        CAST(SUM(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS if1,
+        CAST(SUM(CASE WHEN p0 AND p1 THEN 1 ELSE 0 END) AS BIGINT) AS in2,
+        CAST(SUM(CASE WHEN p0 AND p1 AND NOT p2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS dr2,
+        CAST(SUM(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS if2,
+        CAST(SUM(CASE WHEN p0 AND p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS in3,
+        CAST(SUM(CASE WHEN p0 AND p1 AND p2 AND NOT p3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS dr3,
+        CAST(SUM(CASE WHEN NOT p3 THEN 1 ELSE 0 END) AS BIGINT) AS if3,
+        CAST(SUM(CASE WHEN p0 AND p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept
+    FROM fl
+),
+rows_out AS (
+    SELECT 0 AS stage_idx, 'quality' AS stage, in0 AS n_in,
+        dr0 AS n_dropped_here, if0 AS n_fail_independent FROM agg
+    UNION ALL SELECT 1, 'langid', in1, dr1, if1 FROM agg
+    UNION ALL SELECT 2, 'exact_dedup', in2, dr2, if2 FROM agg
+    UNION ALL SELECT 3, 'neardup', in3, dr3, if3 FROM agg
+    UNION ALL SELECT 4, 'kept', kept, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM agg
+)
+SELECT CAST(stage_idx AS INT) AS stage_idx, stage, n_in, n_dropped_here,
+    n_fail_independent,
+    CASE WHEN n_in > 0 THEN
+        ROUND(n_dropped_here / CAST(n_in AS DOUBLE), 6) END AS drop_rate
+FROM rows_out"""
+
+
+@register("corpus_filter_waterfall", _WATERFALL_ORACLE, driver=False)
+def q_corpus_filter_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-attribution waterfall (sparkfeat.corpus.filter_waterfall)
+    over the 4-stage corpus-prep verdicts: each document is charged to
+    its FIRST failing stage (waterfall) next to the order-free marginal
+    count (n_fail_independent) — the ablation table a curation
+    discussion starts from. ONE map-side-combined aggregate of prefix
+    conjunctions over the verdict table; stages+1 output rows."""
+    from sparkfeat.corpus import corpus_prep_flags, filter_waterfall
+
+    flags = corpus_prep_flags(_docs(spark, sf_dir))
+    return filter_waterfall(
+        flags,
+        [
+            ("quality", "quality_pass"),
+            ("langid", "lang_ok"),
+            ("exact_dedup", "exact_keep"),
+            ("neardup", ~F.col("neardup_drop")),
+        ],
+    )
+
+
 _EXPECT_ORACLE = f"""WITH {TRANSCRIPTS_CTE},
 mono AS (
     SELECT CASE WHEN LAG(ts) OVER w IS NULL THEN NULL

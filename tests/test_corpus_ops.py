@@ -927,3 +927,67 @@ def test_memorization_reference_never_broadcasts_whole_docs(spark):
     # every candidate trigram is the prefix trigram of one ref doc
     rows = {r["doc_id"]: r for r in df.collect()}
     assert all(rows[i + 1000]["n_hit"] == 1 for i in range(50))
+
+
+# ---------------------------------------------------- filter waterfall
+
+
+def test_filter_waterfall_first_fail_attribution(spark):
+    """Hand-built verdicts: waterfall charges each doc to its FIRST
+    failing stage; independent counts see overlaps; invariants
+    n_in[k+1] = n_in[k] - dropped[k] and kept = final survivors."""
+    from sparkfeat.corpus import filter_waterfall
+
+    rows = [
+        # (id, a, b, c): doc passes stage iff flag
+        (1, True, True, True),    # survives all
+        (2, False, True, True),   # dies at a
+        (3, False, False, True),  # dies at a; would also die at b
+        (4, True, False, False),  # dies at b; would also die at c
+        (5, True, True, False),   # dies at c
+        (6, True, None, True),    # NULL = fail -> dies at b
+    ]
+    df = spark.createDataFrame(rows, "id long, a boolean, b boolean, c boolean")
+    got = {
+        r["stage"]: r.asDict()
+        for r in filter_waterfall(
+            df, [("a", "a"), ("b", "b"), ("c", "c")]
+        ).collect()
+    }
+    assert got["a"]["n_in"] == 6 and got["a"]["n_dropped_here"] == 2
+    assert got["a"]["n_fail_independent"] == 2
+    assert got["b"]["n_in"] == 4 and got["b"]["n_dropped_here"] == 2
+    assert got["b"]["n_fail_independent"] == 3  # docs 3, 4, 6
+    assert got["c"]["n_in"] == 2 and got["c"]["n_dropped_here"] == 1
+    assert got["c"]["n_fail_independent"] == 2  # docs 4, 5
+    assert got["kept"]["n_in"] == 1
+    # chain invariant
+    assert got["b"]["n_in"] == got["a"]["n_in"] - got["a"]["n_dropped_here"]
+    assert got["c"]["n_in"] == got["b"]["n_in"] - got["b"]["n_dropped_here"]
+    assert got["kept"]["n_in"] == got["c"]["n_in"] - got["c"]["n_dropped_here"]
+    assert got["a"]["drop_rate"] == pytest.approx(round(2 / 6, 6))
+
+
+def test_filter_waterfall_matches_prep_keep_count(spark):
+    """On the real pipeline flags, the waterfall's kept row must equal
+    the pipeline's own keep count (same conjunction, different
+    algebra)."""
+    from sparkfeat.corpus import corpus_prep_flags, filter_waterfall
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    flags = corpus_prep_flags(docs)
+    wf = {
+        r["stage"]: r.asDict()
+        for r in filter_waterfall(
+            flags,
+            [
+                ("quality", "quality_pass"),
+                ("langid", "lang_ok"),
+                ("exact_dedup", "exact_keep"),
+                ("neardup", ~F.col("neardup_drop")),
+            ],
+        ).collect()
+    }
+    keep_n = flags.where("keep").count()
+    assert wf["kept"]["n_in"] == keep_n
+    assert wf["quality"]["n_in"] == flags.count()
