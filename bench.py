@@ -234,6 +234,8 @@ BENCH_QUERIES = [
     "transcripts_expectations",
     # drop-attribution waterfall over the 4-stage prep verdicts
     "corpus_filter_waterfall",
+    # Matryoshka dim-truncation ANN audit (4 budgets, one pass each)
+    "embedding_dim_truncation",
 ]
 
 

@@ -9841,6 +9841,71 @@ SELECT series, t, ROUND(x, 6) AS x, rn <= 48 AS in_reference,
 FROM m"""
 
 
+def _dimtrunc_oracle(dims=(64, 32, 16, 8), k: int = 5) -> str:
+    stages = [
+        """c AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)""",
+        "p AS (SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 10)",
+    ]
+    rank_tmpl = """t{d} AS (
+    SELECT probe_id, vec_id, rk FROM (
+        SELECT p.probe_id, c.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+                list_dot_product(
+                    list_transform(p.pv[1:{d}],
+                        x -> x / sqrt(list_dot_product(p.pv[1:{d}], p.pv[1:{d}]))),
+                    list_transform(c.v[1:{d}],
+                        x -> x / sqrt(list_dot_product(c.v[1:{d}], c.v[1:{d}]))))
+                DESC, c.vec_id) AS rk
+        FROM c, p WHERE c.vec_id <> p.probe_id) WHERE rk <= {k}
+)"""
+    full_cos = _COS.format(a="pp.pv", b="cv.v")
+    agg_tmpl = """a{d} AS (
+    SELECT t.probe_id, CAST({d} AS INT) AS n_dims,
+        CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+            AS overlap_at_k,
+        arg_min(t.vec_id, t.rk) = ANY_VALUE(ft.top1) AS top1_kept,
+        ROUND(AVG(ROUND({full_cos}, 6)), 6)
+            AS mean_full_cosine_of_trunc_topk
+    FROM t{d} t
+    LEFT JOIN t{dfull} f ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+    JOIN (SELECT probe_id, arg_min(vec_id, rk) AS top1 FROM t{dfull}
+          GROUP BY probe_id) ft ON ft.probe_id = t.probe_id
+    JOIN c cv ON cv.vec_id = t.vec_id
+    JOIN p pp ON pp.probe_id = t.probe_id
+    GROUP BY t.probe_id
+)"""
+    dfull = dims[0]
+    for d in dims:
+        stages.append(rank_tmpl.format(d=d, k=k))
+    for d in dims:
+        stages.append(
+            agg_tmpl.format(d=d, dfull=dfull, full_cos=full_cos)
+        )
+    union = "\nUNION ALL ".join(f"SELECT * FROM a{d}" for d in dims)
+    return "WITH " + ",\n".join(stages) + "\n" + union
+
+
+@register("embedding_dim_truncation", _dimtrunc_oracle(), driver=False)
+def q_embedding_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka storage audit
+    (sparkfeat.similarity.dim_truncation_audit): exact cosine top-5
+    per probe at dim budgets 64/32/16/8 (sliced + renormalized),
+    scored against the full-dimension ranking — set overlap@k, top-1
+    retention, and the truncated picks' mean cosine UNDER THE FULL
+    metric (what serving a truncated index actually costs). The other
+    storage lever beside the int8 index; one cosine_topk pass per
+    budget, broadcast probes, no UDFs."""
+    from sparkfeat.similarity import dim_truncation_audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return dim_truncation_audit(emb, probes, dims=[64, 32, 16, 8], k=5)
+
+
 _WATERFALL_ORACLE = f"""WITH fl AS (
     SELECT quality_pass AS p0, lang_ok AS p1, exact_keep AS p2,
         NOT neardup_drop AS p3

@@ -747,3 +747,110 @@ def cluster_balanced_sample(
         seed=seed,
         shards=shards,
     )
+
+
+def dim_truncation_audit(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dims: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "probe_id",
+    nd: int = 6,
+) -> DataFrame:
+    """Matryoshka-style storage audit: how much ANN quality survives
+    truncating embeddings to their first ``d`` dimensions? (The OTHER
+    storage lever beside `quantize_int8` — int8 cuts bytes per dim,
+    truncation cuts dims; MRL-trained encoders make prefixes usable,
+    and this table says whether YOURS are.)
+
+    For each budget ``d`` in ``dims``: the exact cosine top-k is
+    recomputed with both sides sliced to their first ``d`` components
+    (re-normalized — the slice changes the norm), and compared to the
+    full-dimension top-k per probe. One output row per (probe,
+    budget): ``(probe_id, n_dims, overlap_at_k, top1_kept,
+    mean_full_cosine_of_trunc_topk)`` — the last column scores the
+    truncated ranking's picks UNDER THE FULL metric (what you actually
+    lose by serving the truncated index; set overlap alone overstates
+    damage when the swapped-in neighbors are nearly as close).
+
+    Scale shape: each budget is one `cosine_topk` pass (probes
+    broadcast, corpus scanned; the slice fuses into the scan) plus a
+    probe-keyed join of two k-row-per-probe tables and a full-metric
+    rescoring join on (probe, neighbor) — all equi-joins on small
+    keys. Budgets are a Python loop over UNIONed plans (the lattice is
+    |dims| literal slices of one scan, AQE handles reuse); no UDFs.
+    """
+    full = cosine_topk(
+        corpus, probes, k=k, id_col=id_col, vec_col=vec_col, probe_id=probe_id
+    ).select(
+        F.col(probe_id),
+        F.col(id_col).alias("_fid"),
+        F.col("rk").alias("_frk"),
+        F.col("cosine").alias("_fcos"),
+    )
+    full_sets = full.groupBy(probe_id).agg(
+        F.collect_list("_fid").alias("_fids"),
+        F.max_by("_fid", -F.col("_frk")).alias("_ftop1"),
+    )
+    # full-metric cosine for every (probe, corpus) pair the truncated
+    # rankings might pick: recompute lazily per pair via a rescoring
+    # join against the full-dim normalized tables
+    outs = []
+    for d in dims:
+        tc = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        tp = probes.select(
+            F.col(probe_id), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        tk = cosine_topk(
+            tc, tp, k=k, id_col=id_col, vec_col=vec_col, probe_id=probe_id
+        )
+        # score the truncated ranking's picks UNDER THE FULL metric via
+        # an exact rescoring join against the raw vectors (rounded 6dp
+        # like every cosine in this module, so the oracle replays it)
+        raw_p = probes.select(
+            F.col(probe_id), _as_double(F.col(vec_col)).alias("_pv")
+        )
+        raw_c = corpus.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("_cv")
+        )
+        rescored = (
+            tk.select(F.col(probe_id), F.col(id_col), F.col("rk"))
+            .join(F.broadcast(raw_p), probe_id)
+            .join(raw_c, id_col)
+            .withColumn(
+                "_cos_any",
+                F.round(
+                    _dot(F.col("_pv"), F.col("_cv"))
+                    / (_norm(F.col("_pv")) * _norm(F.col("_cv"))),
+                    6,
+                ),
+            )
+        )
+        agg = rescored.groupBy(probe_id).agg(
+            F.collect_list(F.col(id_col)).alias("_tids"),
+            F.max_by(F.col(id_col), -F.col("rk")).alias("_ttop1"),
+            F.avg("_cos_any").alias("_mcos"),
+        )
+        outs.append(
+            agg.join(full_sets, probe_id).select(
+                F.col(probe_id),
+                F.lit(d).cast("int").alias("n_dims"),
+                F.size(
+                    F.array_intersect(F.col("_tids"), F.col("_fids"))
+                )
+                .cast("int")
+                .alias("overlap_at_k"),
+                (F.col("_ttop1") == F.col("_ftop1")).alias("top1_kept"),
+                (F.round(F.col("_mcos"), nd) + F.lit(0.0)).alias(
+                    "mean_full_cosine_of_trunc_topk"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -887,3 +887,37 @@ def test_cluster_balanced_sample_flattens_skew(spark):
     # the SAMPLE is flat even though the corpus is 10:1
     sizes = sorted(len(v) for v in by_cluster.values())
     assert sizes == [15, 15]
+
+
+def test_dim_truncation_audit_full_budget_is_identity(spark):
+    """At the full dimension budget the audit must report a perfect
+    match (overlap = k, top1 kept, mean cosine = the full top-k's own
+    mean); a 1-dim budget on structured vectors must degrade overlap."""
+    import numpy as np
+
+    from sparkfeat.similarity import dim_truncation_audit
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.where("vec_id < 4").selectExpr(
+        "vec_id AS probe_id", "embedding"
+    )
+    out = dim_truncation_audit(emb, probes, dims=[16, 1], k=5)
+    got = {(r["probe_id"], r["n_dims"]): r.asDict() for r in out.collect()}
+    for p in range(4):
+        full = got[(p, 16)]
+        assert full["overlap_at_k"] == 5 and full["top1_kept"] is True
+    # 1 of 16 dims: random gaussians -> ranking is near-independent of
+    # the full one; SOME probe must lose overlap (all 4 perfect would
+    # mean the audit isn't measuring anything)
+    assert any(got[(p, 1)]["overlap_at_k"] < 5 for p in range(4))
+    # and the full-metric quality of the truncated picks can't exceed
+    # the full ranking's own picks
+    for p in range(4):
+        assert (
+            got[(p, 1)]["mean_full_cosine_of_trunc_topk"]
+            <= got[(p, 16)]["mean_full_cosine_of_trunc_topk"] + 1e-9
+        )
