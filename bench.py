@@ -236,6 +236,8 @@ BENCH_QUERIES = [
     "corpus_filter_waterfall",
     # Matryoshka dim-truncation ANN audit (4 budgets, one pass each)
     "embedding_dim_truncation",
+    # offline-RL value targets: H-step discounted returns, one exchange
+    "turn_nstep_returns",
 ]
 
 

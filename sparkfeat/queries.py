@@ -9841,6 +9841,60 @@ SELECT series, t, ROUND(x, 6) AS x, rn <= 48 AS in_reference,
 FROM m"""
 
 
+def _nstep_oracle(horizon: int = 8, gamma: float = 0.97) -> str:
+    """LEAD-chain replay of reward.nstep_returns: the sum is written
+    j-ascending left-associated — the fold's exact addition order —
+    with repr'd discount literals, so both engines add identical
+    doubles."""
+    leads = ",\n        ".join(
+        f"LEAD(reward, {j}) OVER w2 AS r{j}" for j in range(1, horizon)
+    )
+    terms = " + ".join(
+        [f"reward * {gamma**0!r}"]
+        + [f"COALESCE(r{j}, 0.0) * {gamma**j!r}" for j in range(1, horizon)]
+    )
+    return f"""WITH rw AS (
+    SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+        CAST(ROW_NUMBER() OVER w - 1 AS INTEGER) AS turn_idx,
+        COALESCE(value, 0.0) AS reward,
+        CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_conv,
+        ROW_NUMBER() OVER w AS rn
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+l AS (
+    SELECT conv_id, turn_idx, reward, rn, n_conv,
+        {leads}
+    FROM rw WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx, ROUND(reward, 6) AS reward,
+    CAST(LEAST({horizon}, n_conv - rn + 1) AS INT) AS n_terms,
+    ROUND({terms}, 6) AS return_n
+FROM l"""
+
+
+@register("turn_nstep_returns", _nstep_oracle(), driver=False)
+def q_turn_nstep_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline-RL value targets (sparkfeat.reward.nstep_returns): the
+    H-step discounted return G_t = Σ_{j<8} 0.97ʲ·r_{t+j} per turn of
+    the per-user event-value stream — an EXACT bounded window (frame
+    collect + literal-powers fold, no reverse recursion, no γ^t
+    under/overflow on long conversations), end-of-episode rows
+    truncate honestly via n_terms. One conversation-key exchange."""
+    from pyspark.sql import Window
+
+    from sparkfeat.reward import nstep_returns
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rew = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("reward"),
+    )
+    return nstep_returns(rew, horizon=8, gamma=0.97)
+
+
 def _dimtrunc_oracle(dims=(64, 32, 16, 8), k: int = 5) -> str:
     stages = [
         """c AS (

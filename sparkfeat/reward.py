@@ -120,3 +120,69 @@ def best_of_n(
             F.col("bon_rank").cast("int").alias("bon_rank"),
         )
     )
+
+
+def nstep_returns(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    reward_col: str = "reward",
+    horizon: int = 8,
+    gamma: float = 0.97,
+    nd: int = 6,
+) -> DataFrame:
+    """Per-turn N-step discounted return — the VALUE TARGET an offline
+    RL pipeline trains on over agent transcripts: ``G_t = Σ_{j<H}
+    γʲ·r_{t+j}`` (TD(n) with a hard horizon). The bounded horizon is
+    the deliberate design point at transcript scale: the infinite-
+    horizon recursion ``G_t = r_t + γ·G_{t+1}`` needs a reverse
+    sequential scan whose ``γ^t`` rescaling under/overflows on
+    10⁵-turn conversations, while the H-step form is an EXACT bounded
+    window — per-row state O(H), no recurrence, no Python — and for
+    γ^H ≪ 1 (0.97⁸ ≈ 0.78... pick H so γ^H is your truncation
+    tolerance) it approximates the infinite sum with a known bound
+    (tail ≤ γ^H·r_max/(1−γ), reported per row as ``n_terms`` so
+    truncated tail rows are self-describing).
+
+    Output: input keys + ``reward``, ``n_terms`` (how many future
+    turns actually existed, ≤ H — end-of-episode rows truncate
+    honestly), ``return_n`` (6 dp). Discount powers come from a
+    LITERAL array (``element_at`` on relative position), so every
+    γʲ is the same double in any engine — the oracle replays the
+    exact sum order (window order = ascending j).
+
+    Scale shape: ONE hash exchange on the conversation key (zero on
+    the bucketed table), one ordered window with a ``rowsBetween(0,
+    H-1)`` frame collecting (relative-rank, reward) structs, and a
+    per-row ``aggregate`` fold over ≤ H elements. No UDFs, no
+    collect.
+    """
+    from pyspark.sql import Window
+
+    powers = F.array(*[F.lit(float(gamma**j)) for j in range(horizon)])
+    w = Window.partitionBy(entity_col).orderBy(order_col)
+    frame = w.rowsBetween(Window.currentRow, horizon - 1)
+    base = df.select(
+        F.col(entity_col),
+        F.col(order_col),
+        F.col(reward_col).cast("double").alias("_r"),
+    ).withColumn("_rn", F.row_number().over(w))
+    fut = F.collect_list(F.struct(F.col("_rn").alias("j"), F.col("_r").alias("r"))).over(
+        frame
+    )
+    g = F.aggregate(
+        F.col("_fut"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["r"] * F.element_at(powers, (x["j"] - F.col("_rn") + 1).cast("int")),
+    )
+    return (
+        base.withColumn("_fut", fut)
+        .select(
+            entity_col,
+            order_col,
+            (F.round(F.col("_r"), nd) + F.lit(0.0)).alias("reward"),
+            F.size("_fut").cast("int").alias("n_terms"),
+            (F.round(g, nd) + F.lit(0.0)).alias("return_n"),
+        )
+    )

@@ -111,3 +111,64 @@ def test_build_is_lazy(spark):
     best_of_n(df, k=3)
     after = len(tracker.getJobIdsForGroup() or [])
     assert before == after
+
+
+# ------------------------------------------------------ n-step returns
+
+
+def test_nstep_returns_hand_computed(spark):
+    """Three-turn episode, H=2, gamma=0.5: G_0 = 1 + 0.5*2 = 2,
+    G_1 = 2 + 0.5*4 = 4, G_2 = 4 (truncated, n_terms=1)."""
+    from sparkfeat.reward import nstep_returns
+
+    df = spark.createDataFrame(
+        [("c", 0, 1.0), ("c", 1, 2.0), ("c", 2, 4.0)],
+        "conv_id string, turn_idx int, reward double",
+    )
+    got = {
+        r["turn_idx"]: r.asDict()
+        for r in nstep_returns(df, horizon=2, gamma=0.5).collect()
+    }
+    assert got[0]["return_n"] == 2.0 and got[0]["n_terms"] == 2
+    assert got[1]["return_n"] == 4.0 and got[1]["n_terms"] == 2
+    assert got[2]["return_n"] == 4.0 and got[2]["n_terms"] == 1
+
+
+def test_nstep_returns_matches_python_fold_and_truncation_bound(spark):
+    """Longer episode vs a pure-Python reference; the H-step return
+    must equal the infinite-horizon return within the documented tail
+    bound gamma^H * r_max / (1 - gamma)."""
+    from sparkfeat.reward import nstep_returns
+
+    gamma, H = 0.9, 6
+    rs = [((i * 29) % 10) / 2.0 for i in range(40)]
+    df = spark.createDataFrame(
+        [("e", i, r) for i, r in enumerate(rs)],
+        "conv_id string, turn_idx int, reward double",
+    )
+    got = {
+        r["turn_idx"]: r["return_n"]
+        for r in nstep_returns(df, horizon=H, gamma=gamma).collect()
+    }
+    for t in range(40):
+        want = sum(gamma**j * rs[t + j] for j in range(min(H, 40 - t)))
+        assert got[t] == pytest.approx(round(want, 6), abs=1e-9), t
+        full = sum(gamma**j * rs[t + j] for j in range(40 - t))
+        assert abs(got[t] - full) <= gamma**H * max(rs) / (1 - gamma) + 1e-9
+
+
+def test_nstep_returns_single_exchange_no_udf(spark):
+    from sparkfeat.reward import nstep_returns
+
+    df = spark.createDataFrame(
+        [("c", i, float(i)) for i in range(50)],
+        "conv_id string, turn_idx int, reward double",
+    )
+    plan = (
+        nstep_returns(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
