@@ -238,6 +238,8 @@ BENCH_QUERIES = [
     "embedding_dim_truncation",
     # offline-RL value targets: H-step discounted returns, one exchange
     "turn_nstep_returns",
+    # T5 denoising pairs: map-only closed-form span masking, zero shuffle
+    "corpus_span_corruption",
 ]
 
 

@@ -1676,3 +1676,145 @@ def filter_waterfall(
             + F.lit(0.0),
         ),
     )
+
+
+def span_corruption(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corruption_rate: float = 0.15,
+    span_len: int = 3,
+    seed: str = "sc",
+) -> DataFrame:
+    """T5-style span-corruption pairs (Raffel et al. 2020 §3.1.4):
+    replace token spans with sentinels to make (input, target)
+    denoising examples — the objective-construction step between
+    corpus prep and packing for encoder-decoder / UL2 pretraining.
+
+    T5's sampler draws random span starts then rejects overlaps — a
+    sequential process. This operator uses its DETERMINIZED cousin:
+    positions partition into fixed frames of ``frame = round(span_len
+    / corruption_rate)`` tokens, and each FULL frame corrupts exactly
+    one ``span_len``-token span whose offset inside the frame is an
+    md5 hash of (seed, doc, frame). Corruption rate and span length
+    are then exact by construction, spans can never overlap, sentinel
+    k is frame k (strictly increasing, as T5 requires), and every
+    choice is a pure function of (seed, doc id, position) — the
+    hash-sampling replayability argument, and what makes a bit-exact
+    DuckDB oracle possible where the rejection sampler has none.
+
+    Output per doc: ``(id, n_tok, n_spans, input_text, target_text)``
+    — input has each span replaced by ``<extra_id_k>``, target is the
+    T5 layout ``<extra_id_0> span0 <extra_id_1> span1 … <extra_id_n>``
+    (trailing sentinel terminates the last span). Docs shorter than
+    one frame corrupt nothing (input = text, target = just the
+    terminal sentinel).
+
+    Scale shape: map-only — pure per-position Column arithmetic (the
+    span containing position i is CLOSED-FORM: its frame's hashed
+    offset, so no span list is ever materialized and no per-token
+    probe over a span array — the cut_duplicate_spans lesson), one
+    md5 per token, linear in corpus tokens, fuses into the scan. No
+    shuffle, no UDFs.
+    """
+    frame = int(round(span_len / corruption_rate))
+    if frame <= span_len:
+        raise ValueError("corruption_rate too high for span_len")
+    mod = frame - span_len + 1
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    toks = F.filter(toks, lambda x: x != "")
+
+    def h_of(f):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(seed),
+                            F.col(id_col).cast("string"),
+                            f.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % mod
+        )
+
+    n = F.size("_toks")
+    full_frames = (n / frame).cast("bigint")
+    base = docs.select(
+        F.col(id_col), toks.alias("_toks")
+    ).select(
+        id_col,
+        "_toks",
+        n.cast("bigint").alias("n_tok"),
+        F.expr(f"size(_toks) div {frame}").cast("bigint").alias("_ff"),
+    )
+
+    def piece(i):
+        f = (i / frame).cast("bigint")
+        off = i - f * frame - h_of(f)
+        return (
+            F.when(
+                (f < F.col("_ff")) & (off == 0),
+                F.concat(F.lit("<extra_id_"), f.cast("string"), F.lit(">")),
+            )
+            .when(
+                (f < F.col("_ff")) & (off > 0) & (off < span_len),
+                F.lit(None).cast("string"),
+            )
+            .otherwise(F.element_at(F.col("_toks"), (i + 1).cast("int")))
+        )
+
+    input_text = F.array_join(
+        F.filter(
+            F.transform(
+                F.when(F.col("n_tok") > 0, F.sequence(F.lit(0).cast("bigint"), F.col("n_tok") - 1))
+                .otherwise(F.array().cast("array<bigint>")),
+                piece,
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    span_of = lambda f: F.array_join(  # noqa: E731
+        F.slice(
+            F.col("_toks"),
+            (f * frame + h_of(f) + 1).cast("int"),
+            span_len,
+        ),
+        " ",
+    )
+    spans_joined = F.array_join(
+        F.transform(
+            F.when(
+                F.col("_ff") > 0,
+                F.sequence(F.lit(0).cast("bigint"), F.col("_ff") - 1),
+            ).otherwise(F.array().cast("array<bigint>")),
+            lambda f: F.concat(
+                F.lit("<extra_id_"),
+                f.cast("string"),
+                F.lit("> "),
+                span_of(f),
+            ),
+        ),
+        " ",
+    )
+    final_sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("_ff").cast("string"), F.lit(">")
+    )
+    target_text = F.when(
+        F.col("_ff") > 0, F.concat_ws(" ", spans_joined, final_sentinel)
+    ).otherwise(final_sentinel)
+    return base.select(
+        id_col,
+        "n_tok",
+        F.col("_ff").cast("int").alias("n_spans"),
+        input_text.alias("input_text"),
+        target_text.alias("target_text"),
+    )

@@ -9841,6 +9841,86 @@ SELECT series, t, ROUND(x, 6) AS x, rn <= 48 AS in_reference,
 FROM m"""
 
 
+def _span_corruption_oracle(
+    frame: int = 20, span: int = 3, seed: str = "sc"
+) -> str:
+    mod = frame - span + 1
+    hf = _hex_bucket_sql(
+        None,
+        1,
+        mod,
+        hexpr=f"md5('{seed}:' || CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR))",
+    )
+    hi = _hex_bucket_sql(
+        None,
+        1,
+        mod,
+        hexpr=(
+            f"md5('{seed}:' || CAST(doc_id AS VARCHAR) || ':' "
+            f"|| CAST(i // {frame} AS VARCHAR))"
+        ),
+    )
+    return f"""WITH d AS (
+    SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                    '\\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+b AS (
+    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        CAST(len(toks) // {frame} AS BIGINT) AS ff
+    FROM d
+),
+built AS (
+    SELECT doc_id, n, ff,
+        array_to_string(list_filter(
+            list_transform(
+                CASE WHEN n > 0 THEN generate_series(0, CAST(n - 1 AS BIGINT))
+                     ELSE [] END,
+                i -> CASE
+                    WHEN i // {frame} < ff
+                         AND i - (i // {frame}) * {frame} - ({hi}) = 0
+                    THEN '<extra_id_' || CAST(i // {frame} AS VARCHAR) || '>'
+                    WHEN i // {frame} < ff
+                         AND i - (i // {frame}) * {frame} - ({hi}) > 0
+                         AND i - (i // {frame}) * {frame} - ({hi}) < {span}
+                    THEN NULL
+                    ELSE toks[CAST(i + 1 AS INT)] END),
+            x -> x IS NOT NULL), ' ') AS input_text,
+        array_to_string(
+            list_transform(
+                CASE WHEN ff > 0 THEN generate_series(0, CAST(ff - 1 AS BIGINT))
+                     ELSE [] END,
+                f -> '<extra_id_' || CAST(f AS VARCHAR) || '> ' ||
+                    array_to_string(
+                        toks[CAST(f * {frame} + ({hf}) + 1 AS INT) :
+                             CAST(f * {frame} + ({hf}) + {span} AS INT)],
+                        ' ')),
+            ' ') AS spans_joined
+    FROM b
+)
+SELECT doc_id, n AS n_tok, CAST(ff AS INT) AS n_spans, input_text,
+    CASE WHEN ff > 0 THEN spans_joined || ' ' ELSE '' END
+        || '<extra_id_' || CAST(ff AS VARCHAR) || '>' AS target_text
+FROM built"""
+
+
+@register("corpus_span_corruption", _span_corruption_oracle(), driver=False)
+def q_corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style denoising pairs (sparkfeat.corpus.span_corruption):
+    fixed 20-token frames each corrupt one hashed-offset 3-token span
+    (rate 15% exact by construction, spans never overlap, sentinel k =
+    frame k) — the determinized cousin of T5's rejection sampler, a
+    pure function of (seed, doc, position). Map-only: the span
+    containing any position is CLOSED-FORM, so no span list and no
+    per-token probe; one md5 per token, fuses into the scan."""
+    from sparkfeat.corpus import span_corruption
+
+    return span_corruption(
+        _docs(spark, sf_dir), corruption_rate=0.15, span_len=3, seed="sc"
+    )
+
+
 def _nstep_oracle(horizon: int = 8, gamma: float = 0.97) -> str:
     """LEAD-chain replay of reward.nstep_returns: the sum is written
     j-ascending left-associated — the fold's exact addition order —

@@ -991,3 +991,70 @@ def test_filter_waterfall_matches_prep_keep_count(spark):
     keep_n = flags.where("keep").count()
     assert wf["kept"]["n_in"] == keep_n
     assert wf["quality"]["n_in"] == flags.count()
+
+
+# ----------------------------------------------------- span corruption
+
+
+def test_span_corruption_exact_rate_and_t5_layout(spark):
+    """45 tokens, frame 20, span 3: exactly 2 spans, 6 tokens masked
+    (15% of the 40 full-frame tokens), T5 sentinel layout, and the
+    round-trip invariant: substituting the target's spans back into
+    the input's sentinels reproduces the original text."""
+    from sparkfeat.corpus import span_corruption
+
+    text = " ".join(f"t{i}" for i in range(45))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = span_corruption(df, corruption_rate=0.15, span_len=3).collect()[0]
+    assert r["n_spans"] == 2
+    inp, tgt = r["input_text"], r["target_text"]
+    assert "<extra_id_0>" in inp and "<extra_id_1>" in inp
+    assert tgt.endswith("<extra_id_2>")
+    # round trip: replace sentinel k in input with target span k
+    import re
+
+    spans = dict(
+        re.findall(r"<extra_id_(\d+)> ((?:\S+ ?){0,3}?)(?= <extra_id_|\Z)", tgt)
+    )
+    rebuilt = inp
+    for k, s in spans.items():
+        rebuilt = rebuilt.replace(f"<extra_id_{k}>", s.strip())
+    assert rebuilt == text
+    # masked token count = n_spans * span_len
+    assert len(inp.split()) == 45 - 2 * 3 + 2  # minus spans plus sentinels
+
+
+def test_span_corruption_short_and_null_docs(spark):
+    from sparkfeat.corpus import span_corruption
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in span_corruption(df).collect()}
+    assert got[1]["n_spans"] == 0 and got[1]["input_text"] == "a b c"
+    assert got[1]["target_text"] == "<extra_id_0>"
+    assert got[2]["n_tok"] == 0 and got[2]["input_text"] == ""
+
+
+def test_span_corruption_deterministic_and_seed_sensitive(spark):
+    from sparkfeat.corpus import span_corruption
+
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    a = span_corruption(df, seed="s1").collect()[0]
+    b = span_corruption(df, seed="s1").collect()[0]
+    c = span_corruption(df, seed="s2").collect()[0]
+    assert a["input_text"] == b["input_text"]
+    assert a["input_text"] != c["input_text"]  # different spans chosen
+    assert a["n_spans"] == c["n_spans"] == 5  # rate is seed-independent
+
+
+def test_span_corruption_map_only_plan(spark):
+    from sparkfeat.corpus import span_corruption
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        span_corruption(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
