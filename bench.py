@@ -240,6 +240,8 @@ BENCH_QUERIES = [
     "turn_nstep_returns",
     # T5 denoising pairs: map-only closed-form span masking, zero shuffle
     "corpus_span_corruption",
+    # FIM layout: hashed gate/cuts/order coin, map-only
+    "corpus_fim",
 ]
 
 

@@ -1818,3 +1818,103 @@ def span_corruption(
         input_text.alias("input_text"),
         target_text.alias("target_text"),
     )
+
+
+def fim_transform(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fim_rate: float = 0.5,
+    spm_rate: float = 0.5,
+    seed: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022): with
+    probability ``fim_rate`` a document is split into (prefix, middle,
+    suffix) at two hashed token positions and re-laid-out with
+    sentinels so a CAUSAL model learns infilling — ``span_corruption``'s
+    sibling for decoder-only pretraining. Among transformed docs,
+    ``spm_rate`` use SPM order (suffix before prefix; the paper trains
+    a mix, PSM+SPM, for best infilling transfer).
+
+    Every choice is a pure function of (seed, doc id): the transform
+    gate, the two cut points (order-normalized), and the PSM/SPM coin
+    each come from independent md5 buckets (`hash_bucket` starts 1, 9,
+    17, 25 — the documented composable-hash convention), so the
+    layout replays bit-for-bit on any engine/cluster and a grown
+    corpus transforms a superset, never a reshuffle.
+
+    Output: ``(id, n_tok, fim_applied, fim_order
+    ('psm'|'spm'|NULL), fim_text)`` — untransformed docs pass through
+    verbatim (``fim_text = text``'s token join). Layout:
+
+    * PSM: ``<fim_pre> prefix <fim_mid> suffix <fim_suf> middle``
+    * SPM: ``<fim_pre> <fim_mid> suffix <fim_suf> prefix middle``
+
+    (the paper's token order with the middle always LAST, where the
+    loss lives). Docs with < 3 tokens never transform (no nonempty
+    3-way split exists). Map-only: slices + concat fused into the
+    scan, zero shuffle, no UDFs.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    base = docs.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col, "_toks", F.size("_toks").cast("bigint").alias("n_tok")
+    )
+    gate = hash_bucket(F.col(id_col), start=1, buckets=1000) < int(
+        fim_rate * 1000
+    )
+    spm = hash_bucket(F.col(id_col), start=25, buckets=1000) < int(
+        spm_rate * 1000
+    )
+    # two cut points in [1, n-1], order-normalized so all three parts
+    # are non-empty ranges (middle may still be empty when c1 == c2 —
+    # the paper allows empty middles; prefix/suffix never are)
+    n = F.col("n_tok")
+    r1 = hash_bucket(F.col(id_col), start=9, buckets=1_000_000)
+    r2 = hash_bucket(F.col(id_col), start=17, buckets=1_000_000)
+    c1r = (r1 % (n - 1)) + 1
+    c2r = (r2 % (n - 1)) + 1
+    c1 = F.least(c1r, c2r)
+    c2 = F.greatest(c1r, c2r)
+    prefix = F.array_join(F.slice(F.col("_toks"), 1, c1.cast("int")), " ")
+    middle = F.array_join(
+        F.slice(F.col("_toks"), (c1 + 1).cast("int"), (c2 - c1).cast("int")),
+        " ",
+    )
+    suffix = F.array_join(
+        F.slice(F.col("_toks"), (c2 + 1).cast("int"), (n - c2).cast("int")),
+        " ",
+    )
+    psm = F.concat_ws(
+        " ",
+        F.lit("<fim_pre>"),
+        prefix,
+        F.lit("<fim_mid>"),
+        suffix,
+        F.lit("<fim_suf>"),
+        middle,
+    )
+    spm_txt = F.concat_ws(
+        " ",
+        F.lit("<fim_pre>"),
+        F.lit("<fim_mid>"),
+        suffix,
+        F.lit("<fim_suf>"),
+        prefix,
+        middle,
+    )
+    applied = gate & (n >= 3)
+    return base.select(
+        id_col,
+        "n_tok",
+        applied.alias("fim_applied"),
+        F.when(applied & spm, F.lit("spm"))
+        .when(applied, F.lit("psm"))
+        .alias("fim_order"),
+        F.when(applied & spm, spm_txt)
+        .when(applied, psm)
+        .otherwise(F.array_join(F.col("_toks"), " "))
+        .alias("fim_text"),
+    )

@@ -9841,6 +9841,68 @@ SELECT series, t, ROUND(x, 6) AS x, rn <= 48 AS in_reference,
 FROM m"""
 
 
+def _fim_oracle(fim_rate: float = 0.5, spm_rate: float = 0.5) -> str:
+    g = _hex_bucket_sql("doc_id", 1, 1000)
+    sp = _hex_bucket_sql("doc_id", 25, 1000)
+    r1 = _hex_bucket_sql("doc_id", 9, 1_000_000)
+    r2 = _hex_bucket_sql("doc_id", 17, 1_000_000)
+    return f"""WITH d AS (
+    SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                    '\\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+b AS (
+    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        ({g}) < {int(fim_rate * 1000)} AS gate,
+        ({sp}) < {int(spm_rate * 1000)} AS spm
+    FROM d
+),
+cuts AS (
+    SELECT *,
+        CASE WHEN n >= 3 THEN LEAST(({r1}) % (n - 1) + 1,
+                                    ({r2}) % (n - 1) + 1) END AS c1,
+        CASE WHEN n >= 3 THEN GREATEST(({r1}) % (n - 1) + 1,
+                                       ({r2}) % (n - 1) + 1) END AS c2
+    FROM b
+),
+parts AS (
+    SELECT doc_id, n, gate, spm, gate AND n >= 3 AS applied,
+        -- DuckDB's array_to_string([]) is NULL where Spark's
+        -- array_join([]) is '' — coalesce so concat_ws sees the same
+        -- (empty-middle docs keep their separator slot on both engines)
+        COALESCE(array_to_string(toks[1:CAST(c1 AS INT)], ' '), '') AS pre,
+        COALESCE(array_to_string(toks[CAST(c1 + 1 AS INT):CAST(c2 AS INT)],
+                                 ' '), '') AS mid,
+        COALESCE(array_to_string(toks[CAST(c2 + 1 AS INT):CAST(n AS INT)],
+                                 ' '), '') AS suf,
+        COALESCE(array_to_string(toks, ' '), '') AS verbatim
+    FROM cuts
+)
+SELECT doc_id, n AS n_tok, applied AS fim_applied,
+    CASE WHEN applied AND spm THEN 'spm'
+         WHEN applied THEN 'psm' END AS fim_order,
+    CASE WHEN applied AND spm THEN
+        concat_ws(' ', '<fim_pre>', '<fim_mid>', suf, '<fim_suf>', pre, mid)
+    WHEN applied THEN
+        concat_ws(' ', '<fim_pre>', pre, '<fim_mid>', suf, '<fim_suf>', mid)
+    ELSE verbatim END AS fim_text
+FROM parts"""
+
+
+@register("corpus_fim", _fim_oracle(), driver=False)
+def q_corpus_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transformation (sparkfeat.corpus.fim_transform,
+    Bavarian et al. 2022): hashed transform gate, order-normalized
+    hashed cut points, PSM/SPM coin — four independent md5 buckets of
+    the doc id, so the layout replays bit-for-bit anywhere; middle
+    always last (where the infilling loss lives). Map-only, zero
+    shuffle."""
+    from sparkfeat.corpus import fim_transform
+
+    return fim_transform(_docs(spark, sf_dir))
+
+
 def _span_corruption_oracle(
     frame: int = 20, span: int = 3, seed: str = "sc"
 ) -> str:

@@ -1058,3 +1058,70 @@ def test_span_corruption_map_only_plan(spark):
     )
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ----------------------------------------------------------------- FIM
+
+
+def test_fim_transform_round_trip_and_layout(spark):
+    """Transformed docs reassemble to the original: PSM parts are
+    (pre, suf, mid) around the sentinels and pre+mid+suf in order is
+    the source text; untransformed docs pass through verbatim; rate
+    and PSM/SPM mix land near their targets on 400 docs."""
+    import re
+
+    from sparkfeat.corpus import fim_transform
+
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(400)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = fim_transform(df, fim_rate=0.5, spm_rate=0.5).collect()
+    orig = dict(docs)
+    n_applied = n_spm = 0
+    for r in rows:
+        if not r["fim_applied"]:
+            assert r["fim_text"] == orig[r["doc_id"]]
+            continue
+        n_applied += 1
+        m = re.match(
+            r"<fim_pre> (.*?) ?<fim_mid> (.*?) ?<fim_suf> ?(.*)",
+            r["fim_text"],
+        )
+        assert m, r["fim_text"]
+        if r["fim_order"] == "psm":
+            pre, suf, mid = m.groups()
+        else:
+            n_spm += 1
+            # SPM: <fim_pre> <fim_mid> suffix <fim_suf> prefix middle
+            assert m.group(1) == ""
+            suf = m.group(2)
+            tail = m.group(3)
+            # prefix and middle both live in the tail; just check
+            # token multiset reassembly below
+            pre, mid = tail, ""
+        tokens = sorted((pre + " " + mid + " " + suf).split())
+        assert tokens == sorted(orig[r["doc_id"]].split()), r["doc_id"]
+        if r["fim_order"] == "psm":
+            assert pre + " " + mid + " " + suf == orig[r["doc_id"]] or (
+                mid == "" and pre + " " + suf == orig[r["doc_id"]]
+            )
+    assert 120 <= n_applied <= 280  # ~50% gate
+    assert 0.2 <= n_spm / n_applied <= 0.8  # ~50% SPM among applied
+
+
+def test_fim_short_docs_never_transform(spark):
+    from sparkfeat.corpus import fim_transform
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a"), (3, None)], "doc_id long, text string"
+    )
+    rows = fim_transform(df, fim_rate=1.0).collect()
+    assert all(not r["fim_applied"] for r in rows)
+    assert all(r["fim_order"] is None for r in rows)
+
+
+def test_fim_map_only_plan(spark):
+    from sparkfeat.corpus import fim_transform
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = fim_transform(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
