@@ -10823,7 +10823,10 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_k_anonymity, corpus_l_diversity, corpus_t_closeness,
 # preference_pair_bleu, events_cusum, preference_pair_rouge,
 # arena_sprt, sft_loss_mask, arena_winrate_bootstrap,
-# corpus_memorization —
+# corpus_memorization, doc_logistic_probe, embedding_cluster_sample,
+# transcripts_expectations, corpus_filter_waterfall,
+# embedding_dim_truncation, turn_nstep_returns, corpus_span_corruption,
+# corpus_fim —
 # have never held a driver slot and must
 # rotate IN next round, ceding multi-round-green untouched rows.
 #
