@@ -242,6 +242,8 @@ BENCH_QUERIES = [
     "corpus_span_corruption",
     # FIM layout: hashed gate/cuts/order coin, map-only
     "corpus_fim",
+    # RM3 pseudo-relevance feedback: two probe-pruned BM25 passes
+    "search_rm3_topk",
 ]
 
 

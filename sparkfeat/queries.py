@@ -9841,6 +9841,114 @@ SELECT series, t, ROUND(x, 6) AS x, rn <= 48 AS in_reference,
 FROM m"""
 
 
+def _rm3_oracle(
+    fb_docs: int = 5,
+    fb_terms: int = 8,
+    alpha: float = 0.5,
+    k: int = 10,
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> str:
+    vals = ", ".join(f"({i}, '{q}')" for i, q in _BM25_PROBES)
+    idf = "ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))"
+    tfp = (
+        f"(tf.tf * {k1 + 1.0} / (tf.tf + {k1} * "
+        f"(1.0 - {b} + {b} * dl.dl / st.avgdl)))"
+    )
+    return f"""WITH probes(query_id, query) AS (VALUES {vals}),
+qt AS (
+    SELECT DISTINCT query_id, unnest(list_filter(
+        regexp_split_to_array(lower(query), '\\s+'), x -> x <> '')) AS term
+    FROM probes
+),
+{_bm25_chain_ctes(k1, b)},
+fb AS (SELECT query_id, doc_id, score FROM r WHERE rnk <= {fb_docs}),
+fbsum AS (SELECT query_id, SUM(score) AS ssum FROM fb GROUP BY query_id),
+fbw AS (
+    SELECT fb.query_id, fb.doc_id, ROUND(fb.score / fbsum.ssum, 6) AS wd
+    FROM fb JOIN fbsum USING (query_id) WHERE fbsum.ssum > 0
+),
+fbtf AS (
+    SELECT h.doc_id, dl.dl, h.term, COUNT(*) AS tf
+    FROM hits h
+    JOIN (SELECT DISTINCT doc_id FROM fbw) fd USING (doc_id)
+    JOIN dl USING (doc_id)
+    GROUP BY h.doc_id, dl.dl, h.term
+),
+prm AS (
+    SELECT fbw.query_id, fbtf.term,
+        ROUND(SUM(fbw.wd * fbtf.tf / fbtf.dl), 6) AS prm
+    FROM fbw JOIN fbtf USING (doc_id)
+    GROUP BY fbw.query_id, fbtf.term
+),
+top AS (
+    SELECT query_id, term, prm FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY prm DESC, term) AS tr
+        FROM prm) WHERE tr <= {fb_terms}
+),
+tsum AS (SELECT query_id, SUM(prm) AS tsum FROM top GROUP BY query_id),
+expw AS (
+    SELECT top.query_id, top.term,
+        ROUND({1.0 - alpha} * (top.prm / tsum.tsum), 6) AS we
+    FROM top JOIN tsum USING (query_id) WHERE tsum.tsum > 0
+),
+qn AS (SELECT query_id, COUNT(*) AS qn FROM qt GROUP BY query_id),
+origw AS (
+    SELECT qt.query_id, qt.term, {alpha} / qn.qn AS wo
+    FROM qt JOIN qn USING (query_id)
+),
+comb AS (
+    SELECT COALESCE(o.query_id, e.query_id) AS query_id,
+        COALESCE(o.term, e.term) AS term,
+        ROUND(COALESCE(o.wo, 0.0) + COALESCE(e.we, 0.0), 6) AS w
+    FROM origw o FULL JOIN expw e
+      ON o.query_id = e.query_id AND o.term = e.term
+),
+tf1 AS (
+    SELECT h.term, h.doc_id, COUNT(*) AS tf
+    FROM hits h JOIN (SELECT DISTINCT term FROM comb) t USING (term)
+    GROUP BY h.term, h.doc_id
+),
+dfreq1 AS (SELECT term, COUNT(*) AS df FROM tf1 GROUP BY term),
+sc1 AS (
+    SELECT comb.query_id, tf.doc_id,
+        ROUND(SUM(comb.w *
+            ({idf.replace('dfreq.df', 'dfreq1.df')} * {tfp.replace('tf.tf', 'tf.tf')})
+        ), 6) AS score
+    FROM tf1 tf
+    JOIN dfreq1 USING (term)
+    JOIN comb USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN st
+    GROUP BY comb.query_id, tf.doc_id
+),
+r1 AS (
+    SELECT query_id, doc_id, score,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id) AS rnk
+    FROM sc1
+)
+SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
+FROM r1 WHERE rnk <= {k}"""
+
+
+@register("search_rm3_topk", _rm3_oracle(), driver=False)
+def q_search_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (sparkfeat.search.rm3_expand_topk):
+    BM25 pass one → top-5 pseudo-relevant docs → relevance model
+    P(t|R) = Σ w_d·tf/dl → 8 heaviest expansion terms interpolated 0.5
+    with the original query → weighted BM25 pass two. Every
+    intermediate weight 6-dp-rounded before ranking/reuse so the whole
+    two-pass trajectory is engine-exact; two probe-pruned corpus
+    passes, feedback work bounded by queries × fb_docs."""
+    from sparkfeat.search import rm3_expand_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = spark.createDataFrame(_BM25_PROBES, "query_id long, query string")
+    return rm3_expand_topk(docs, probes, fb_docs=5, fb_terms=8, k=10)
+
+
 def _fim_oracle(fim_rate: float = 0.5, spm_rate: float = 0.5) -> str:
     g = _hex_bucket_sql("doc_id", 1, 1000)
     sp = _hex_bucket_sql("doc_id", 25, 1000)

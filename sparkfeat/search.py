@@ -304,3 +304,182 @@ def retrieval_eval(
     return per.crossJoin(F.broadcast(macro)).withColumnRenamed(
         "_q", query_col
     )
+
+
+def rm3_expand_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    fb_docs: int = 5,
+    fb_terms: int = 8,
+    orig_weight: float = 0.5,
+    k: int = 10,
+    k1: float = 1.5,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shards: int = 32,
+) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001; Abdul-Jaleel
+    et al. 2004) — the query-EXPANSION member of the retrieval family:
+    run BM25 once, treat the top ``fb_docs`` as pseudo-relevant, build
+    the relevance model ``P(t|R) = Σ_d w_d·tf(t,d)/dl_d`` (w_d = the
+    doc's normalized first-pass score), keep the ``fb_terms`` heaviest
+    terms, interpolate with the original query (``orig_weight``), and
+    re-score. Fixes pure BM25's vocabulary-mismatch failure: documents
+    using the ANSWER's words but not the QUERY's words become findable.
+
+    Determinism contract (engine-stable, DuckDB-replayable): every
+    intermediate weight — doc weight, relevance-model mass, normalized
+    expansion weight, combined term weight, final score — is rounded
+    to 6 dp BEFORE any ranking or reuse, and every rank breaks ties on
+    the id/term ascending (the bm25_topk convention).
+
+    Output: ``(query_id, doc_id, score, rank)`` of the EXPANDED
+    ranking, rank 1..k. A query whose first pass matches nothing has
+    no relevance model and simply keeps its original terms (scaled by
+    ``orig_weight`` — ranking-invariant scaling).
+
+    Scale shape: two probe-pruned corpus passes (each the bm25_topk
+    shape — broadcast terms prune the token lattice map-side, exact
+    two-phase top-k, no full inverted-index shuffle) plus feedback-set
+    work bounded by queries × fb_docs documents. The relevance-model
+    tf runs only over the fb docs (semi-join BEFORE the explode's
+    groupBy), so expansion cost is independent of corpus size.
+    """
+    alpha = float(orig_weight)
+    fb = bm25_topk(
+        docs,
+        queries,
+        k=fb_docs,
+        k1=k1,
+        b=b,
+        text_col=text_col,
+        id_col=id_col,
+        shards=shards,
+    ).select("query_id", id_col, "score")
+    fbsum = fb.groupBy("query_id").agg(F.sum("score").alias("_ssum"))
+    fbw = (
+        fb.join(fbsum, "query_id")
+        .where(F.col("_ssum") > 0)
+        .select(
+            "query_id",
+            id_col,
+            (F.round(F.col("score") / F.col("_ssum"), 6) + F.lit(0.0)).alias(
+                "_wd"
+            ),
+        )
+    )
+    d = docs.select(F.col(id_col), _toks(text_col).alias("_tk")).select(
+        id_col, "_tk", F.size("_tk").alias("_dl")
+    )
+    # term frequencies over the FEEDBACK docs only (the semi-join comes
+    # before the explode's aggregation, so this is queries×fb_docs work)
+    fb_ids = fbw.select(id_col).distinct()
+    fbtf = (
+        d.join(fb_ids, id_col)
+        .select(id_col, "_dl", F.explode("_tk").alias("term"))
+        .groupBy(id_col, "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    p_rm = (
+        fbw.join(fbtf, id_col)
+        .groupBy("query_id", "term")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("_wd") * F.col("_tf") / F.col("_dl")), 6
+                )
+                + F.lit(0.0)
+            ).alias("_prm")
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("_prm").desc(), F.col("term").asc()
+    )
+    top = (
+        p_rm.withColumn("_r", F.row_number().over(w_top))
+        .filter(F.col("_r") <= fb_terms)
+        .drop("_r")
+    )
+    tsum = top.groupBy("query_id").agg(F.sum("_prm").alias("_tsum"))
+    exp_w = (
+        top.join(tsum, "query_id")
+        .where(F.col("_tsum") > 0)
+        .select(
+            "query_id",
+            "term",
+            (
+                F.round(
+                    (1.0 - alpha) * (F.col("_prm") / F.col("_tsum")), 6
+                )
+                + F.lit(0.0)
+            ).alias("_we"),
+        )
+    )
+    qterms = queries.select(
+        "query_id", F.explode(F.array_distinct(_toks("query"))).alias("term")
+    )
+    qn = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("_qn"))
+    orig_w = qterms.join(qn, "query_id").select(
+        "query_id",
+        "term",
+        (F.lit(alpha) / F.col("_qn")).alias("_wo"),
+    )
+    combined = (
+        orig_w.join(exp_w, ["query_id", "term"], "full")
+        .select(
+            "query_id",
+            "term",
+            (
+                F.round(
+                    F.coalesce("_wo", F.lit(0.0))
+                    + F.coalesce("_we", F.lit(0.0)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("_w"),
+        )
+    )
+    # weighted second pass (the bm25_topk chain with per-term weights)
+    stats = d.agg(F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl"))
+    terms = combined.select("term").distinct()
+    hits = d.select(id_col, "_dl", F.explode("_tk").alias("term")).join(
+        F.broadcast(terms), "term"
+    )
+    tf = hits.groupBy("term", id_col, "_dl").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    w_td = F.log(
+        1.0 + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    ) * (
+        F.col("_tf")
+        * (k1 + 1.0)
+        / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(combined), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", id_col, (F.col("_w") * w_td).alias("_s"))
+        .groupBy("query_id", id_col)
+        .agg((F.round(F.sum("_s"), 6) + F.lit(0.0)).alias("score"))
+    )
+    order = [F.col("score").desc(), F.col(id_col).asc()]
+    local = Window.partitionBy(
+        "query_id", F.pmod(F.hash(id_col), F.lit(shards))
+    ).orderBy(*order)
+    pruned = scored.withColumn("_lr", F.row_number().over(local)).filter(
+        F.col("_lr") <= k
+    )
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            "score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -207,3 +207,62 @@ def test_retrieval_eval_rank_cutoff(spark):
     r = rows[7]
     assert r.hits_k == 0 and r.mrr == 0.0 and r.recall_k == 0.0
     assert r.dcg_k == 0.0 and r.ndcg_k == 0.0
+
+
+# ----------------------------------------------------------------- RM3
+
+
+def test_rm3_finds_vocabulary_mismatched_doc(spark):
+    """The RM3 point: doc 99 shares NO term with the query but uses the
+    feedback docs' vocabulary — invisible to plain BM25, found by the
+    expanded query."""
+    from sparkfeat.search import bm25_topk, rm3_expand_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha retrieval engine beta index"),
+            (2, "alpha ranking beta scoring model"),
+            (3, "alpha beta posting lists merge"),
+            (99, "beta beta beta relevance feedback"),  # no 'alpha'
+            (50, "unrelated cooking recipe tomato basil"),
+            (51, "weather forecast rain tomorrow cold"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "alpha")], "query_id long, query string")
+    plain = {r["doc_id"] for r in bm25_topk(docs, q, k=6).collect()}
+    rm3 = {r["doc_id"] for r in rm3_expand_topk(docs, q, fb_docs=3, fb_terms=4, k=6).collect()}
+    assert 99 not in plain
+    assert 99 in rm3
+    # and the original-term docs are still retrieved (interpolation
+    # keeps the query anchored)
+    assert {1, 2, 3} <= rm3
+
+
+def test_rm3_no_feedback_degrades_to_scaled_bm25(spark):
+    """A query matching nothing has no relevance model: the expanded
+    ranking must equal plain BM25's (empty on a no-match query)."""
+    from sparkfeat.search import bm25_topk, rm3_expand_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    q = spark.createDataFrame(
+        [(0, "zzz qqq")], "query_id long, query string"
+    )
+    assert bm25_topk(docs, q, k=5).count() == 0
+    assert rm3_expand_topk(docs, q, k=5).count() == 0
+
+
+def test_rm3_deterministic(spark):
+    from sparkfeat.search import rm3_expand_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = spark.createDataFrame(
+        [(0, "hash join merge"), (1, "window sort order")],
+        "query_id long, query string",
+    )
+    a = sorted(map(tuple, rm3_expand_topk(docs, q, k=5).collect()))
+    b = sorted(map(tuple, rm3_expand_topk(docs, q, k=5).collect()))
+    assert a == b
+    assert len(a) == 10  # 5 per query
