@@ -244,6 +244,8 @@ BENCH_QUERIES = [
     "corpus_fim",
     # RM3 pseudo-relevance feedback: two probe-pruned BM25 passes
     "search_rm3_topk",
+    # readability panel: map-only vowel-group fold, zero shuffle
+    "doc_readability",
 ]
 
 

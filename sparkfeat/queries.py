@@ -9841,6 +9841,54 @@ SELECT series, t, ROUND(x, 6) AS x, rn <= 48 AS in_reference,
 FROM m"""
 
 
+_READABILITY_ORACLE = """WITH t AS (
+    SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                    '\\s+'), x -> x <> '') AS tk
+    FROM documents
+),
+c AS (
+    SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(tk,
+            w -> GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+            AS BIGINT) AS n_syl,
+        CASE WHEN len(tk) > 0 THEN CAST(GREATEST(1,
+            len(regexp_extract_all(array_to_string(tk, ' '), '[.!?]+')))
+            AS BIGINT) ELSE 0 END AS n_sent
+    FROM t
+)
+SELECT doc_id, n_words, n_sent AS n_sentences,
+    COALESCE(n_syl, 0) AS n_syllables,
+    CASE WHEN n_words > 0 THEN
+        ROUND(n_words / CAST(n_sent AS DOUBLE), 6) END
+        AS words_per_sentence,
+    CASE WHEN n_words > 0 THEN
+        ROUND(COALESCE(n_syl, 0) / CAST(n_words AS DOUBLE), 6) END
+        AS syllables_per_word,
+    CASE WHEN n_words > 0 THEN
+        ROUND(206.835 - 1.015 * (n_words / CAST(n_sent AS DOUBLE))
+              - 84.6 * (COALESCE(n_syl, 0) / CAST(n_words AS DOUBLE)), 6) END
+        AS flesch_ease,
+    CASE WHEN n_words > 0 THEN
+        ROUND(0.39 * (n_words / CAST(n_sent AS DOUBLE))
+              + 11.8 * (COALESCE(n_syl, 0) / CAST(n_words AS DOUBLE))
+              - 15.59, 6) END AS fk_grade
+FROM c"""
+
+
+@register("doc_readability", _READABILITY_ORACLE, driver=False)
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability panel (sparkfeat.text.readability): Flesch ease +
+    Flesch-Kincaid grade from pinned word/sentence/vowel-group
+    heuristics — the sentence-complexity quality axis the Gopher gates
+    don't cover. Map-only, in-row transform+aggregate fold, zero
+    shuffle."""
+    from sparkfeat.text import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
 def _rm3_oracle(
     fb_docs: int = 5,
     fb_terms: int = 8,

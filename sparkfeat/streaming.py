@@ -539,3 +539,110 @@ def stream_cusum(
     return joined.groupBy(series_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_sprt(
+    stream: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    order_col: str = "t",
+    a_won_col: str = "a_won",
+    p0: float = 0.5,
+    p1: float = 0.6,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+    nd: int = 6,
+) -> DataFrame:
+    """LIVE Wald SPRT per model pair: the streaming twin of
+    `arena.sprt_monitor`, deciding each pairing the moment its running
+    LLR leaves the corridor instead of at batch end — the whole point
+    of a SEQUENTIAL test is to stop paying for judgments early, which
+    only a live monitor can actually do.
+
+    State per pair is THREE values — the running LLR, the judgment
+    count, and the frozen decision — carried across micro-batches and
+    restarts. Each batch folds its (order-sorted) judgments through
+    the same two literal increments as the batch operator, comparing
+    the ``nd``-rounded LLR against the Wald boundaries; once a pair
+    decides, its statistic FREEZES (later judgments no longer move it
+    — the sequential-test contract the batch summary can only infer
+    after the fact). Emits one row per judgment:
+    ``(a, b, order, n, llr, decision)`` with ``decision`` NULL while
+    the corridor holds — so the batch operator's summary (first
+    crossing, frozen LLR) is reproducible from the stream's rows and
+    pytest pins exactly that across a restart.
+
+    Scale shape: ONE stateful operator keyed by the pair; state is
+    O(pairs), the per-batch fold is numpy over the pair's batch rows.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    up = math.log(p1 / p0)
+    down = math.log((1.0 - p1) / (1.0 - p0))
+    hi = round(math.log((1.0 - beta) / alpha), nd)
+    lo = round(math.log(beta / (1.0 - alpha)), nd)
+
+    src = {f.name: f for f in stream.schema.fields}
+    out_schema = StructType(
+        [
+            src[a_col],
+            src[b_col],
+            src[order_col],
+            StructField("n", LongType(), True),
+            StructField("llr", DoubleType(), True),
+            StructField("decision", StringType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("llr", DoubleType(), True),
+            StructField("n", LongType(), True),
+            StructField("decision", StringType(), True),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([order_col], kind="mergesort")
+        llr0, n0, dec = state.get if state.exists else (0.0, 0, None)
+        won = rows[a_won_col].to_numpy(dtype=bool)
+        llrs = np.empty(len(rows))
+        decs: list = []
+        llr = llr0
+        for i, w in enumerate(won):
+            if dec is None:
+                llr += up if w else down
+                r = round(llr, nd)
+                if r >= hi:
+                    dec = "accept_h1"
+                elif r <= lo:
+                    dec = "accept_h0"
+            llrs[i] = round(llr, nd)
+            decs.append(dec)
+        n = n0 + len(rows)
+        state.update((float(llr), int(n), dec))
+        yield pd.DataFrame(
+            {
+                a_col: key[0],
+                b_col: key[1],
+                order_col: rows[order_col],
+                "n": np.arange(n0 + 1, n + 1, dtype=np.int64),
+                "llr": llrs,
+                "decision": decs,
+            }
+        )
+
+    return stream.groupBy(a_col, b_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

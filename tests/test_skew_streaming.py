@@ -448,3 +448,71 @@ def test_stream_cusum_unknown_series_emits_null_z(spark, tmp_path):
     assert got[("ghost", 0)]["z"] is None
     assert got[("ghost", 0)]["alarm"] is False
     assert got[("a", 10)]["z"] is not None
+
+
+def test_stream_sprt_matches_batch_and_freezes_after_decision(spark, tmp_path):
+    """stream_sprt ≡ sprt_monitor: the live monitor's first non-null
+    decision row reproduces the batch summary's (decision, n_decision,
+    llr_at_decision), the statistic FREEZES after deciding, and state
+    survives an availableNow restart mid-stream."""
+    import math
+
+    from sparkfeat.arena import sprt_monitor
+    from sparkfeat.streaming import stream_sprt
+
+    up = math.log(0.6 / 0.5)
+    need = math.ceil(math.log(0.95 / 0.05) / up)
+    rows = [("m1", "m2", t, True) for t in range(need + 6)]  # decides
+    rows += [("m1", "m3", t, t % 2 == 0) for t in range(30)]  # never
+    df = spark.createDataFrame(rows, "a string, b string, t int, a_won boolean")
+    batch = {
+        (r["a"], r["b"]): r.asDict() for r in sprt_monitor(df).collect()
+    }
+
+    indir, ck, outdir = (
+        str(tmp_path / d) for d in ("in_sprt", "ck_sprt", "out_sprt")
+    )
+
+    def run_once(part):
+        part.write.mode("append").parquet(indir)
+        st = spark.readStream.schema(
+            "a string, b string, t int, a_won boolean"
+        ).parquet(indir)
+        q = (
+            stream_sprt(st)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # split mid-decision: the crossing happens in invocation 2
+    run_once(df.where(F.col("t") < 5))
+    run_once(df.where(F.col("t") >= 5))
+
+    got = spark.read.parquet(outdir).collect()
+    by_pair: dict = {}
+    for r in sorted(got, key=lambda r: (r["a"], r["b"], r["t"])):
+        by_pair.setdefault((r["a"], r["b"]), []).append(r)
+
+    d12 = by_pair[("m1", "m2")]
+    first_dec = next(r for r in d12 if r["decision"] is not None)
+    assert first_dec["decision"] == batch[("m1", "m2")]["decision"]
+    assert first_dec["n"] == batch[("m1", "m2")]["n_decision"]
+    assert first_dec["llr"] == pytest.approx(
+        batch[("m1", "m2")]["llr_at_decision"], abs=1e-9
+    )
+    # frozen: every row after the decision carries the same llr
+    tail = [r for r in d12 if r["n"] >= first_dec["n"]]
+    assert all(r["llr"] == first_dec["llr"] for r in tail)
+    assert all(r["decision"] == first_dec["decision"] for r in tail)
+    # the undecided pair never decides and its llr keeps moving
+    d13 = by_pair[("m1", "m3")]
+    assert all(r["decision"] is None for r in d13)
+    assert batch[("m1", "m3")]["decision"] == "continue"
+    assert d13[-1]["llr"] == pytest.approx(
+        batch[("m1", "m3")]["llr_final"], abs=1e-9
+    )

@@ -1113,3 +1113,52 @@ def test_containment_mutual_pair_yields_both_directions(spark):
     assert got[(0, 1)] == (60, 1.0)           # 0 fully inside 1
     n_c, c = got[(1, 0)]
     assert n_c == 60 and c == pytest.approx(60 / 61)
+
+
+# ----------------------------------------------------------- readability
+
+
+def test_readability_hand_counts(spark):
+    """'the cat sat. the dog ran!' -> 6 words, 2 sentences, 6
+    one-syllable words; 'unbelievable complexity everywhere.' -> long
+    words push the FK grade far above the monosyllable doc's."""
+    from sparkfeat.text import readability
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat. the dog ran!"),
+            (2, "unbelievable complexity everywhere."),
+            (3, ""),
+            (4, None),
+            (5, "no terminal punctuation here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in readability(df).collect()}
+    r1 = got[1]
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    assert r1["n_syllables"] == 6  # all monosyllables by the vowel-group rule
+    assert r1["words_per_sentence"] == 3.0
+    assert r1["syllables_per_word"] == 1.0
+    assert r1["flesch_ease"] == pytest.approx(
+        round(206.835 - 1.015 * 3 - 84.6 * 1, 6)
+    )
+    r2 = got[2]
+    # unbelievable: u/e/ie/a/e -> 5; complexity: o/e/i/y -> 4;
+    # everywhere: e/e/y/e/e -> 5
+    assert r2["n_syllables"] == 14 and r2["n_words"] == 3
+    assert r2["fk_grade"] > r1["fk_grade"]
+    # degenerate docs: zeros and NULL scores
+    for d in (3, 4):
+        assert got[d]["n_words"] == 0 and got[d]["n_sentences"] == 0
+        assert got[d]["flesch_ease"] is None
+    # no terminal punctuation floors sentences at 1
+    assert got[5]["n_sentences"] == 1
+
+
+def test_readability_map_only(spark):
+    from sparkfeat.text import readability
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = readability(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
