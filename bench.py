@@ -246,6 +246,8 @@ BENCH_QUERIES = [
     "search_rm3_topk",
     # readability panel: map-only vowel-group fold, zero shuffle
     "doc_readability",
+    # Laplace-mechanism count release (reproducible-noise seam)
+    "corpus_dp_release",
 ]
 
 

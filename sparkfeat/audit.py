@@ -473,3 +473,68 @@ def expectations_audit(
         rate.alias("violation_rate"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def dp_release_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    sensitivity: float = 1.0,
+    seed: str = "dp",
+    nd: int = 6,
+) -> DataFrame:
+    """Laplace-mechanism count release — the RELEASE step after the
+    k-anonymity / l-diversity / t-closeness gates: per group tuple,
+    the true count plus Laplace(sensitivity/epsilon) noise, clamped at
+    0 and rounded to an integer (both valid post-processing). This is
+    the ε-DP mechanism SHAPE as a distributed operator: one map-side
+    groupBy, noise derived per cell, nothing corpus-sized moves after
+    the count.
+
+    REPRODUCIBILITY SEAM (read before using in production): the noise
+    here is drawn by inverse CDF from an md5 hash of (seed, cell key)
+    — deterministic, so runs, engines, and the DuckDB oracle agree
+    bit-for-bit, which is what a correctness harness needs. That
+    determinism is exactly what real differential privacy must NOT
+    have (an adversary who knows the seed removes the noise): a
+    production deployment swaps the hash uniform for a CSPRNG draw at
+    this one marked expression and keeps everything else — the
+    mechanism algebra, sensitivity accounting, clamping — unchanged.
+
+    Laplace inverse CDF: ``u ∈ (0,1)``, ``x = −b·sign(u−½)·
+    ln(1−2|u−½|)`` with ``b = sensitivity/epsilon``; ``u = (h+½)/2³²``
+    from the first 8 md5 hex digits (never exactly 0, ½, or 1, so the
+    ln argument stays in (0,1]). Output per group: ``(*group_cols,
+    n_true, noise, n_released, epsilon, noise_scale)`` — drop
+    ``n_true``/``noise`` before publishing; they are emitted so tests
+    and the oracle can verify the mechanism, and so the release
+    manifest can audit utility loss internally.
+    """
+    b = float(sensitivity) / float(epsilon)
+    counts = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    key = F.concat_ws(
+        ":", F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    u = (h.cast("double") + 0.5) / 4294967296.0
+    centered = u - 0.5
+    noise = (
+        -F.lit(b)
+        * F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+    noise_r = F.round(noise, nd) + F.lit(0.0)
+    released = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.round(F.col("n_true") + noise_r, 0).cast("bigint"),
+    )
+    return counts.select(
+        *group_cols,
+        "n_true",
+        noise_r.alias("noise"),
+        released.alias("n_released"),
+        F.lit(float(epsilon)).alias("epsilon"),
+        F.lit(b).alias("noise_scale"),
+    )

@@ -9841,6 +9841,55 @@ SELECT series, t, ROUND(x, 6) AS x, rn <= 48 AS in_reference,
 FROM m"""
 
 
+def _dp_release_oracle(
+    epsilon: float = 1.0, sensitivity: float = 1.0, seed: str = "dp"
+) -> str:
+    b = sensitivity / epsilon
+    hv = _hex_bucket_sql(
+        None,
+        1,
+        4294967296,
+        hexpr=(
+            f"md5(concat_ws(':', '{seed}', CAST(lang AS VARCHAR), "
+            "CAST(source AS VARCHAR)))"
+        ),
+    )
+    return f"""WITH counts AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_true
+    FROM documents GROUP BY lang, source
+),
+n AS (
+    SELECT *, (({hv}) + 0.5) / 4294967296.0 AS u FROM counts
+),
+x AS (
+    SELECT *, ROUND(-{b!r} * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)),
+                    6) AS noise
+    FROM n
+)
+SELECT lang, source, n_true, noise,
+    GREATEST(CAST(0 AS BIGINT),
+             CAST(ROUND(n_true + noise, 0) AS BIGINT)) AS n_released,
+    {epsilon!r} AS epsilon, {b!r} AS noise_scale
+FROM x"""
+
+
+@register("corpus_dp_release", _dp_release_oracle(), driver=False)
+def q_corpus_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism count release (sparkfeat.audit.dp_release_counts)
+    over the (lang, source) margins — the RELEASE step after the
+    k/l/t privacy gates: true count + Laplace(1/ε) noise, clamped and
+    integer-rounded (valid post-processing). Noise is hash-derived at
+    ONE documented seam (reproducible-testing mode; production swaps in
+    a CSPRNG there and keeps the mechanism algebra), which is what
+    makes the bit-exact oracle replay possible."""
+    from sparkfeat.audit import dp_release_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dp_release_counts(
+        docs, ["lang", "source"], epsilon=1.0, sensitivity=1.0, seed="dp"
+    )
+
+
 _READABILITY_ORACLE = """WITH t AS (
     SELECT doc_id,
         list_filter(regexp_split_to_array(lower(COALESCE(text, '')),

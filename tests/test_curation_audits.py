@@ -448,3 +448,54 @@ def test_expectations_unknown_rule_raises(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="unknown expectation"):
         expectations_audit(df, [{"type": "nope", "col": "id"}]).collect()
+
+
+# --------------------------------------------------------- DP release
+
+
+def test_dp_release_laplace_mechanism_properties(spark):
+    """The hash-derived Laplace draws must actually look Laplace(b):
+    over ~500 cells, mean |noise| ≈ b, sign split ≈ 50/50; release is
+    clamped at 0 and integer; determinism + seed sensitivity; larger
+    epsilon -> smaller noise on the SAME cells."""
+    from sparkfeat.audit import dp_release_counts
+
+    df = spark.createDataFrame(
+        [(i % 500, "x") for i in range(2000)], "g int, v string"
+    )
+    out1 = dp_release_counts(df, ["g"], epsilon=1.0, seed="s").collect()
+    out2 = dp_release_counts(df, ["g"], epsilon=1.0, seed="s").collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    noises = [r["noise"] for r in out1]
+    assert len(noises) == 500
+    mean_abs = sum(abs(x) for x in noises) / len(noises)
+    assert 0.8 <= mean_abs <= 1.25  # E|Laplace(1)| = b = 1
+    pos = sum(1 for x in noises if x > 0)
+    assert 200 <= pos <= 300
+    assert all(r["n_released"] >= 0 for r in out1)
+    assert all(isinstance(r["n_released"], int) for r in out1)
+    # epsilon scaling: same u draws, scale b halves at epsilon=2
+    out_eps2 = {
+        r["g"]: r["noise"]
+        for r in dp_release_counts(df, ["g"], epsilon=2.0, seed="s").collect()
+    }
+    n1 = {r["g"]: r["noise"] for r in out1}
+    for g in n1:
+        assert out_eps2[g] == pytest.approx(n1[g] / 2.0, abs=2e-6)
+    # a different seed re-draws
+    out_s2 = {
+        r["g"]: r["noise"]
+        for r in dp_release_counts(df, ["g"], epsilon=1.0, seed="t").collect()
+    }
+    assert any(out_s2[g] != n1[g] for g in n1)
+
+
+def test_dp_release_true_count_preserved_for_audit(spark):
+    from sparkfeat.audit import dp_release_counts
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "g int, v string"
+    )
+    got = {r["g"]: r.asDict() for r in dp_release_counts(df, ["g"]).collect()}
+    assert got[1]["n_true"] == 2 and got[2]["n_true"] == 1
+    assert got[1]["noise_scale"] == 1.0 and got[1]["epsilon"] == 1.0
