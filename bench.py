@@ -248,6 +248,8 @@ BENCH_QUERIES = [
     "doc_readability",
     # Laplace-mechanism count release (reproducible-noise seam)
     "corpus_dp_release",
+    # dedup threshold sweep: conditional counts over one pairs pass
+    "dedup_threshold_curve",
 ]
 
 

@@ -1121,3 +1121,78 @@ def cluster_keep_best(
         "rep_id",
         (F.col(id_col) == F.col("rep_id")).alias("keep"),
     )
+
+
+def dedup_threshold_curve(
+    pairs: DataFrame,
+    docs: DataFrame,
+    thresholds: tuple = (0.5, 0.6, 0.7, 0.8, 0.9),
+    id_col: str = "doc_id",
+    sim_col: str = "est_jaccard",
+    nd: int = 6,
+) -> DataFrame:
+    """Dedup threshold-sweep table: for each candidate similarity
+    threshold, how many near-dup pairs fire and how much of the corpus
+    the drop-higher-id policy would remove — the table the "which
+    threshold?" curation decision is actually made from (a threshold
+    is a removal-rate dial; picking it blind to the curve is guessing).
+
+    One pass over the candidate-pair table: every threshold is a
+    conditional aggregate (n_pairs, distinct dropped docs via the
+    max-threshold-per-doc trick below), corpus size rides a one-row
+    broadcast. Output one row per threshold: ``(threshold, n_pairs,
+    n_docs_dropped, drop_frac)``.
+
+    The distinct-dropped count per threshold does NOT re-scan pairs
+    per threshold: each doc's DROP LEVEL is its maximum similarity as
+    the higher id of any pair (one map-side groupBy), and a doc is
+    dropped at threshold t iff drop_level ≥ t — so the sweep is a
+    |thresholds| × |dropped docs| conditional count over the tiny
+    per-doc level table. Pairs table shape is whatever the candidate
+    generator produced (banded LSH — never cartesian).
+    """
+    levels = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.max(sim_col).alias("_lvl")
+    )
+    n_docs = docs.select(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    aggs = []
+    for t in thresholds:
+        aggs.append(
+            F.sum((F.col("_lvl") >= t).cast("int"))
+            .cast("bigint")
+            .alias(f"_d_{int(t * 100)}")
+        )
+    lvl_agg = levels.agg(*aggs)
+    pair_aggs = [
+        F.sum((F.col(sim_col) >= t).cast("int"))
+        .cast("bigint")
+        .alias(f"_p_{int(t * 100)}")
+        for t in thresholds
+    ]
+    p_agg = pairs.agg(*pair_aggs)
+    structs = [
+        F.struct(
+            F.lit(float(t)).alias("threshold"),
+            F.col(f"_p_{int(t * 100)}").alias("n_pairs"),
+            F.col(f"_d_{int(t * 100)}").alias("n_docs_dropped"),
+        )
+        for t in thresholds
+    ]
+    out = (
+        p_agg.crossJoin(lvl_agg)
+        .crossJoin(F.broadcast(n_docs))
+        .select(F.col("_n"), F.explode(F.array(*structs)).alias("_s"))
+        .select(
+            F.col("_s.threshold").alias("threshold"),
+            F.col("_s.n_pairs").alias("n_pairs"),
+            F.col("_s.n_docs_dropped").alias("n_docs_dropped"),
+            (
+                F.round(
+                    F.col("_s.n_docs_dropped").cast("double") / F.col("_n"),
+                    nd,
+                )
+                + F.lit(0.0)
+            ).alias("drop_frac"),
+        )
+    )
+    return out

@@ -9841,6 +9841,54 @@ SELECT series, t, ROUND(x, 6) AS x, rn <= 48 AS in_reference,
 FROM m"""
 
 
+def _threshold_curve_oracle(thresholds=(0.5, 0.6, 0.7, 0.8, 0.9)) -> str:
+    p = ",\n        ".join(
+        f"CAST(SUM(CASE WHEN est_jaccard >= {t!r} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS p{int(t * 100)}"
+        for t in thresholds
+    )
+    d = ",\n        ".join(
+        f"CAST(SUM(CASE WHEN lvl >= {t!r} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS d{int(t * 100)}"
+        for t in thresholds
+    )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {t!r} AS threshold, p{int(t * 100)} AS n_pairs,"
+        f" d{int(t * 100)} AS n_docs_dropped FROM agg"
+        for t in thresholds
+    )
+    return f"""WITH base AS ({_minhash_oracle()}),
+lvl AS (SELECT id_b, MAX(est_jaccard) AS lvl FROM base GROUP BY id_b),
+pa AS (SELECT {p} FROM base),
+da AS (SELECT {d} FROM lvl),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+agg AS (SELECT * FROM pa CROSS JOIN da CROSS JOIN nd),
+rows_out AS (
+    {rows}
+)
+SELECT threshold, n_pairs, n_docs_dropped,
+    ROUND(n_docs_dropped / CAST((SELECT n FROM nd) AS DOUBLE), 6)
+        AS drop_frac
+FROM rows_out"""
+
+
+@register("dedup_threshold_curve", _threshold_curve_oracle(), driver=False)
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sweep (sparkfeat.dedup.dedup_threshold_curve):
+    pairs fired and corpus fraction removed at each candidate MinHash
+    threshold — the removal-rate dial the "which threshold?" decision
+    reads. One pass over the banded candidate pairs: per-doc max drop
+    level (one map-side groupBy) turns the sweep into conditional
+    counts; corpus size rides a one-row broadcast."""
+    from sparkfeat.dedup import dedup_threshold_curve, minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, num_perm=64, bands=16, shingle_n=2).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    return dedup_threshold_curve(pairs, docs)
+
+
 def _dp_release_oracle(
     epsilon: float = 1.0, sensitivity: float = 1.0, seed: str = "dp"
 ) -> str:

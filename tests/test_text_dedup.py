@@ -1162,3 +1162,56 @@ def test_readability_map_only(spark):
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = readability(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------- threshold curve
+
+
+def test_dedup_threshold_curve_hand_computed(spark):
+    """Hand-built pair table: counts at each threshold are monotone
+    non-increasing, dropped docs deduplicate across pairs (a doc in
+    two pairs is dropped once, at its MAX similarity level)."""
+    from sparkfeat.dedup import dedup_threshold_curve
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 0.95),  # 2 dropped at level .95
+            (1, 3, 0.65),  # 3 dropped at level .65
+            (4, 2, 0.55),  # 2 again, lower level -> level stays .95
+            (5, 6, 0.85),
+        ],
+        "id_a long, id_b long, est_jaccard double",
+    )
+    docs = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    got = {
+        r["threshold"]: r.asDict()
+        for r in dedup_threshold_curve(
+            pairs, docs, thresholds=(0.5, 0.7, 0.9)
+        ).collect()
+    }
+    assert got[0.5]["n_pairs"] == 4 and got[0.5]["n_docs_dropped"] == 3
+    assert got[0.7]["n_pairs"] == 2 and got[0.7]["n_docs_dropped"] == 2
+    assert got[0.9]["n_pairs"] == 1 and got[0.9]["n_docs_dropped"] == 1
+    assert got[0.5]["drop_frac"] == 0.3
+    # monotone
+    ts = sorted(got)
+    for a, b in zip(ts, ts[1:]):
+        assert got[a]["n_pairs"] >= got[b]["n_pairs"]
+        assert got[a]["n_docs_dropped"] >= got[b]["n_docs_dropped"]
+
+
+def test_dedup_threshold_curve_consistent_with_pipeline_drop(spark):
+    """At the prep pipeline's own threshold (0.5) the curve's dropped
+    count must equal the distinct id_b set the pipeline drops."""
+    from sparkfeat.dedup import dedup_threshold_curve, minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=64, bands=16, shingle_n=2
+    ).filter(F.col("est_jaccard") >= 0.5)
+    want = pairs.select("id_b").distinct().count()
+    got = {
+        r["threshold"]: r["n_docs_dropped"]
+        for r in dedup_threshold_curve(pairs, docs).collect()
+    }
+    assert got[0.5] == want
