@@ -250,6 +250,8 @@ BENCH_QUERIES = [
     "corpus_dp_release",
     # dedup threshold sweep: conditional counts over one pairs pass
     "dedup_threshold_curve",
+    # per-doc TextRank: millions of sentence graphs iterating at once
+    "doc_textrank",
 ]
 
 

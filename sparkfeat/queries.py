@@ -9841,6 +9841,94 @@ SELECT series, t, ROUND(x, 6) AS x, rn <= 48 AS in_reference,
 FROM m"""
 
 
+def _textrank_oracle(
+    max_sents: int = 32, n_iter: int = 3, damping: float = 0.85
+) -> str:
+    base_c = repr(1.0 - damping)
+    ctes = [
+        """d0 AS (
+    SELECT doc_id,
+        list_filter(list_transform(
+            regexp_split_to_array(lower(COALESCE(text, '')), '[.!?]+'),
+            s -> trim(s)), s -> s <> '') AS segs
+    FROM documents
+)""",
+        f"""b2 AS (
+    SELECT doc_id, CAST(u.i AS INT) AS si, segs[CAST(u.i + 1 AS INT)] AS sent,
+        list_distinct(list_filter(
+            regexp_split_to_array(segs[CAST(u.i + 1 AS INT)], '\\s+'),
+            x -> x <> '')) AS tok
+    FROM d0, unnest(generate_series(0, CAST(len(segs) - 1 AS BIGINT))) u(i)
+    WHERE u.i < {max_sents}
+)""",
+        """b3 AS (SELECT *, CAST(len(tok) AS BIGINT) AS lt FROM b2)""",
+        """nn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b3 GROUP BY doc_id)""",
+        """raw AS (
+    SELECT a.doc_id, a.si AS i, b.si AS j,
+        ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+              / (ln(CAST(a.lt AS DOUBLE)) + ln(CAST(b.lt AS DOUBLE))), 9)
+            AS w
+    FROM b3 a JOIN b3 b ON a.doc_id = b.doc_id AND a.si < b.si
+    WHERE (ln(CAST(a.lt AS DOUBLE)) + ln(CAST(b.lt AS DOUBLE))) > 0
+      AND len(list_intersect(a.tok, b.tok)) > 0
+)""",
+        """edges AS (
+    SELECT doc_id, i, j, w FROM raw
+    UNION ALL SELECT doc_id, j AS i, i AS j, w FROM raw
+)""",
+        """ws AS (SELECT doc_id, i AS j, SUM(w) AS wsum
+    FROM edges GROUP BY doc_id, i)""",
+        """ew AS (
+    SELECT e.doc_id, e.i, e.j, e.w, s.wsum
+    FROM edges e JOIN ws s ON s.doc_id = e.doc_id AND s.j = e.j
+)""",
+        """r_0 AS (
+    SELECT b3.doc_id, b3.si AS node, 1.0 / nn.n AS r, nn.n
+    FROM b3 JOIN nn USING (doc_id)
+)""",
+    ]
+    for k in range(n_iter):
+        ctes.append(
+            f"""c_{k + 1} AS (
+    SELECT ew.doc_id, ew.i AS node, SUM(r_{k}.r * ew.w / ew.wsum) AS cs
+    FROM ew JOIN r_{k} ON r_{k}.doc_id = ew.doc_id AND r_{k}.node = ew.j
+    GROUP BY ew.doc_id, ew.i
+)"""
+        )
+        ctes.append(
+            f"""r_{k + 1} AS (
+    SELECT r_{k}.doc_id, r_{k}.node,
+        ROUND({base_c} / r_{k}.n + {damping!r} * COALESCE(c_{k + 1}.cs, 0.0),
+              9) AS r,
+        r_{k}.n
+    FROM r_{k} LEFT JOIN c_{k + 1}
+      ON c_{k + 1}.doc_id = r_{k}.doc_id AND c_{k + 1}.node = r_{k}.node
+)"""
+        )
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+SELECT b2.doc_id, b2.si AS sent_idx, b2.sent AS sentence,
+    CAST(rf.n AS INT) AS n_sents, rf.r AS score,
+    CAST(row_number() OVER (PARTITION BY b2.doc_id
+                            ORDER BY rf.r DESC, b2.si) AS INT) AS rank
+FROM b2 JOIN r_{n_iter} rf ON rf.doc_id = b2.doc_id AND rf.node = b2.si"""
+
+
+@register("doc_textrank", _textrank_oracle(), driver=False)
+def q_doc_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TextRank (sparkfeat.text.textrank_sentences):
+    extractive sentence-centrality scores for every corpus document in
+    one lazy plan — millions of tiny sentence graphs iterating
+    simultaneously, every join/aggregate keyed by (doc, sentence) so
+    no stage ever sees a whole-corpus key (contrast graph.pagerank's
+    single global graph). 3 damped rounds, iterates 9-dp-canonicalized;
+    the oracle unrolls the identical trajectory."""
+    from sparkfeat.text import textrank_sentences
+
+    return textrank_sentences(_docs(spark, sf_dir))
+
+
 def _threshold_curve_oracle(thresholds=(0.5, 0.6, 0.7, 0.8, 0.9)) -> str:
     p = ",\n        ".join(
         f"CAST(SUM(CASE WHEN est_jaccard >= {t!r} THEN 1 ELSE 0 END)"

@@ -1417,3 +1417,170 @@ def readability(
         ),
         F.when(has, r6(0.39 * wps + 11.8 * spw - 15.59)).alias("fk_grade"),
     )
+
+
+def textrank_sentences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_sents: int = 32,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    nd: int = 9,
+) -> DataFrame:
+    """Per-document TextRank (Mihalcea & Tarau 2004): extractive
+    sentence-importance scores for EVERY document of a corpus in one
+    lazy plan — the summarization-score operator a curation pipeline
+    uses to keep each document's most central sentences (snippeting,
+    context compression, lead-bias-free previews).
+
+    Per doc: sentences are ``[.!?]+`` segments (the readability
+    convention), CAPPED at ``max_sents`` (the similarity graph is
+    O(s²) per doc — the cap bounds per-doc work exactly like the
+    ROUGE token cap); edge weight = |shared distinct tokens| /
+    (ln|Sᵢ| + ln|Sⱼ|) (the paper's normalization), zero-overlap and
+    zero-denominator pairs dropped; then ``n_iter`` damped power-
+    iteration rounds ``r ← (1−d)/n + d·Σ r_j·w_ji/Σw_j`` with every
+    iterate 9-dp-canonicalized (the graph-module convention, so the
+    trajectory replays in any engine). Sentences with no edges hold
+    the teleport base — the per-doc analog of PageRank dangling mass.
+
+    Contrast `graph.pagerank`: that operator iterates ONE global graph
+    with one-row broadcast totals; here MILLIONS of tiny graphs
+    iterate simultaneously — every join and aggregate is keyed by
+    (doc, sentence), so the work distributes by document and no
+    stage ever sees a whole-corpus key. Lineage: per-iteration
+    boundaries are lazily persisted (the bt_strengths lesson) so the
+    sentence table materializes once, not 3^T times.
+
+    Output: one row per kept sentence — ``(id, sent_idx, sentence,
+    n_sents, score, rank)`` with rank 1 = most central (ties → lower
+    sent_idx). Downstream: ``filter(rank <= k)`` is the extractive
+    summary.
+    """
+    from pyspark.sql import Window
+
+    segs = F.filter(
+        F.transform(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[.!?]+"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    base = (
+        docs.select(F.col(id_col), F.posexplode(segs).alias("_si", "_sent"))
+        .where(F.col("_si") < max_sents)
+        .select(
+            id_col,
+            "_si",
+            "_sent",
+            F.array_distinct(
+                F.filter(F.split(F.col("_sent"), r"\s+"), lambda x: x != "")
+            ).alias("_tok"),
+        )
+        .withColumn("_lt", F.size("_tok"))
+    )
+    n_doc = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    base = base.join(n_doc, id_col).persist()
+
+    a = base.select(
+        id_col,
+        F.col("_si").alias("_i"),
+        F.col("_tok").alias("_ti"),
+        F.col("_lt").alias("_li"),
+    )
+    b = base.select(
+        id_col,
+        F.col("_si").alias("_j"),
+        F.col("_tok").alias("_tj"),
+        F.col("_lt").alias("_lj"),
+    )
+    raw = (
+        a.join(b, id_col)
+        .where(F.col("_i") < F.col("_j"))
+        .select(
+            id_col,
+            "_i",
+            "_j",
+            (
+                F.size(F.array_intersect("_ti", "_tj")).cast("double")
+                / (F.log(F.col("_li").cast("double")) + F.log(F.col("_lj").cast("double")))
+            ).alias("_wraw"),
+            (F.log(F.col("_li").cast("double")) + F.log(F.col("_lj").cast("double"))).alias("_den"),
+            F.size(F.array_intersect("_ti", "_tj")).alias("_ov"),
+        )
+        .where((F.col("_den") > 0) & (F.col("_ov") > 0))
+        .select(id_col, "_i", "_j", (F.round(F.col("_wraw"), nd) + F.lit(0.0)).alias("_w"))
+    )
+    edges = raw.unionByName(
+        raw.select(
+            id_col,
+            F.col("_j").alias("_i"),
+            F.col("_i").alias("_j"),
+            "_w",
+        )
+    ).persist()
+    wsum = edges.groupBy(id_col, F.col("_i").alias("_j")).agg(
+        F.sum("_w").alias("_wsum")
+    )
+    # edges annotated with the SOURCE's outgoing weight sum
+    ew = edges.join(wsum, [id_col, "_j"]).persist()
+
+    r = base.select(
+        id_col,
+        F.col("_si").alias("_node"),
+        (F.lit(1.0) / F.col("_n")).alias("_r"),
+        "_n",
+    )
+    d = float(damping)
+    for _ in range(n_iter):
+        contrib = (
+            ew.join(
+                r.select(id_col, F.col("_node").alias("_j"), "_r"),
+                [id_col, "_j"],
+            )
+            .select(
+                id_col,
+                F.col("_i").alias("_node"),
+                (F.col("_r") * F.col("_w") / F.col("_wsum")).alias("_c"),
+            )
+            .groupBy(id_col, "_node")
+            .agg(F.sum("_c").alias("_cs"))
+        )
+        r = (
+            r.join(contrib, [id_col, "_node"], "left")
+            .select(
+                id_col,
+                "_node",
+                (
+                    F.round(
+                        (1.0 - d) / F.col("_n")
+                        + d * F.coalesce(F.col("_cs"), F.lit(0.0)),
+                        nd,
+                    )
+                    + F.lit(0.0)
+                ).alias("_r"),
+                "_n",
+            )
+            .persist()
+        )
+    w_rank = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("sent_idx")
+    )
+    return (
+        base.select(
+            id_col, F.col("_si").alias("sent_idx"), F.col("_sent").alias("sentence"), F.col("_n")
+        )
+        .join(
+            r.select(id_col, F.col("_node").alias("sent_idx"), F.col("_r").alias("score")),
+            [id_col, "sent_idx"],
+        )
+        .select(
+            id_col,
+            "sent_idx",
+            "sentence",
+            F.col("_n").cast("int").alias("n_sents"),
+            "score",
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+    )

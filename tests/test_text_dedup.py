@@ -1215,3 +1215,101 @@ def test_dedup_threshold_curve_consistent_with_pipeline_drop(spark):
         for r in dedup_threshold_curve(pairs, docs).collect()
     }
     assert got[0.5] == want
+
+
+# -------------------------------------------------------------- TextRank
+
+
+def _py_textrank(sents, n_iter=3, d=0.85):
+    """Independent reference: same graph, same damped iteration, same
+    9-dp canonicalization per round."""
+    import math
+
+    toks = [set(s.lower().split()) for s in sents]
+    n = len(sents)
+    w = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            den = math.log(len(toks[i])) + math.log(len(toks[j]))
+            ov = len(toks[i] & toks[j])
+            if den > 0 and ov > 0:
+                w[(i, j)] = round(ov / den, 9)
+    out = {i: [] for i in range(n)}
+    for (i, j), wv in w.items():
+        out[i].append((j, wv))
+        out[j].append((i, wv))
+    wsum = {i: sum(wv for _, wv in out[i]) for i in range(n)}
+    r = [1.0 / n] * n
+    for _ in range(n_iter):
+        nxt = []
+        for i in range(n):
+            cs = sum(
+                r[j] * wv / wsum[j]
+                for j, wv in out[i]
+            )
+            nxt.append(round((1 - d) / n + d * cs, 9))
+        r = nxt
+    return r
+
+
+def test_textrank_matches_python_power_iteration(spark):
+    from sparkfeat.text import textrank_sentences
+
+    sents = [
+        "the cat sat on the mat",
+        "the dog chased the cat",
+        "a bird flew far away",
+        "the cat ran from the dog",
+        "mat and dog and cat together",
+    ]
+    df = spark.createDataFrame(
+        [(1, ". ".join(sents) + ".")], "doc_id long, text string"
+    )
+    got = {
+        r["sent_idx"]: r["score"]
+        for r in textrank_sentences(df).collect()
+    }
+    want = _py_textrank(sents)
+    for i in range(len(sents)):
+        assert got[i] == pytest.approx(want[i], abs=1e-8), i
+    # the isolated sentence holds the teleport base, below every
+    # connected one
+    assert got[2] == min(got.values())
+
+
+def test_textrank_per_doc_independence_and_degenerates(spark):
+    from sparkfeat.text import textrank_sentences
+
+    doc1 = "alpha beta gamma. beta gamma delta. unrelated words here."
+    solo = spark.createDataFrame([(1, doc1)], "doc_id long, text string")
+    both = spark.createDataFrame(
+        [(1, doc1), (2, "totally different text. another different text.")],
+        "doc_id long, text string",
+    )
+    a = {
+        r["sent_idx"]: r["score"]
+        for r in textrank_sentences(solo).where("doc_id = 1").collect()
+    }
+    b = {
+        r["sent_idx"]: r["score"]
+        for r in textrank_sentences(both).where("doc_id = 1").collect()
+    }
+    assert a == b  # other docs never leak into a doc's graph
+    # degenerate docs
+    deg = spark.createDataFrame(
+        [(3, "one sentence"), (4, None), (5, "")],
+        "doc_id long, text string",
+    )
+    rows = textrank_sentences(deg).collect()
+    assert {r["doc_id"] for r in rows} == {3}
+    assert rows[0]["rank"] == 1 and rows[0]["score"] == pytest.approx(0.15)
+
+
+def test_textrank_sentence_cap_bounds_graph(spark):
+    from sparkfeat.text import textrank_sentences
+
+    many = ". ".join(f"tok{i} shared word" for i in range(100)) + "."
+    df = spark.createDataFrame([(1, many)], "doc_id long, text string")
+    rows = textrank_sentences(df, max_sents=16).collect()
+    assert len(rows) == 16
+    assert all(r["n_sents"] == 16 for r in rows)
