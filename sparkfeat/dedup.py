@@ -168,6 +168,13 @@ def jaccard_pairs(
         prefixes = grouped.select(
             "_id", *keys, "_n", F.explode(ptoks).alias("_ptok")
         )
+    # pre-partition the prefix table on the join key at the cluster's
+    # parallelism: the self-join's OUTPUT is ~200x its input, so AQE's
+    # input-bytes coalescing would otherwise funnel the pair explosion
+    # into one task; both sides reuse this single exchange
+    prefixes = prefixes.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *keys, "_ptok"
+    )
     a = prefixes.select(
         *keys,
         "_ptok",
@@ -193,19 +200,31 @@ def jaccard_pairs(
             )
             >= F.lit(threshold / (1.0 + threshold)) * (F.col("_na") + F.col("_nb"))
         )
+    # explicit-count repartition: the candidate join EXPLODES its input
+    # (5k docs → ~1M pairs on the driver corpus), so AQE's bytes-based
+    # coalescing — which only sees the tiny pre-join shuffle — would run
+    # the dedup + verify on 1-6 tasks; pinning the exchange to the
+    # cluster's parallelism keeps the verify (the dominant CPU: ~12 s of
+    # array_intersect on ~1M pairs here) fully parallel at every scale
     cand = (
         a.join(b, [*keys, "_ptok"])
         .filter((F.col("id_a") < F.col("id_b")) & keep)
         .select("id_a", "id_b")
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # exact verify: token arrays shuffle once per side, candidates only
+    # exact verify: token arrays shuffle once per side, candidates only.
+    # |A∪B| = |A|+|B| − |A∩B| (both sides are array_distinct'ed), which
+    # skips array_union's second per-pair hash-set build — integer
+    # arithmetic, bit-identical jaccard.
     ta = base.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
     tb = base.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
     pairs = cand.join(ta, "id_a").join(tb, "id_b")
     inter = F.size(F.array_intersect("_ta", "_tb")).cast("double")
-    union = F.size(F.array_union("_ta", "_tb")).cast("double")
+    union = (F.size("_ta") + F.size("_tb")).cast("double") - inter
     return (
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)

@@ -255,19 +255,28 @@ def retrieval_eval(
             )
         ).alias("dcg_k"),
     )
+    # one pass over qrels yields BOTH the ideal-DCG fold (first k rows of
+    # the deterministic ideal ordering) and the relevant-set size: the
+    # old separate nrel aggregate re-inlined the whole qrels subtree for
+    # one count and cost a second exchange + a third full join
     wq = Window.partitionBy("_q").orderBy(F.col("_rel").desc(), "_d")
-    ideal = (
+    relagg = (
         rel.withColumn("_idx", F.row_number().over(wq))
-        .filter(F.col("_idx") <= k)
         .groupBy("_q")
-        .agg(r9(F.sum(gain(F.col("_rel"), F.col("_idx")))).alias("idcg_k"))
-    )
-    nrel = rel.groupBy("_q").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+        .agg(
+            r9(
+                F.sum(
+                    F.when(
+                        F.col("_idx") <= k,
+                        gain(F.col("_rel"), F.col("_idx")),
+                    ).otherwise(F.lit(0.0))
+                )
+            ).alias("idcg_k"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rel"),
+        )
     )
     per = (
-        got.join(nrel, "_q", "full")
-        .join(ideal, "_q", "full")
+        got.join(relagg, "_q", "full")
         .select(
             F.col("_q"),
             F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
@@ -343,8 +352,20 @@ def rm3_expand_topk(
     shape — broadcast terms prune the token lattice map-side, exact
     two-phase top-k, no full inverted-index shuffle) plus feedback-set
     work bounded by queries × fb_docs documents. The relevance-model
-    tf runs only over the fb docs (semi-join BEFORE the explode's
-    groupBy), so expansion cost is independent of corpus size.
+    tf runs only over the fb docs (broadcast-joined BEFORE the corpus
+    is tokenized), so expansion cost is independent of corpus size.
+
+    Plan shape (r6): every intermediate is referenced ONCE. The
+    normalizing sums (_ssum, _tsum, _qn) ride unbounded windows over
+    their tiny per-query partitions instead of aggregate+self-join, and
+    the second pass joins the token lattice straight to the broadcast
+    ``combined`` term-weight table (grouping tf by query as well) rather
+    than pruning on a separately-derived distinct-term set and
+    re-joining. The original aggregate+rejoin form inlined the whole
+    first-pass DAG at every reference — 784 Exchanges / a 12k-line
+    physical plan at fan-out 16 — which cost seconds of Catalyst
+    planning and hundreds of runtime stages for identical arithmetic
+    (same addend sets, same 6-dp rounding points).
     """
     alpha = float(orig_weight)
     fb = bm25_topk(
@@ -357,9 +378,9 @@ def rm3_expand_topk(
         id_col=id_col,
         shards=shards,
     ).select("query_id", id_col, "score")
-    fbsum = fb.groupBy("query_id").agg(F.sum("score").alias("_ssum"))
+    w_q = Window.partitionBy("query_id")
     fbw = (
-        fb.join(fbsum, "query_id")
+        fb.withColumn("_ssum", F.sum("score").over(w_q))
         .where(F.col("_ssum") > 0)
         .select(
             "query_id",
@@ -369,41 +390,35 @@ def rm3_expand_topk(
             ),
         )
     )
-    d = docs.select(F.col(id_col), _toks(text_col).alias("_tk")).select(
-        id_col, "_tk", F.size("_tk").alias("_dl")
-    )
-    # term frequencies over the FEEDBACK docs only (the semi-join comes
-    # before the explode's aggregation, so this is queries×fb_docs work)
-    fb_ids = fbw.select(id_col).distinct()
+    # term frequencies over the FEEDBACK docs only: the tiny (query,
+    # doc, weight) table is broadcast onto the raw corpus BEFORE any
+    # tokenization, so only queries×fb_docs documents are ever split
     fbtf = (
-        d.join(fb_ids, id_col)
-        .select(id_col, "_dl", F.explode("_tk").alias("term"))
-        .groupBy(id_col, "_dl", "term")
+        docs.join(F.broadcast(fbw), id_col)
+        .select("query_id", id_col, "_wd", _toks(text_col).alias("_tk"))
+        .select(
+            "query_id",
+            id_col,
+            "_wd",
+            F.size("_tk").alias("_dl"),
+            F.explode("_tk").alias("term"),
+        )
+        .groupBy("query_id", id_col, "_wd", "_dl", "term")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
-    p_rm = (
-        fbw.join(fbtf, id_col)
-        .groupBy("query_id", "term")
-        .agg(
-            (
-                F.round(
-                    F.sum(F.col("_wd") * F.col("_tf") / F.col("_dl")), 6
-                )
-                + F.lit(0.0)
-            ).alias("_prm")
-        )
+    p_rm = fbtf.groupBy("query_id", "term").agg(
+        (
+            F.round(F.sum(F.col("_wd") * F.col("_tf") / F.col("_dl")), 6)
+            + F.lit(0.0)
+        ).alias("_prm")
     )
     w_top = Window.partitionBy("query_id").orderBy(
         F.col("_prm").desc(), F.col("term").asc()
     )
-    top = (
+    exp_w = (
         p_rm.withColumn("_r", F.row_number().over(w_top))
         .filter(F.col("_r") <= fb_terms)
-        .drop("_r")
-    )
-    tsum = top.groupBy("query_id").agg(F.sum("_prm").alias("_tsum"))
-    exp_w = (
-        top.join(tsum, "query_id")
+        .withColumn("_tsum", F.sum("_prm").over(w_q))
         .where(F.col("_tsum") > 0)
         .select(
             "query_id",
@@ -419,37 +434,36 @@ def rm3_expand_topk(
     qterms = queries.select(
         "query_id", F.explode(F.array_distinct(_toks("query"))).alias("term")
     )
-    qn = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("_qn"))
-    orig_w = qterms.join(qn, "query_id").select(
+    orig_w = qterms.withColumn("_qn", F.count(F.lit(1)).over(w_q)).select(
         "query_id",
         "term",
         (F.lit(alpha) / F.col("_qn")).alias("_wo"),
     )
+    # orig ∪ expansion folded by sum — same value as the old full-outer
+    # join's coalesce(_wo,0)+coalesce(_we,0) (≤2 addends, double addition
+    # is exactly commutative), one exchange instead of a sort-merge join
     combined = (
-        orig_w.join(exp_w, ["query_id", "term"], "full")
-        .select(
-            "query_id",
-            "term",
-            (
-                F.round(
-                    F.coalesce("_wo", F.lit(0.0))
-                    + F.coalesce("_we", F.lit(0.0)),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("_w"),
-        )
+        orig_w.select("query_id", "term", F.col("_wo").alias("_v"))
+        .unionByName(exp_w.select("query_id", "term", F.col("_we").alias("_v")))
+        .groupBy("query_id", "term")
+        .agg((F.round(F.sum("_v"), 6) + F.lit(0.0)).alias("_w"))
     )
-    # weighted second pass (the bm25_topk chain with per-term weights)
+    # weighted second pass: the broadcast term-weight table itself prunes
+    # the token lattice map-side (it IS the distinct-term set, with the
+    # weights riding along), so `combined` appears once in the plan
+    d = docs.select(F.col(id_col), _toks(text_col).alias("_tk")).select(
+        id_col, "_tk", F.size("_tk").alias("_dl")
+    )
     stats = d.agg(F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl"))
-    terms = combined.select("term").distinct()
     hits = d.select(id_col, "_dl", F.explode("_tk").alias("term")).join(
-        F.broadcast(terms), "term"
+        F.broadcast(combined), "term"
     )
-    tf = hits.groupBy("term", id_col, "_dl").agg(
+    tf = hits.groupBy("query_id", "_w", "term", id_col, "_dl").agg(
         F.count(F.lit(1)).alias("_tf")
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    dfreq = tf.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("_df")
+    )
     w_td = F.log(
         1.0 + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
     ) * (
@@ -459,7 +473,6 @@ def rm3_expand_topk(
     )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(combined), "term")
         .crossJoin(F.broadcast(stats))
         .select("query_id", id_col, (F.col("_w") * w_td).alias("_s"))
         .groupBy("query_id", id_col)
