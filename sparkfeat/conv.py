@@ -280,25 +280,47 @@ def conv_neardup_pairs(
         df, entity_col, role_col, text_col, tool_col, num_perm=num_perm,
         method=method,
     )
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"m{i}").cast("string") for i in range(b * rows, (b + 1) * rows)]
-        band_rows.append(
-            sig.select(
-                F.col(entity_col).alias("_id"),
-                F.col("n_distinct_turns").alias("_nd"),
-                F.lit(b).alias("_band"),
-                F.md5(F.concat_ws(",", *cols)).alias("_bkey"),
+    # Band via ONE posexplode over the in-row band-key array, carrying
+    # the full signature + distinct count alongside. The previous
+    # union-of-4-selects + three sig re-joins (counts, sig_a, sig_b) let
+    # Catalyst column-prune each branch differently, which made the
+    # seven sig exchanges canonically DISTINCT — so AQE's stage cache
+    # reused nothing and the whole per-turn hash pipeline (window +
+    # num_perm hashes over every turn) executed once per branch. One
+    # subtree + carried columns computes it once for candidates AND the
+    # est/verify columns; the banded shuffle rows widen by num_perm
+    # longs, which is noise next to 7x the corpus hash pass.
+    bkeys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{i}").cast("string")
+                    for i in range(b * rows, (b + 1) * rows)
+                ],
             )
         )
-    banded = band_rows[0]
-    for extra in band_rows[1:]:
-        banded = banded.unionByName(extra)
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(entity_col).alias("_id"),
+        F.col("n_distinct_turns").alias("_nd"),
+        *[F.col(f"m{i}") for i in range(num_perm)],
+        F.posexplode(F.array(*bkeys)).alias("_band", "_bkey"),
+    )
     a = banded.select(
-        "_band", "_bkey", F.col("_id").alias("conv_a"), F.col("_nd").alias("_nda")
+        "_band",
+        "_bkey",
+        F.col("_id").alias("conv_a"),
+        F.col("_nd").alias("_nda"),
+        *[F.col(f"m{i}").alias(f"_ma{i}") for i in range(num_perm)],
     )
     b_side = banded.select(
-        "_band", "_bkey", F.col("_id").alias("conv_b"), F.col("_nd").alias("_ndb")
+        "_band",
+        "_bkey",
+        F.col("_id").alias("conv_b"),
+        F.col("_nd").alias("_ndb"),
+        *[F.col(f"m{i}").alias(f"_mb{i}") for i in range(num_perm)],
     )
     ratio_ok = F.least(F.col("_nda"), F.col("_ndb")).cast("double") >= F.lit(
         threshold
@@ -306,7 +328,7 @@ def conv_neardup_pairs(
     cand = (
         a.join(b_side, ["_band", "_bkey"])
         .where((F.col("conv_a") < F.col("conv_b")) & ratio_ok)
-        .select("conv_a", "conv_b")
+        .drop("_band", "_bkey")
         .dropDuplicates(["conv_a", "conv_b"])
     )
 
@@ -315,42 +337,29 @@ def conv_neardup_pairs(
         _content_term(role_col, text_col, tool_col, 0, method=method).alias("_th"),
     ).distinct()
     inter = (
-        cand.join(th.select(F.col("_id").alias("conv_a"), "_th"), "conv_a")
+        cand.select("conv_a", "conv_b")
+        .join(th.select(F.col("_id").alias("conv_a"), "_th"), "conv_a")
         .join(th.select(F.col("_id").alias("conv_b"), "_th"), ["conv_b", "_th"])
         .groupBy("conv_a", "conv_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    counts = sig.select(F.col(entity_col).alias("_id"), "n_distinct_turns")
     est_cols = [
         F.when(F.col(f"_ma{i}") == F.col(f"_mb{i}"), 1).otherwise(0)
         for i in range(num_perm)
     ]
-    sig_a = sig.select(
-        F.col(entity_col).alias("conv_a"),
-        *[F.col(f"m{i}").alias(f"_ma{i}") for i in range(num_perm)],
-    )
-    sig_b = sig.select(
-        F.col(entity_col).alias("conv_b"),
-        *[F.col(f"m{i}").alias(f"_mb{i}") for i in range(num_perm)],
-    )
     out = (
-        inter.join(counts.select(F.col("_id").alias("conv_a"),
-                                 F.col("n_distinct_turns").alias("n_turns_a")), "conv_a")
-        .join(counts.select(F.col("_id").alias("conv_b"),
-                            F.col("n_distinct_turns").alias("n_turns_b")), "conv_b")
-        .join(sig_a, "conv_a")
-        .join(sig_b, "conv_b")
+        inter.join(cand, ["conv_a", "conv_b"])
         .select(
             "conv_a",
             "conv_b",
-            "n_turns_a",
-            "n_turns_b",
+            F.col("_nda").alias("n_turns_a"),
+            F.col("_ndb").alias("n_turns_b"),
             (
                 sum(est_cols[1:], est_cols[0]).cast("double") / F.lit(float(num_perm))
             ).alias("est_jaccard"),
             (
                 F.col("_inter").cast("double")
-                / (F.col("n_turns_a") + F.col("n_turns_b") - F.col("_inter"))
+                / (F.col("_nda") + F.col("_ndb") - F.col("_inter"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

@@ -256,15 +256,32 @@ def feature_drift(
     )
     # Laplace-smoothed proportions; a bucket absent from `counts` has
     # _cr = _cc = 0 on both sides -> p == q -> PSI term 0, so summing
-    # only observed buckets is exact.
-    n_ref_b = F.col("n_ref").cast("double")
-    n_cur_b = F.col("n_cur").cast("double")
-    p = (F.col("_cr") + 0.5) / (n_ref_b + 0.5 * F.col("_nb"))
-    q = (F.col("_cc") + 0.5) / (n_cur_b + 0.5 * F.col("_nb"))
+    # only observed buckets is exact. The n_ref/n_cur denominators are
+    # Σ over the feature's own buckets (counts covers exactly the
+    # non-null rows — identical integers to joining `stats` back, which
+    # would re-evaluate the whole-panel aggregate under different column
+    # pruning), and the PSI fold runs over the collected ≤`bins`-entry
+    # bucket array — bounded state, still window-free (plan-asserted).
+    def _term(tr, tc, s):
+        p = (s["_cr"] + 0.5) / (tr + 0.5 * s["_nb"])
+        q = (s["_cc"] + 0.5) / (tc + 0.5 * s["_nb"])
+        return (p - q) * F.log(p / q)
+
     psi = (
-        counts.join(F.broadcast(stats.select("feature", "n_ref", "n_cur")), "feature")
-        .groupBy("feature")
-        .agg(F.sum((p - q) * F.log(p / q)).alias("psi"))
+        counts.groupBy("feature")
+        .agg(
+            F.sum("_cr").cast("double").alias("_tr"),
+            F.sum("_cc").cast("double").alias("_tc"),
+            F.collect_list(F.struct("_cr", "_cc", "_nb")).alias("_bs"),
+        )
+        .select(
+            "feature",
+            F.aggregate(
+                "_bs",
+                F.lit(0.0),
+                lambda acc, s: acc + _term(F.col("_tr"), F.col("_tc"), s),
+            ).alias("psi"),
+        )
     )
 
     total_ref = F.col("n_ref") + F.col("_null_ref")
@@ -443,8 +460,6 @@ def ks_drift(
     more aggregates over the distinct-value table. Features entirely
     null on either side report NULL ``ks_d``.
     """
-    from pyspark.sql import Window
-
     def side(df: DataFrame, a: int) -> DataFrame:
         return (
             _melt(df, features)
@@ -463,6 +478,51 @@ def ks_drift(
         .groupBy("feature", "value")
         .agg(F.sum("_a").alias("_na_v"), F.sum("_b").alias("_nb_v"))
     )
+    return _ks_fold(pv, alpha_c)
+
+
+def ks_drift_tagged(
+    df: DataFrame,
+    features: list[str],
+    window_col: str = "_w",
+    ref: str = "ref",
+    cur: str = "cur",
+    precision: int = 6,
+    alpha_c: float = 1.358,
+) -> DataFrame:
+    """:func:`ks_drift` over a single window-TAGGED panel instead of two
+    pre-filtered copies: when ref and cur are slices of one DataFrame
+    (the time-split monitors), the two-argument form makes each side a
+    separate subtree and the whole upstream panel pipeline executes
+    twice; here the melt + per-(feature, value) collapse runs in ONE
+    pass with conditional counters. Integer sums, identical (feature,
+    value) table, same fold — bit-equal output."""
+    pv = (
+        _melt(df, features, extra=[window_col])
+        .where(F.col("value").isNotNull() & F.col(window_col).isin(ref, cur))
+        .select(
+            "feature",
+            F.round(F.col("value"), precision).alias("value"),
+            F.when(F.col(window_col) == ref, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("_a"),
+            F.when(F.col(window_col) == cur, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("_b"),
+        )
+        .groupBy("feature", "value")
+        .agg(F.sum("_a").alias("_na_v"), F.sum("_b").alias("_nb_v"))
+    )
+    return _ks_fold(pv, alpha_c)
+
+
+def _ks_fold(pv: DataFrame, alpha_c: float) -> DataFrame:
+    """Shared KS/W1 fold over the collapsed (feature, value, n_ref_at,
+    n_cur_at) distinct-value table (see :func:`ks_drift`)."""
+    from pyspark.sql import Window
+
     wcum = (
         Window.partitionBy("feature")
         .orderBy("value")

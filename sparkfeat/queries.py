@@ -216,11 +216,16 @@ FROM feat"""
 
 
 @register("flagship_features", _FLAGSHIP_ORACLE)
-def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_flagship(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """The headline point-in-time feature plan (SURVEY.md §7 Stage 0):
     one windowed pass per conv_id producing per-turn feature vectors with
-    zero leakage; text carried through for the equality invariant."""
-    df = transcripts_from_events(spark, sf_dir)
+    zero leakage; text carried through for the equality invariant.
+    ``spread`` pins the transcript exchange wide (see
+    transcripts_from_events) — on for the nested drift capstones whose
+    post-window melt+fold work dominates."""
+    df = transcripts_from_events(spark, sf_dir, spread=spread)
     out = flagship_features(df)
     return out.select(
         "conv_id",
@@ -4390,7 +4395,7 @@ def _conv_nd_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparkfeat.corpus import hash_bucket
 
-    t = transcripts_from_events(spark, sf_dir)
+    t = transcripts_from_events(spark, sf_dir, spread=True)
     w = Window.partitionBy("conv_id")
     clones = (
         t.withColumn("_mt", F.max("turn_idx").over(w))
@@ -4737,7 +4742,7 @@ def q_flagship_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the full flagship window pipeline and then the full
     drift pipeline in SQL. Nulls from warm-up windows (first turns of
     each conversation) land in the null-rate columns by design."""
-    panel = q_flagship(spark, sf_dir)
+    panel = q_flagship(spark, sf_dir, spread=True)
     return _time_split_drift(
         panel, ["text_len_lr", "text_len_vol", "text_len_stoch_k", "token_est_ker"]
     )
@@ -8774,8 +8779,12 @@ _KS_DRIFT_ORACLE = _ks_sql(
 def _time_split_ks(panel: DataFrame, features: list[str]) -> DataFrame:
     """Spark twin of ``_ks_sql``: the `_time_split_drift` midpoint
     split (lazy broadcast MIN/MAX, no driver collect) feeding
-    `drift.ks_drift`'s integer-exact fold."""
-    from sparkfeat.drift import ks_drift
+    `drift.ks_drift_tagged`'s integer-exact fold — the tagged form
+    melts the panel ONCE with conditional side counters, where the old
+    two-filtered-copies call re-executed the whole upstream panel
+    pipeline (for the flagship capstone, the full window chain) per
+    side."""
+    from sparkfeat.drift import ks_drift_tagged
 
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     bounds = panel.agg(F.min(us).alias("_mn"), F.max(us).alias("_mx"))
@@ -8783,11 +8792,7 @@ def _time_split_ks(panel: DataFrame, features: list[str]) -> DataFrame:
     base = panel.crossJoin(F.broadcast(bounds)).withColumn(
         "_w", F.when(us < mid, "ref").otherwise("cur")
     )
-    out = ks_drift(
-        base.filter(F.col("_w") == "ref"),
-        base.filter(F.col("_w") == "cur"),
-        features,
-    )
+    out = ks_drift_tagged(base, features)
     return out.withColumn("drifted", F.col("drifted").cast("int"))
 
 
@@ -8827,7 +8832,7 @@ def q_flagship_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     side (KS is over the observed ECDFs — the PSI twin carries the
     null-rate story). The oracle nests the full flagship window
     pipeline replay inside the KS fold."""
-    panel = q_flagship(spark, sf_dir)
+    panel = q_flagship(spark, sf_dir, spread=True)
     return _time_split_ks(
         panel,
         ["text_len_lr", "text_len_vol", "text_len_stoch_k", "token_est_ker"],

@@ -72,16 +72,33 @@ transcripts AS (
 """.strip()
 
 
-def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def transcripts_from_events(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """Deterministic transcript table derived from ``events`` parquet.
 
     Mirrors ``TRANSCRIPTS_CTE`` exactly (same expressions, same
     ROW_NUMBER tie-break on the unique ``event_id``) so DuckDB and Spark
     agree bit-for-bit on every row.
+
+    ``spread=True`` pins the user_id exchange (which the row_number
+    window needs anyway) to the session's configured shuffle
+    parallelism: AQE's bytes-based coalescing folds a small-but-
+    compute-dense table into 1-3 partitions, serializing every
+    downstream per-turn transform that reuses the partitioning —
+    right for consumers whose post-shuffle work is hash/window-heavy
+    (MinHash signatures, nested drift replays), overhead for one-window
+    readers. At cluster scale the exchange is far above the coalescing
+    target either way and the pin changes nothing; the count stays
+    conf-driven (spark.sql.shuffle.partitions), never hard-coded.
     """
     from pyspark.sql import Window
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if spread:
+        ev = ev.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "user_id"
+        )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),

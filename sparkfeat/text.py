@@ -489,6 +489,15 @@ def winnow_fingerprints(
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     n = F.length(norm)
+    # hash-repartition the RAW documents by id before the ~(chars)×
+    # k-gram fan-out: the doc_id window downstream reuses this exact
+    # partitioning, so the heavy gram stream (tens of bytes per char of
+    # input) never crosses an exchange — only the raw text does — and
+    # gram hashing runs at full parallelism even when the scan is a
+    # single unsplittable file
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     base = docs.select(F.col(id_col), norm.alias("_norm"), n.alias("_n"))
     grams = base.select(
         id_col,
