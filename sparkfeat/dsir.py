@@ -61,33 +61,58 @@ def dsir_logweights(
     and null weight. Positive weight ⇒ more target-like than the raw
     average; downstream resampling keeps docs ∝ exp(weight).
     """
-    def feats(src: DataFrame) -> DataFrame:
-        return (
-            src.select(
+    # ONE union-tagged gram pass feeds everything (r6): the old
+    # per-side ``feats`` DAG was referenced 5x (raw counts, raw total,
+    # per-doc scoring; target counts, target total), and each reference
+    # re-ran the explode + per-gram md5 bucketing — the dominant CPU.
+    # Here both corpora union into a single (side, doc, bucket) count
+    # table whose every consumer prunes to the same aggregate, so AQE
+    # reuses one exchange; the side/doc totals fold out of the
+    # n_buckets-row bucket table (window state bounded by the FIXED
+    # bucket space, not data). The union is repartitioned by doc id
+    # before the explode: hashpartitioning(doc_id) satisfies the
+    # (side, doc_id, b) grouping, so gram rows never cross an exchange
+    # and hashing runs wide even off a single-split file.
+    tagged = (
+        docs.select(
+            F.lit("r").alias("_side"),
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
+        ).unionByName(
+            target.select(
+                F.lit("t").alias("_side"),
                 F.col(id_col).alias("doc_id"),
-                F.explode(_grams(F.col(text_col))).alias("gram"),
+                F.col(text_col).alias("_t"),
             )
-            .withColumn("b", hash_bucket("gram", start=25, buckets=n_buckets))
-            .groupBy("doc_id", "b")
-            .agg(F.count("*").alias("k"))
         )
-
-    doc_feats = feats(docs)
-    tgt_counts = (
-        feats(target).groupBy("b").agg(F.sum("k").alias("ct"))
+    ).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    raw_counts = doc_feats.groupBy("b").agg(F.sum("k").alias("cr"))
+    combined = (
+        tagged.select(
+            "_side", "doc_id", F.explode(_grams(F.col("_t"))).alias("gram")
+        )
+        .withColumn("b", hash_bucket("gram", start=25, buckets=n_buckets))
+        .groupBy("_side", "doc_id", "b")
+        .agg(F.count("*").alias("k"))
+    )
+    bucket_counts = combined.groupBy("b").agg(
+        F.sum(F.when(F.col("_side") == "r", F.col("k"))).alias("cr"),
+        F.sum(F.when(F.col("_side") == "t", F.col("k"))).alias("ct"),
+    )
+    # side totals: exact bigint window sums over the ≤n_buckets-row
+    # bucket table (null-skipping, so each total covers exactly the
+    # buckets its side touched — identical integers to the old
+    # per-side aggregates)
+    from pyspark.sql import Window
 
-    t_total = tgt_counts.agg(F.sum("ct").cast("double").alias("t_tot"))
-    r_total = raw_counts.agg(F.sum("cr").cast("double").alias("r_tot"))
-
-    # every bucket a raw doc touches is in raw_counts by construction;
-    # target counts are left-joined with a 0 floor (add-one smoothing
-    # keeps ln finite).
+    wall = Window.partitionBy()
     ratio = (
-        raw_counts.join(tgt_counts, "b", "left")
-        .crossJoin(F.broadcast(t_total))
-        .crossJoin(F.broadcast(r_total))
+        bucket_counts.withColumn(
+            "t_tot", F.sum("ct").over(wall).cast("double")
+        )
+        .withColumn("r_tot", F.sum("cr").over(wall).cast("double"))
+        .where(F.col("cr").isNotNull())
         .select(
             "b",
             (
@@ -103,7 +128,8 @@ def dsir_logweights(
     )
 
     per_doc = (
-        doc_feats.join(F.broadcast(ratio), "b")
+        combined.where(F.col("_side") == "r")
+        .join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(
             F.sum("k").cast("bigint").alias("n_grams"),

@@ -70,6 +70,15 @@ def bm25_topk(
         "query_id",
         F.explode(F.array_distinct(_toks("query"))).alias("term"),
     )
+    # hash-repartition by doc id before tokenization: partition keys are
+    # a subset of both the (term, id, dl) tf grouping and the
+    # (query_id, id) score grouping, so the exploded token-hit stream
+    # and the per-(query, doc) weight stream never cross an exchange --
+    # only raw doc rows do -- and tokenization runs at full width even
+    # off a single-split file.
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     d = docs.select(F.col(id_col), _toks(text_col).alias("_tk")).select(
         id_col, "_tk", F.size("_tk").alias("_dl")
     )
@@ -450,7 +459,12 @@ def rm3_expand_topk(
     )
     # weighted second pass: the broadcast term-weight table itself prunes
     # the token lattice map-side (it IS the distinct-term set, with the
-    # weights riding along), so `combined` appears once in the plan
+    # weights riding along), so `combined` appears once in the plan; the
+    # id-repartition serves the tf and score aggregates exchange-free
+    # exactly as in bm25_topk
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     d = docs.select(F.col(id_col), _toks(text_col).alias("_tk")).select(
         id_col, "_tk", F.size("_tk").alias("_dl")
     )

@@ -68,6 +68,12 @@ def cosine_topk(
             probe_id, F.transform("_pv", lambda x: x / F.col("_pn")).alias("_pu")
         )
     )
+    # spread the corpus before the per-(vector, probe) dot-product fan-out:
+    # the HOF dot fold is the CPU and would otherwise run inside however
+    # few scan splits the source file produced (1, for a small parquet)
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     c = (
         corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"))
         .withColumn("_cn", _norm(F.col("_cv")))
