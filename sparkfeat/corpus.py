@@ -1548,18 +1548,25 @@ def memorization_score(
     ref_grams = reference.select(
         F.explode(token_ngram_hashes(text_col, n=n)).alias("gram")
     ).distinct()
-    cand = candidates.select(
-        F.col(id_col), token_ngram_hashes(text_col, n=n).alias("_g")
-    )
-    base = cand.select(
-        F.col(id_col),
-        F.size("_g").cast("bigint").alias("n_grams"),
-        F.size(F.array_distinct("_g")).cast("bigint").alias("n_distinct"),
-    )
+    # ONE candidate gram-hash pass (r6): totals and distinct counts are
+    # derived FROM the (doc, gram, multiplicity) aggregate — n_grams =
+    # Σ mult, n_distinct = row count — instead of a separate whole-text
+    # size() projection that re-ran the md5 n-gram chain; both consumers
+    # of `cg` prune to the identical aggregate, so its exchange is
+    # computed once. Sub-n-token candidates (no gram rows) re-enter via
+    # the id-only left join with zero-coalesced counts, exactly the old
+    # contract.
     cg = (
-        cand.select(F.col(id_col), F.explode("_g").alias("gram"))
+        candidates.select(
+            F.col(id_col),
+            F.explode(token_ngram_hashes(text_col, n=n)).alias("gram"),
+        )
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("_mult"))
+    )
+    base = cg.groupBy(id_col).agg(
+        F.sum("_mult").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
     )
     hits = (
         cg.join(ref_grams, "gram", "left_semi")
@@ -1570,24 +1577,30 @@ def memorization_score(
         )
     )
     r6 = lambda c: F.round(c, nd) + F.lit(0.0)  # noqa: E731
-    out = base.join(hits, id_col, "left")
+    out = (
+        candidates.select(F.col(id_col))
+        .join(base, id_col, "left")
+        .join(hits, id_col, "left")
+    )
+    n_grams = F.coalesce("n_grams", F.lit(0)).cast("bigint")
+    n_distinct = F.coalesce("n_distinct", F.lit(0)).cast("bigint")
     return out.select(
         id_col,
-        "n_grams",
-        "n_distinct",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
         F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
         F.coalesce("n_distinct_hit", F.lit(0))
         .cast("bigint")
         .alias("n_distinct_hit"),
         F.when(
-            F.col("n_grams") > 0,
-            r6(F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_grams")),
+            n_grams > 0,
+            r6(F.coalesce("n_hit", F.lit(0)).cast("double") / n_grams),
         ).alias("mem_rate"),
         F.when(
-            F.col("n_distinct") > 0,
+            n_distinct > 0,
             r6(
                 F.coalesce("n_distinct_hit", F.lit(0)).cast("double")
-                / F.col("n_distinct")
+                / n_distinct
             ),
         ).alias("distinct_mem_rate"),
     )
