@@ -13,6 +13,11 @@ from pyspark.sql import functions as F
 
 from sparkfeat.windows import ORDER_COLS
 
+#: hash-shard count for two-phase top-k ranks: any value works (the
+#: shard pass is a lossless superset prune), it only bounds the final
+#: window to shards×k rows; 32 matches search.bm25_topk's convention.
+TOPK_SHARDS = 32
+
 
 def to_utc(
     df: DataFrame, ts_col: str = "ts", source_tz: str = "America/New_York"
@@ -199,11 +204,25 @@ def top_k_entities(
 ) -> DataFrame:
     """A5/O2 liquidity-style top-k (universe.py:68-77): rank entities by
     total ``value_col`` desc (entity id asc tie-break for determinism),
-    keep top k. Partial aggregation map-side, then a tiny sorted keep
-    set — the big-table filter is a broadcast semi join."""
+    keep top k. Partial aggregation map-side; the rank is the house
+    TWO-PHASE shard rank (the bm25_topk / length_batches pattern): a
+    per-shard ``row_number`` keeps each hash shard's local top-k —
+    window state k rows per shard, fully parallel — and the global
+    window ranks only shards×k survivors, so the per-entity totals
+    table (one row per ENTITY — billions at corpus scale) never funnels
+    through a single-task sort. Per-shard top-k is a superset of the
+    global top-k, so the keep set is exact and identical. The big-table
+    filter is a broadcast semi join."""
     totals = df.groupBy(entity_col).agg(
         (agg if agg is not None else F.sum(value_col)).alias("_total")
     )
-    w = Window.orderBy(F.col("_total").desc(), F.col(entity_col))
-    keep = totals.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    order = [F.col("_total").desc(), F.col(entity_col)]
+    local = Window.partitionBy(
+        F.pmod(F.hash(F.col(entity_col)), F.lit(TOPK_SHARDS))
+    ).orderBy(*order)
+    pruned = totals.withColumn("_lr", F.row_number().over(local)).filter(
+        F.col("_lr") <= k
+    )
+    w = Window.orderBy(*order)  # ≤ TOPK_SHARDS·k rows by construction
+    keep = pruned.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
     return _entity_semi_join(df, keep.select(entity_col), entity_col)

@@ -933,13 +933,25 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     conv_id tie-break)."""
     from pyspark.sql import Window
 
+    from sparkfeat.cleaning import TOPK_SHARDS
+
     sig = with_turn_signals(transcripts_from_events(spark, sf_dir))
     totals = sig.groupBy("conv_id").agg(
         F.sum("token_est").alias("_tot"), F.count(F.lit(1)).alias("n_turns")
     )
-    w = Window.orderBy(F.col("_tot").desc(), F.col("conv_id"))
+    # two-phase shard rank (house pattern; exact — local top-k is a
+    # superset of the global top-k): no single-task sort of the
+    # one-row-per-entity totals table
+    order = [F.col("_tot").desc(), F.col("conv_id")]
+    local = Window.partitionBy(
+        F.pmod(F.hash(F.col("conv_id")), F.lit(TOPK_SHARDS))
+    ).orderBy(*order)
+    pruned = totals.withColumn("_lr", F.row_number().over(local)).filter(
+        F.col("_lr") <= 10
+    )
+    w = Window.orderBy(*order)  # ≤ shards×10 rows by construction
     return (
-        totals.withColumn("rk", F.row_number().over(w).cast("int"))
+        pruned.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= 10)
         .select(
             "conv_id", _r(F.col("_tot")).alias("total_tokens"), "n_turns", "rk"
@@ -2481,13 +2493,25 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = correlated_pairs(
         sig, "text_len", bucket_seconds=21600, threshold=-2.0
     ).filter(F.col("n_buckets") >= 20)
+    from sparkfeat.cleaning import TOPK_SHARDS
+
     rounded = pairs.select(
         "id_a", "id_b", _r(F.col("corr")).alias("corr"), "n_buckets"
     )
-    w = Window.orderBy(F.col("corr").desc(), F.col("id_a"), F.col("id_b"))
+    # two-phase shard rank over the (potentially entities²-sized) pair
+    # table — exact, no single-task sort (house pattern)
+    order = [F.col("corr").desc(), F.col("id_a"), F.col("id_b")]
+    local = Window.partitionBy(
+        F.pmod(F.hash(F.col("id_a"), F.col("id_b")), F.lit(TOPK_SHARDS))
+    ).orderBy(*order)
+    pruned = rounded.withColumn("_lr", F.row_number().over(local)).filter(
+        F.col("_lr") <= 20
+    )
+    w = Window.orderBy(*order)  # ≤ shards×20 rows by construction
     return (
-        rounded.withColumn("rk", F.row_number().over(w).cast("int"))
+        pruned.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= 20)
+        .drop("_lr")
     )
 
 

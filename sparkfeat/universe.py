@@ -19,6 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: hash-shard count for the two-phase per-period rank (lossless superset
+#: prune; bounds the per-period window to shards×top_n rows).
+_RANK_SHARDS = 32
+
 
 def period_index(ts_col: str, period_seconds: int, t0_us: int = 0):
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -55,8 +59,20 @@ def active_universe(
         .rangeBetween(-(lookback_periods - 1), 0)
     )
     trailed = sums.withColumn("total", F.sum("_v").over(wtrail))
-    wrank = Window.partitionBy("_p").orderBy(F.col("total").desc(), F.col(entity_col))
-    ranked = trailed.withColumn("rank", F.row_number().over(wrank).cast("int")).filter(
+    # two-phase per-period rank (the house shard-rank pattern): a plain
+    # partitionBy(_p) window makes each PERIOD a hot partition holding
+    # every entity's row; the (period, shard) local top-n keeps window
+    # state at top_n rows per shard, and the per-period pass then ranks
+    # only shards×top_n survivors — exact (local top-n ⊇ global top-n)
+    order = [F.col("total").desc(), F.col(entity_col)]
+    wlocal = Window.partitionBy(
+        "_p", F.pmod(F.hash(F.col(entity_col)), F.lit(_RANK_SHARDS))
+    ).orderBy(*order)
+    pruned = trailed.withColumn("_lr", F.row_number().over(wlocal)).filter(
+        F.col("_lr") <= top_n
+    )
+    wrank = Window.partitionBy("_p").orderBy(*order)
+    ranked = pruned.withColumn("rank", F.row_number().over(wrank).cast("int")).filter(
         F.col("rank") <= top_n
     )
     p_us = F.col("_p") * F.lit(period_seconds * 1_000_000) + F.lit(t0_us)

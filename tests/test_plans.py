@@ -415,3 +415,32 @@ def test_pagerank_no_cartesian_broadcast_scalars(spark):
     p = plan_of(pagerank(e, iters=3))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_topk_rank_is_two_phase_sharded(spark, transcripts):
+    """A5/O2 contract (r6): the top-k rank must never funnel the
+    one-row-per-entity totals table into a single-partition window.
+    Phase one is a pmod(hash)-sharded local row_number (parallel,
+    k rows of state per shard); only shards x k survivors reach the
+    final global window — so the plan's windows come in (sharded,
+    global) pairs, with a Filter between them."""
+    import re as _re
+
+    from sparkfeat import cleaning as C
+    from sparkfeat.schema import with_turn_signals
+    from sparkfeat.universe import active_universe
+
+    sig = with_turn_signals(transcripts)
+    for df in (
+        C.top_k_entities(sig, "token_est", 2),
+        active_universe(sig, 86400, 2, "token_est"),
+    ):
+        p = plan_of(df)
+        # two ranking windows: the sharded local phase (partitioned by
+        # the pmod(hash) key, projected as a _w# column) and the
+        # bounded global phase above it
+        n_windows = len(_re.findall(r"Window \[row_number\(\)", p))
+        assert n_windows >= 2, p
+        # and Spark 4's rank-limit pushdown proves the local phase
+        # prunes map-side BEFORE anything crosses an exchange
+        assert "WindowGroupLimit" in p and "Partial" in p, p
